@@ -20,8 +20,19 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship entity-resolution pipeline on /root/testdata/sf0.001.
+
+    Derives a deterministic interleaved spans corpus from the driver's flat
+    ``documents`` table (streaming transformation, with planted near-dup
+    copies), runs the full blocking + scoring + clustering pipeline and
+    returns the clusters dataset (cluster_id, doc_id).
+    """
+    from dedupe_rust_ray.config import ERConfig
+    from dedupe_rust_ray.pipelines.er import er_pipeline
+    from dedupe_rust_ray.sources.corpus import corpus_from_flat_documents
+
+    docs = corpus_from_flat_documents("/root/testdata/sf0.001")
+    return er_pipeline(docs, ERConfig())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

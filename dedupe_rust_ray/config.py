@@ -1,0 +1,70 @@
+"""Pipeline configuration.
+
+Mirrors (and generalizes) the reference CLI surface
+(/root/reference/src/main.rs:60-74: ``-d/--directory``, ``-b/--batch_size``,
+``--exclude``) as a dataclass consumed by every pipeline. The config hash is
+part of each checkpoint manifest so resume only reuses work produced under an
+identical configuration (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    """Configuration of the flagship entity-resolution pipeline.
+
+    Defaults are tuned so that the exact-duplicate path dominates labeled
+    pairs (F1 >= 0.99 vs planted clusters) while the near-dup path catches
+    small text edits / media noise (FIXTURES.md F1).
+    """
+
+    # --- MinHash / text signatures -------------------------------------
+    num_perm: int = 128           # minhash permutations per text signature
+    shingle_k: int = 5            # char-shingle width
+    lsh_bands: int = 16           # bands over the minhash signature
+    # rows per band = num_perm // lsh_bands = 8 -> s-curve threshold ~0.72
+
+    # --- media signatures ----------------------------------------------
+    phash_size: int = 32          # synthetic payload edge (pixels)
+    phash_dct: int = 8            # low-frequency DCT block kept (8x8 -> 64 bits)
+    phash_prefix_bits: int = 16   # leading pHash bits used as a blocking key
+    phash_hamming_max: int = 10   # near-dup threshold on 64-bit pHash
+
+    # --- pair scoring ---------------------------------------------------
+    text_jaccard_min: float = 0.72   # minhash-estimated Jaccard screen
+    score_threshold: float = 0.80    # fused score -> match edge
+    w_text: float = 0.5
+    w_media: float = 0.5
+
+    # --- skew / scale guards --------------------------------------------
+    max_block_size: int = 512     # salt blocks larger than this many docs
+    max_pairs_per_block: int = 50_000  # hard cap; exact-hash fast path exempt
+    salt_buckets: int = 16        # sub-buckets for hot blocking keys
+
+    # --- execution -------------------------------------------------------
+    batch_size: int = 1024        # rows per signature batch
+    sig_concurrency: int | tuple[int, int] | None = None  # actor pool size; None = tasks decide
+    checkpoint_dir: str | None = None  # enable per-stage checkpoints when set
+    resume: bool = False          # reuse matching checkpoints
+
+    # --- union-find -------------------------------------------------------
+    max_label_rounds: int = 50    # O(log diameter) in practice; hard stop
+    driver_unionfind_max_edges: int = 2_000_000
+    # below this edge count the driver runs union-find locally (cheaper than
+    # distributed rounds); above it, iterative label propagation is used.
+
+    def config_hash(self) -> str:
+        """Stable hash of every semantic knob, stamped into manifests."""
+        payload = {k: v for k, v in asdict(self).items()
+                   if k not in ("checkpoint_dir", "resume", "sig_concurrency",
+                                "batch_size")}
+        blob = json.dumps(payload, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = ERConfig()

@@ -1,0 +1,85 @@
+"""String similarity: Jaro-Winkler and bounded Levenshtein (pure Python).
+
+Used ONLY on candidate pairs that already passed the vectorized signature
+screens (MinHash-estimated Jaccard / pHash prefix), so the per-pair Python
+cost is applied to a tiny fraction of the data — the same cheap-then-deep
+structure as the reference's quick-checksum -> full-decode phases
+(/root/reference/src/main.rs:452-478 then 586-648).
+"""
+
+from __future__ import annotations
+
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions // 2
+    m = matches
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    base = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return base + prefix * prefix_weight * (1.0 - base)
+
+
+def levenshtein_bounded(a: str, b: str, max_dist: int) -> int:
+    """Banded Levenshtein; returns ``max_dist + 1`` once the bound is exceeded."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_dist:
+        return max_dist + 1
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - max_dist)
+        hi = min(lb, i + max_dist)
+        if lo > 1:
+            cur[lo - 1] = max_dist + 1
+        row_min = cur[0] if lo == 1 else max_dist + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            row_min = min(row_min, cur[j])
+        if hi < lb:
+            cur[hi + 1 :] = [max_dist + 1] * (lb - hi)
+        if row_min > max_dist:
+            return max_dist + 1
+        prev = cur
+    return min(prev[lb], max_dist + 1)

@@ -1,0 +1,333 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md F1-F3).
+
+Generalizes the reference's input — a directory tree of image files
+(/root/reference/src/main.rs:127-205) — into the target data model from
+BASELINE.json ``input_hint``::
+
+    doc_id : string
+    spans  : list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+Media payloads are *derived deterministically from the media_ref string*
+(rng seeded by sha256(ref)), so any worker can re-materialize pixels without
+shared storage — the analog of the reference decoding pixels from a file path
+(/root/reference/src/main.rs:659-681).
+
+Planted ground truth mirrors the reference's duplicate semantics
+(/root/reference/src/main.rs:586-648):
+
+- exact duplicates  (~10%): byte-identical span sequences, new doc_id;
+- near duplicates   (~10%): <=2 char edits per text span and/or media payload
+  noise below the pHash Hamming threshold;
+- distractors       (~10%): overlapping vocabulary but beyond all thresholds;
+- singletons        (rest): never clustered (src/main.rs:418-421, 610-613).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+DOCS_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))]
+)
+LABELS_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.string()),
+        ("doc_b", pa.string()),
+        ("is_dup", pa.bool_()),
+        ("kind", pa.string()),  # exact | near | distractor
+    ]
+)
+CLUSTERS_SCHEMA = pa.schema(
+    [("cluster_id", pa.string()), ("doc_id", pa.string())]
+)
+
+_PAYLOAD_EDGE = 32  # synthetic media payloads are 32x32 grayscale
+
+
+def _seed_from(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")
+
+
+def media_payload(media_ref: str, edge: int = _PAYLOAD_EDGE) -> np.ndarray:
+    """Deterministic grayscale pixels for a media_ref.
+
+    The base image is a low-frequency 8x8 pattern upsampled to ``edge`` so
+    perceptual hashes are stable; a ``.n{j}`` suffix adds small deterministic
+    noise (below the pHash near-dup threshold by construction).
+    """
+    base, _, noise = media_ref.partition(".")
+    rng = np.random.default_rng(_seed_from(base))
+    coarse = rng.integers(0, 256, (8, 8)).astype(np.float32)
+    img = np.kron(coarse, np.ones((edge // 8, edge // 8), dtype=np.float32))
+    if noise:
+        nrng = np.random.default_rng(_seed_from(media_ref))
+        img = np.clip(img + nrng.uniform(-3.0, 3.0, img.shape), 0.0, 255.0)
+    return img.astype(np.float32)
+
+
+def _make_vocab(rng: np.random.Generator, size: int = 1200) -> list[str]:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = set()
+    while len(vocab) < size:
+        n = int(rng.integers(3, 10))
+        vocab.add("".join(rng.choice(letters, n)))
+    return sorted(vocab)
+
+
+def _edit_text(text: str, rng: np.random.Generator, n_edits: int = 2) -> str:
+    """<=2 single-character substitutions (FIXTURES.md near-dup spec)."""
+    chars = list(text)
+    for _ in range(min(n_edits, max(1, len(chars) // 10))):
+        i = int(rng.integers(0, len(chars)))
+        chars[i] = chr(ord("a") + int(rng.integers(0, 26)))
+    return "".join(chars)
+
+
+def _base_doc_spans(rng: np.random.Generator, vocab: list[str]) -> list[dict]:
+    n_spans = int(rng.integers(1, 7))
+    spans = []
+    for off in range(n_spans):
+        if rng.random() < 0.65:
+            n_words = int(rng.integers(30, 80))
+            words = rng.choice(len(vocab), n_words)
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": " ".join(vocab[w] for w in words),
+                    "media_ref": "",
+                    "offset": off,
+                }
+            )
+        else:
+            ref = "media://" + rng.bytes(8).hex()
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": ref, "offset": off}
+            )
+    return spans
+
+
+def _near_dup_spans(
+    spans: list[dict], rng: np.random.Generator, variant: int
+) -> list[dict]:
+    out = []
+    for s in spans:
+        if s["kind"] == "text":
+            out.append(
+                {
+                    "kind": "text",
+                    "text": _edit_text(s["text"], rng),
+                    "media_ref": "",
+                    "offset": s["offset"],
+                }
+            )
+        else:
+            out.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": s["media_ref"] + f".n{variant}",
+                    "offset": s["offset"],
+                }
+            )
+    return out
+
+
+def _distractor_spans(
+    spans: list[dict], rng: np.random.Generator, vocab: list[str]
+) -> list[dict]:
+    """Same rough vocabulary, ~50% of words replaced -> Jaccard well below
+    threshold; media refs fully new (different payload)."""
+    out = []
+    for s in spans:
+        if s["kind"] == "text":
+            words = s["text"].split()
+            for i in range(len(words)):
+                if rng.random() < 0.5:
+                    words[i] = vocab[int(rng.integers(0, len(vocab)))]
+            out.append(
+                {
+                    "kind": "text",
+                    "text": " ".join(words),
+                    "media_ref": "",
+                    "offset": s["offset"],
+                }
+            )
+        else:
+            ref = "media://" + rng.bytes(8).hex()
+            out.append(
+                {"kind": "media", "text": "", "media_ref": ref, "offset": s["offset"]}
+            )
+    return out
+
+
+def synth_corpus_table(
+    n_base: int = 200, seed: int = 42
+) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Build (documents, labels, clusters_expected) Arrow tables.
+
+    doc ids are assigned so that every planted copy sorts after its base doc,
+    making ``cluster_id = min(doc_id)`` the base id (canonicalization as in
+    /root/reference/src/main.rs:630).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = _make_vocab(rng)
+
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    labels: list[tuple[str, str, bool, str]] = []
+    clusters: list[tuple[str, str]] = []
+
+    next_id = 0
+
+    def new_id() -> str:
+        nonlocal next_id
+        v = f"doc-{next_id:09d}"
+        next_id += 1
+        return v
+
+    bases = []
+    for _ in range(n_base):
+        did = new_id()
+        spans = _base_doc_spans(rng, vocab)
+        doc_ids.append(did)
+        spans_col.append(spans)
+        bases.append((did, spans))
+
+    # roles: per base doc, plant exact / near / distractor companions
+    roles = rng.random(n_base)
+    for i, (did, spans) in enumerate(bases):
+        members = [did]
+        if roles[i] < 0.10:  # exact duplicate family (1-2 copies)
+            for _ in range(int(rng.integers(1, 3))):
+                cid = new_id()
+                doc_ids.append(cid)
+                spans_col.append([dict(s) for s in spans])
+                labels.append((did, cid, True, "exact"))
+                members.append(cid)
+        elif roles[i] < 0.20:  # near duplicate
+            cid = new_id()
+            doc_ids.append(cid)
+            spans_col.append(_near_dup_spans(spans, rng, variant=1))
+            labels.append((did, cid, True, "near"))
+            members.append(cid)
+        elif roles[i] < 0.30:  # distractor — must NOT cluster
+            cid = new_id()
+            doc_ids.append(cid)
+            spans_col.append(_distractor_spans(spans, rng, vocab))
+            labels.append((did, cid, False, "distractor"))
+        if len(members) > 1:
+            for m in sorted(members):
+                clusters.append((min(members), m))
+
+    docs = pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA
+    )
+    lab = pa.Table.from_pydict(
+        {
+            "doc_a": [a for a, _, _, _ in labels],
+            "doc_b": [b for _, b, _, _ in labels],
+            "is_dup": [d for _, _, d, _ in labels],
+            "kind": [k for _, _, _, k in labels],
+        },
+        schema=LABELS_SCHEMA,
+    )
+    clu = pa.Table.from_pydict(
+        {
+            "cluster_id": [c for c, _ in clusters],
+            "doc_id": [d for _, d in clusters],
+        },
+        schema=CLUSTERS_SCHEMA,
+    )
+    return docs, lab, clu
+
+
+def synth_corpus_dataset(n_base: int = 200, seed: int = 42):
+    """The documents table as a ray.data.Dataset (labels/clusters discarded)."""
+    import ray.data
+
+    docs, _, _ = synth_corpus_table(n_base, seed)
+    return ray.data.from_arrow(docs)
+
+
+def corpus_from_flat_documents(sf_dir: str, dup_every: int = 10):
+    """Derive an interleaved spans corpus from the driver's flat
+    ``documents`` table (doc_id:int64, text, ...) as a *streaming* Ray
+    transformation — no driver-side materialization.
+
+    Every row becomes one spans-document (text split into 1-3 text spans,
+    plus a media span whose ref is derived from the text hash); every
+    ``dup_every``-th doc additionally emits a near-duplicate copy. Fully
+    deterministic, so repeated runs see the same corpus.
+    """
+    import pandas as pd
+    import ray.data
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        h = pd.util.hash_array(np.asarray(texts, dtype=object)).astype(np.uint64)
+        out_ids: list[str] = []
+        out_spans: list[list[dict]] = []
+        for i in range(len(ids)):
+            text = texts[i] or ""
+            third = max(1, len(text) // 3)
+            parts = [text[:third], text[third : 2 * third], text[2 * third :]]
+            parts = [p for p in parts if p]
+            spans = [
+                {"kind": "text", "text": p, "media_ref": "", "offset": j}
+                for j, p in enumerate(parts)
+            ]
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"media://{int(h[i]):016x}",
+                    "offset": len(spans),
+                }
+            )
+            base_id = f"doc-{int(ids[i]):09d}"
+            out_ids.append(base_id)
+            out_spans.append(spans)
+            if int(ids[i]) % dup_every == 0:
+                rng = np.random.default_rng(int(h[i]))
+                near = []
+                for s in spans:
+                    if s["kind"] == "text":
+                        near.append(
+                            {
+                                "kind": "text",
+                                "text": _edit_text(s["text"], rng),
+                                "media_ref": "",
+                                "offset": s["offset"],
+                            }
+                        )
+                    else:
+                        near.append(
+                            {
+                                "kind": "media",
+                                "text": "",
+                                "media_ref": s["media_ref"] + ".n1",
+                                "offset": s["offset"],
+                            }
+                        )
+                out_ids.append(base_id + "-dup")
+                out_spans.append(near)
+        return pa.Table.from_pydict(
+            {"doc_id": out_ids, "spans": out_spans}, schema=DOCS_SCHEMA
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,9 @@
+from .unionfind import UnionFind, driver_connected_components, distributed_connected_components
+from .checkpoint import stage_checkpoint
+
+__all__ = [
+    "UnionFind",
+    "driver_connected_components",
+    "distributed_connected_components",
+    "stage_checkpoint",
+]

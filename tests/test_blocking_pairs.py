@@ -1,0 +1,73 @@
+import pandas as pd
+import pyarrow as pa
+
+from dedupe_rust_ray.config import ERConfig
+from dedupe_rust_ray.sources.corpus import synth_corpus_table
+from dedupe_rust_ray.stages.blocking import emit_blocking_keys
+from dedupe_rust_ray.stages.pairs import candidate_pairs_in_block
+from dedupe_rust_ray.stages.signatures import SpanSignatures
+
+
+def _profiles(n=40):
+    docs, _, _ = synth_corpus_table(n, seed=7)
+    return SpanSignatures(ERConfig())(docs)
+
+
+def test_blocking_emits_keys_for_text_and_media():
+    cfg = ERConfig()
+    out = emit_blocking_keys(_profiles(), cfg)
+    keys = out["block_key"].to_pylist()
+    assert any(k.startswith("b0:") for k in keys)
+    assert any(k.startswith("p0:") for k in keys)
+    assert out.num_rows > 0
+    # every exploded row keeps doc_id + content_hash (minimal shuffle row)
+    assert out.column_names == ["block_key", "doc_id", "content_hash"]
+
+
+def test_exact_dup_docs_share_every_band():
+    cfg = ERConfig()
+    docs, _, _ = synth_corpus_table(60, seed=11)
+    prof = SpanSignatures(cfg)(docs)
+    out = emit_blocking_keys(prof, cfg)
+    df = out.to_pandas()
+    h = prof.to_pandas().set_index("doc_id")["content_hash"]
+    dup_groups = h.groupby(h).filter(lambda g: len(g) > 1)
+    if len(dup_groups):
+        some_hash = dup_groups.iloc[0]
+        ids = h[h == some_hash].index.tolist()
+        keysets = [set(df[df.doc_id == d].block_key) for d in ids]
+        assert keysets[0] == keysets[1]
+
+
+def test_pair_generation_singleton_pruned():
+    cfg = ERConfig()
+    g = pd.DataFrame({"doc_id": ["a"], "content_hash": [1]})
+    assert len(candidate_pairs_in_block(g, cfg)) == 0
+
+
+def test_pair_generation_skips_equal_hash():
+    cfg = ERConfig()
+    g = pd.DataFrame(
+        {"doc_id": ["a", "b", "c"], "content_hash": [1, 1, 2]}
+    )
+    pairs = candidate_pairs_in_block(g, cfg)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # (a, b) share a content hash -> handled by the exact path, not here
+    assert got == {("a", "c"), ("b", "c")}
+
+
+def test_oversized_block_neighbor_chaining_stays_connected():
+    cfg = ERConfig(max_block_size=10)
+    n = 50
+    g = pd.DataFrame(
+        {"doc_id": [f"d{i:03d}" for i in range(n)], "content_hash": range(n)}
+    )
+    pairs = candidate_pairs_in_block(g, cfg)
+    # O(n*W) not O(n^2)
+    assert len(pairs) < n * 5
+    # the chain connects every doc
+    from dedupe_rust_ray.state.unionfind import driver_connected_components
+
+    lab = driver_connected_components(pairs)
+    assert len(set(lab["cluster_id"])) == 1
+    assert len(lab) == n

@@ -1,0 +1,61 @@
+"""Checkpoint/lineage + resume-equivalence tests (north_rule resumability)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+import ray.data
+
+from dedupe_rust_ray.config import ERConfig
+from dedupe_rust_ray.pipelines.er import er_pipeline
+from dedupe_rust_ray.sources.corpus import synth_corpus_table
+from dedupe_rust_ray.state.checkpoint import stage_checkpoint
+
+
+def test_stage_checkpoint_roundtrip(tmp_path):
+    ds = ray.data.from_items([{"x": i} for i in range(10)])
+    out = stage_checkpoint(lambda: ds, "s1", str(tmp_path), "cfg1")
+    assert out.count() == 10
+    m = json.load(open(tmp_path / "s1" / "_manifest.json"))
+    assert m["complete"] and m["num_rows"] == 10 and m["config_hash"] == "cfg1"
+
+
+def test_stage_checkpoint_resume_skips_recompute(tmp_path):
+    calls = []
+
+    def make():
+        calls.append(1)
+        return ray.data.from_items([{"x": i} for i in range(5)])
+
+    stage_checkpoint(make, "s1", str(tmp_path), "cfgA", resume=False)
+    out = stage_checkpoint(make, "s1", str(tmp_path), "cfgA", resume=True)
+    assert len(calls) == 1  # second call reused the checkpoint
+    assert out.count() == 5
+
+
+def test_stage_checkpoint_config_mismatch_recomputes(tmp_path):
+    calls = []
+
+    def make():
+        calls.append(1)
+        return ray.data.from_items([{"x": i} for i in range(5)])
+
+    stage_checkpoint(make, "s1", str(tmp_path), "cfgA", resume=False)
+    stage_checkpoint(make, "s1", str(tmp_path), "cfgB", resume=True)
+    assert len(calls) == 2
+
+
+def test_er_resume_equivalence(tmp_path):
+    """Run with checkpoints, then resume: identical output, stage 1 reused
+    (SURVEY.md §5.2 item 4: resume equivalence)."""
+    docs, _, _ = synth_corpus_table(80, seed=5)
+    cfg1 = ERConfig(checkpoint_dir=str(tmp_path), resume=False)
+    first = er_pipeline(ray.data.from_arrow(docs), cfg1).to_pandas()
+    stage_dir = tmp_path / "stage1_profiles"
+    mtime = os.path.getmtime(stage_dir / "_manifest.json")
+
+    cfg2 = ERConfig(checkpoint_dir=str(tmp_path), resume=True)
+    second = er_pipeline(ray.data.from_arrow(docs), cfg2).to_pandas()
+    assert os.path.getmtime(stage_dir / "_manifest.json") == mtime
+    pd.testing.assert_frame_equal(first, second)

@@ -1,0 +1,75 @@
+"""Golden end-to-end ER test (SURVEY.md §5.2 item 2, BASELINE.md F1 >= 0.99).
+
+Planted exact/near/distractor ground truth -> run the full Ray pipeline ->
+pairwise F1 over labeled pairs and exact golden-cluster parity.
+"""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from dedupe_rust_ray.config import ERConfig
+from dedupe_rust_ray.pipelines.er import er_pipeline
+from dedupe_rust_ray.sources.corpus import synth_corpus_table
+
+
+def _pairwise_scores(labels: pd.DataFrame, clusters: pd.DataFrame):
+    cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    tp = fp = fn = 0
+    for _, r in labels.iterrows():
+        same = cl.get(r.doc_a) is not None and cl.get(r.doc_a) == cl.get(r.doc_b)
+        if r.is_dup and same:
+            tp += 1
+        elif r.is_dup and not same:
+            fn += 1
+        elif not r.is_dup and same:
+            fp += 1
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    return prec, rec, 2 * prec * rec / max(1e-9, prec + rec)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_corpus_table(200, seed=42)
+
+
+@pytest.fixture(scope="module")
+def clusters(corpus):
+    docs, _, _ = corpus
+    return er_pipeline(ray.data.from_arrow(docs), ERConfig()).to_pandas()
+
+
+def test_pairwise_f1(corpus, clusters):
+    _, labels, _ = corpus
+    prec, rec, f1 = _pairwise_scores(labels.to_pandas(), clusters)
+    assert f1 >= 0.99, (prec, rec, f1)
+
+
+def test_golden_cluster_parity(corpus, clusters):
+    _, _, expected = corpus
+    exp = set(map(tuple, expected.to_pandas()[["cluster_id", "doc_id"]].values))
+    got = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
+    assert exp == got
+
+
+def test_output_sorted_and_canonical(clusters):
+    assert clusters["cluster_id"].is_monotonic_increasing
+    # cluster_id is the min member doc_id (reference canonicalization,
+    # /root/reference/src/main.rs:630)
+    mins = clusters.groupby("cluster_id")["doc_id"].min()
+    assert (mins.index == mins.values).all()
+
+
+def test_permutation_invariance(corpus, clusters):
+    """Shuffling input rows yields the identical cluster set
+    (SURVEY.md §5.2 item 4)."""
+    import numpy as np
+
+    docs, _, _ = corpus
+    perm = np.random.default_rng(7).permutation(docs.num_rows)
+    ds = ray.data.from_arrow(docs.take(perm))
+    got = er_pipeline(ds, ERConfig()).to_pandas()
+    a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
+    b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
+    assert a == b

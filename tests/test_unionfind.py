@@ -1,0 +1,74 @@
+"""Union-find fixtures from FIXTURES.md F6: chain, star, two components,
+duplicate/reversed edges, self-loops; distributed CC must equal driver DSU."""
+
+import pandas as pd
+import pytest
+
+from dedupe_rust_ray.state.unionfind import (
+    UnionFind,
+    distributed_connected_components,
+    driver_connected_components,
+)
+
+
+def _labels(edges):
+    df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    out = driver_connected_components(df)
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+def test_chain_transitivity():
+    lab = _labels([("a", "b"), ("b", "c"), ("c", "d")])
+    assert set(lab.values()) == {"a"}
+
+
+def test_star():
+    lab = _labels([("m", "a"), ("m", "b"), ("m", "c")])
+    assert set(lab.values()) == {"a"}  # min doc_id of the component
+
+
+def test_two_components():
+    lab = _labels([("a", "b"), ("x", "y")])
+    assert lab["a"] == lab["b"] == "a"
+    assert lab["x"] == lab["y"] == "x"
+
+
+def test_duplicate_and_reversed_edges():
+    lab = _labels([("a", "b"), ("b", "a"), ("a", "b")])
+    assert lab == {"a": "a", "b": "a"}
+
+
+def test_self_loops():
+    lab = _labels([("a", "a"), ("a", "b")])
+    assert lab == {"a": "a", "b": "a"}
+
+
+def test_union_by_size_and_path_compression():
+    uf = UnionFind()
+    for i in range(100):
+        uf.union(f"n{i:03d}", f"n{i+1:03d}")
+    assert len(set(uf.labels().values())) == 1
+
+
+def test_distributed_matches_driver():
+    import ray.data
+
+    edges = [
+        ("a", "b"),
+        ("b", "c"),
+        ("c", "d"),
+        ("x", "y"),
+        ("p", "q"),
+        ("q", "r"),
+        ("r", "p"),  # cycle
+    ]
+    df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    want = driver_connected_components(df)
+    got = (
+        distributed_connected_components(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)[["doc_id", "cluster_id"]]
+    )
+    pd.testing.assert_frame_equal(
+        want[["doc_id", "cluster_id"]], got, check_dtype=False
+    )
