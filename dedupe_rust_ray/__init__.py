@@ -22,4 +22,6 @@ Nothing in this package calls ``ray.init`` / ``ray.shutdown`` — sessions are
 owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
+from . import _blas  # caps BLAS threads in every worker (see _blas.py)
+
 __version__ = "0.1.0"

@@ -25,9 +25,13 @@ class ERConfig:
 
     # --- MinHash / text signatures -------------------------------------
     num_perm: int = 128           # minhash permutations per text signature
-    shingle_k: int = 5            # char-shingle width
-    lsh_bands: int = 16           # bands over the minhash signature
-    # rows per band = num_perm // lsh_bands = 8 -> s-curve threshold ~0.72
+    shingle_k: int = 3            # shingle width (words by default)
+    shingle_mode: str = "word"    # 'word' (cheap, robust to char edits) | 'char'
+    lsh_bands: int = 32           # bands over the minhash signature
+    # rows per band = num_perm // lsh_bands = 4 -> s-curve midpoint ~0.42:
+    # word-shingle Jaccard of a near-dup SHORT text can sit near 0.6-0.7
+    # (each edited word kills k shingles), so banding must recall there;
+    # precision comes from the fused score threshold, not the bands
 
     # --- media signatures ----------------------------------------------
     phash_size: int = 32          # synthetic payload edge (pixels)
@@ -42,9 +46,13 @@ class ERConfig:
     w_media: float = 0.5
 
     # --- skew / scale guards --------------------------------------------
-    max_block_size: int = 512     # salt blocks larger than this many docs
-    max_pairs_per_block: int = 50_000  # hard cap; exact-hash fast path exempt
-    salt_buckets: int = 16        # sub-buckets for hot blocking keys
+    max_block_size: int = 512     # blocks beyond this switch to neighbor chaining
+    max_pairs_per_shard: int = 2_000_000  # hard cap per shard task (skew guard)
+    n_shards: int = 64            # coarse shuffle shards for block/pair groupbys
+
+    broadcast_max_docs: int = 200_000
+    # profile sets up to this size are ray.put once and read by every
+    # scorer task (~1.3 KB/doc -> 260 MB); beyond it, a hash join runs.
 
     # --- execution -------------------------------------------------------
     batch_size: int = 1024        # rows per signature batch

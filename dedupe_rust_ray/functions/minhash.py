@@ -29,19 +29,55 @@ def perm_seeds(num_perm: int, seed: int = 0x5EED) -> np.ndarray:
 def minhash_from_windows(
     win: np.ndarray, doc_off: np.ndarray, num_perm: int, seed: int = 0x5EED
 ) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signature matrix from window hashes.
+    """(n_docs, num_perm) uint64 signature matrix from window hashes via
+    **one-permutation hashing** (Li, Owen, Zhang 2012) with circular
+    rotation densification (Shrivastava & Li 2014).
 
-    Each "permutation" is a salted splitmix64 rehash of the shingle hash —
-    the standard one-hash-function-many-salts construction. Empty docs get
-    the UINT64_MAX sentinel in every slot (analog of the reference's
+    One pass over the windows — the hash's top bits pick a bin, the bin
+    keeps its minimum — instead of ``num_perm`` salted rehash passes. This
+    cuts memory traffic ~num_perm-fold, which matters because signature
+    computation is bandwidth-bound on many-core nodes. Empty bins borrow
+    from the nearest filled bin to their left (circularly), preserving the
+    ``mean(sig_a == sig_b)`` Jaccard estimator; empty docs keep the
+    UINT64_MAX sentinel in every slot (analog of the reference's
     EMPTY_FILE sentinel, /root/reference/src/main.rs:536-538).
+
+    ``num_perm`` must be a power of two.
     """
     n = len(doc_off) - 1
-    seeds = perm_seeds(num_perm, seed)
-    sig = np.empty((n, num_perm), dtype=np.uint64)
-    for i in range(num_perm):
-        ph = splitmix64(win ^ seeds[i]) if len(win) else win
-        sig[:, i] = segment_min(ph, doc_off, fill=UINT64_MAX)
+    assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2"
+    sig = np.full((n, num_perm), UINT64_MAX, dtype=np.uint64)
+    if n == 0 or len(win) == 0:
+        return sig
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    h = splitmix64(win ^ salt)
+    k_bits = num_perm.bit_length() - 1
+    bins = (h >> np.uint64(64 - k_bits)).astype(np.int64)
+    doc_of_win = np.repeat(
+        np.arange(n, dtype=np.int64), (doc_off[1:] - doc_off[:-1])
+    )
+    key = doc_of_win * num_perm + bins
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    sv = h[order]
+    bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    mins = np.minimum.reduceat(sv, bounds)
+    sig.reshape(-1)[sk[bounds]] = mins
+
+    # rotation densification: every empty bin borrows the value of the
+    # nearest filled bin to its left, wrapping around the row
+    empty = sig == UINT64_MAX
+    if empty.any():
+        idx = np.arange(num_perm, dtype=np.int64)[None, :]
+        pos1 = np.where(~empty, idx, -1)
+        pos2 = np.where(~empty, idx + num_perm, -1)
+        ff = np.maximum.accumulate(
+            np.concatenate([pos1, pos2], axis=1), axis=1
+        )[:, num_perm:]
+        ok = ff >= 0
+        src = np.where(ok, ff % num_perm, 0)
+        borrowed = np.take_along_axis(sig, src, axis=1)
+        sig = np.where(empty & ok, borrowed, sig)
     return sig
 
 

@@ -21,23 +21,44 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_from_windows(win: np.ndarray, doc_off: np.ndarray) -> np.ndarray:
-    """64-bit SimHash per segment: sign of per-bit +/-1 vote sums."""
+    """64-bit SimHash per segment: sign of per-bit +/-1 vote sums.
+
+    Implementation note: 64 passes of 1-D shift/mask/reduceat, NOT one big
+    (n_windows, 64) bit matrix — 2-D expansion allocates hundreds of MB per
+    batch and large fresh allocations fault in pathologically slowly on
+    some hosts; the 1-D loop reuses small buffers and is allocator-friendly."""
     n = len(doc_off) - 1
     out = np.zeros(n, dtype=np.uint64)
     if len(win) == 0:
         return out
-    nwin = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
     idx = np.minimum(doc_off[:-1], len(win) - 1)
-    # process 8 bits at a time to bound the unpacked matrix size
-    for lo in range(0, 64, 8):
-        bits = ((win[:, None] >> np.arange(lo, lo + 8, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-        sums = np.add.reduceat(bits, idx, axis=0)
-        sums[doc_off[:-1] == doc_off[1:]] = 0
-        votes = 2 * sums - nwin[:, None]  # (+1/-1 votes summed)
-        setbits = (votes > 0).astype(np.uint64)
-        out |= (setbits << np.arange(lo, lo + 8, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
+    empty = doc_off[:-1] == doc_off[1:]
+    nwin = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+    one = np.uint64(1)
+    for j in range(64):
+        bit = (win >> np.uint64(j)) & one
+        s = np.add.reduceat(bit, idx).astype(np.int64)
+        s[empty] = 0
+        out |= (2 * s > nwin).astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def simhash_from_sketch(sig: np.ndarray) -> np.ndarray:
+    """64-bit SimHash derived from a (n, num_perm) MinHash sketch: per-bit
+    majority vote over the sketch's values.
+
+    The sketch's minima are a similarity-preserving sample of the shingle
+    set, so this costs O(n * num_perm) regardless of document length —
+    used in the signature stage where re-scanning every window for a
+    corroborating signal would double its memory traffic. Empty docs
+    (all-sentinel sketch) come out as all-ones; callers treat them via the
+    text-presence flag."""
+    n, num_perm = sig.shape
+    out = np.zeros(n, dtype=np.uint64)
+    half = num_perm // 2
+    for j in range(64):
+        ones = ((sig >> np.uint64(j)) & np.uint64(1)).sum(axis=1)
+        out |= (ones > half).astype(np.uint64) << np.uint64(j)
     return out
 
 

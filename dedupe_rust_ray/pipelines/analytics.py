@@ -1,0 +1,304 @@
+"""SQL-checkable analytics pipelines over the driver's flat tables.
+
+These cover the reference's grouping / census / summary operators
+(SURVEY.md §2: S3 extension census, G1/G2/G5 group-bys, G6 summary
+aggregates, O2/O3 deterministic sorts) re-expressed over the driver's
+testdata tables, plus join / sort / limit / windowed-aggregate coverage.
+
+Scale pattern used throughout: **pre-aggregate inside map_batches** (one
+partial row per key per batch) so the global groupby shuffles partials,
+not rows — the combiner structure of the reference's rayon
+fold/reduce (/root/reference/src/main.rs:393-412).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.hashing import stable_hash64
+from .common import read
+
+
+def census_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language document counts, count desc then lang asc
+    (reference extension census + its sort, src/main.rs:165-182)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("lang").aggregate([("lang", "count")])
+        return t.rename_columns(["lang", "partial"])
+
+    out = (
+        read(sf_dir, "documents", columns=["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return out.sort(["n", "lang"], descending=[True, False])
+
+
+def census_by_source(sf_dir: str) -> ray.data.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("source").aggregate([("source", "count")])
+        return t.rename_columns(["source", "partial"])
+
+    return (
+        read(sf_dir, "documents", columns=["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("partial", alias_name="n"))
+        .sort(["n", "source"], descending=[True, False])
+    )
+
+
+def summary_stats(sf_dir: str) -> pd.DataFrame:
+    """Global corpus summary (reference summary block, src/main.rs:353-361):
+    total docs, distinct texts, docs-in-duplicate-groups, duplicate groups,
+    unique = total - (in_groups - n_groups)."""
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(stable_hash64(batch["text"].to_pylist()), type=pa.uint64())})
+
+    sizes = (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="sz"))
+    )
+    df = sizes.to_pandas()
+    total = int(df["sz"].sum())
+    distinct = len(df)
+    dup_groups = int((df["sz"] > 1).sum())
+    in_groups = int(df.loc[df["sz"] > 1, "sz"].sum())
+    unique = total - (in_groups - dup_groups)
+    return pd.DataFrame(
+        {
+            "total_docs": [total],
+            "distinct_texts": [distinct],
+            "dup_groups": [dup_groups],
+            "docs_in_dup_groups": [in_groups],
+            "unique_docs": [unique],
+        }
+    )
+
+
+def exact_dedup_first(sf_dir: str) -> ray.data.Dataset:
+    """Exact text dedup, keep min(doc_id) per distinct text — the
+    reference's phase-2 grouping (src/main.rs:616-633) on the flat table.
+
+    Grouping key is the 64-bit stable hash of the text (collision odds
+    ~n^2/2^64), so the shuffle moves 8-byte keys, never the text."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(
+                    stable_hash64(batch["text"].to_pylist()), type=pa.uint64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
+def dup_group_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Distribution of exact-duplicate group sizes (how many groups of
+    each size) — the shape of the reference's `total_groups` stat."""
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(stable_hash64(batch["text"].to_pylist()), type=pa.uint64())}
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="group_size"))
+        .groupby("group_size")
+        .aggregate(Count(alias_name="n_groups"))
+        .sort("group_size")
+    )
+
+
+def doc_len_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-language n_chars aggregates (sum/avg/min/max)."""
+    out = (
+        read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Sum("n_chars", alias_name="sum_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .sort("lang")
+    )
+
+    def round_avg(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("avg_chars"),
+            "avg_chars",
+            pc.round(batch["avg_chars"], ndigits=4),
+        )
+
+    return out.map_batches(round_avg, batch_format="pyarrow")
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary over lineitem (grouped aggregates
+    with computed columns; vectorized pyarrow kernels)."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner: one partial row per (flag, status) per batch, so the
+        # groupby shuffles ~6 rows per batch instead of every lineitem row
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        ).rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "avg_qty",
+            pc.round(pc.divide(batch["sum_qty"], batch["count_order"]), ndigits=2),
+        )
+        for c in ("sum_base_price", "sum_disc_price"):
+            batch = batch.set_column(
+                batch.column_names.index(c), c, pc.round(batch[c], ndigits=2)
+            )
+        return batch
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    """Top-10 customers by total order value — join + sort + limit.
+
+    The customer dimension is the SMALL side: broadcast once with
+    ``ray.put`` and looked up per batch (no shuffle join), per the
+    broadcast-small-sides rule."""
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    per_cust = (
+        read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+    )
+
+    class AttachName:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_pylist()
+            names = [self.names.get(k, "") for k in keys]
+            return pa.table(
+                {
+                    "c_custkey": batch["o_custkey"],
+                    "c_name": pa.array(names, type=pa.string()),
+                    "revenue": pc.round(batch["revenue"], ndigits=2),
+                }
+            )
+
+    top = (
+        per_cust.map_batches(
+            AttachName,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top.to_pandas()
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate: events per (event_type, hour) with
+    count and sum(value) — the batch expression of a streaming window
+    (SURVEY.md §2.8: Ray Data has no watermarks; hour-truncate + groupby
+    reproduces a tumbling event-time window over a bounded log)."""
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": hour,
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .sort(["event_type", "hour"])
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], ndigits=4),
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow")

@@ -27,9 +27,14 @@ import ray.data
 
 from ..config import ERConfig
 from ..stages.blocking import emit_blocking_keys
-from ..stages.pairs import candidate_pairs_in_block, dedup_pairs
-from ..stages.scoring import PairScorer
-from ..stages.signatures import SpanSignatures
+from ..stages.pairs import candidate_pairs_in_shard, dedup_pairs
+from ..stages.scoring import (
+    BroadcastPairScorer,
+    PairScorer,
+    broadcast_score_batch,
+    pack_profiles,
+)
+from ..stages.signatures import SpanSignatures, span_signatures_batch
 from ..state.checkpoint import stage_checkpoint
 from ..state.unionfind import (
     distributed_connected_components,
@@ -46,38 +51,77 @@ _PROFILE_DATA_COLS = [
 
 
 def compute_profiles(docs_ds: ray.data.Dataset, cfg: ERConfig) -> ray.data.Dataset:
-    # autoscaling pool (min 1): a fixed-size pool can deadlock when several
-    # pools compete for a small CPU count (e.g. the 4-CPU test session)
-    conc = cfg.sig_concurrency or (1, 16)
+    # elastic tasks + per-process instance cache (stages/signatures.py):
+    # scales to every core instantly, no actor-pool ramp-up. A genuine
+    # actor pool (cfg.sig_concurrency) is kept for heavy-state signatures.
+    if cfg.sig_concurrency:
+        return docs_ds.map_batches(
+            SpanSignatures,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.sig_concurrency,
+        )
     return docs_ds.map_batches(
-        SpanSignatures,
-        fn_constructor_args=(cfg,),
+        span_signatures_batch,
+        fn_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=conc,
     )
 
 
-def exact_edges_from_profiles(profiles: ray.data.Dataset) -> ray.data.Dataset:
-    """Star edges (min_doc -> member) per equal-content group.
+def exact_edges_from_profiles(
+    profiles: ray.data.Dataset, n_shards: int = 64
+) -> ray.data.Dataset:
+    """Star edges (min_doc -> member) per equal-content group, sharded:
+    the shuffle key is ``content_hash % n_shards`` (a hash group never
+    spans shards) and the per-hash grouping happens vectorized inside the
+    shard task — no per-group Ray overhead for millions of distinct hashes.
 
     64-bit content-hash equality stands in for byte equality (collision
     probability ~n^2/2^64 — negligible at any per-group size we allow).
     """
 
-    def star(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=object)
-        ids = sorted(group["doc_id"].tolist())
-        root = ids[0]
-        return pd.DataFrame(
-            {"doc_a": [root] * (len(ids) - 1), "doc_b": ids[1:]}, dtype=object
+    def add_shard(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        shard = (batch["content_hash"].to_numpy() % np.uint64(n_shards)).astype(
+            "int32"
         )
+        return pa.table(
+            {
+                "shard": pa.array(shard, type=pa.int32()),
+                "doc_id": batch["doc_id"],
+                "content_hash": batch["content_hash"],
+            }
+        )
+
+    def star_in_shard(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = group.sort_values(["content_hash", "doc_id"], ignore_index=True)
+        h = g["content_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
+        sizes = np.diff(bounds)
+        starts = bounds[:-1]
+        multi = sizes >= 2
+        if not multi.any():
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)}
+            )
+        roots = np.repeat(ids[starts[multi]], sizes[multi] - 1)
+        member_idx = np.concatenate(
+            [np.arange(s + 1, s + n) for s, n in zip(starts[multi], sizes[multi])]
+        )
+        return pd.DataFrame({"doc_a": roots, "doc_b": ids[member_idx]})
 
     return (
         profiles.select_columns(["doc_id", "content_hash"])
-        .groupby("content_hash")
-        .map_groups(star, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(star_in_shard, batch_format="pandas")
+        .select_columns(["doc_a", "doc_b"])
     )
 
 
@@ -85,55 +129,12 @@ def _attach_profiles(
     pairs: ray.data.Dataset,
     profiles: ray.data.Dataset,
     num_partitions: int,
-    *,
-    broadcast_max_docs: int = 200_000,
-    n_profiles: int | None = None,
 ) -> ray.data.Dataset:
-    """Join both endpoint profiles onto the pair rows (suffix _a / _b).
-
-    Two physical strategies, chosen by profile-set size:
-
-    - **broadcast lookup** (small side): the profile table is ``ray.put``
-      once and every scoring task indexes into it per batch — no shuffle at
-      all. ~1.3 KB/doc, so 200k docs ≈ 260 MB, well within a worker heap.
-    - **hash join** (scale path): two ``Dataset.join`` shuffles partitioned
-      on doc_id. This is what runs at 10^12 docs, where the profile table
-      can never be broadcast.
-    """
-    n = n_profiles if n_profiles is not None else profiles.count()
-    if n <= broadcast_max_docs:
-        prof_df = profiles.to_pandas().set_index("doc_id")
-        ref = ray.put(prof_df)
-
-        class AttachBoth:
-            def __init__(self, ref):
-                self.prof = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                if batch.num_rows == 0:
-                    return batch
-                a = self.prof.loc[batch["doc_a"].to_pylist()]
-                b = self.prof.loc[batch["doc_b"].to_pylist()]
-                types = {
-                    "content_hash": pa.uint64(),
-                    "minhash_sig": pa.binary(),
-                    "simhash": pa.uint64(),
-                    "phashes": pa.binary(),
-                    "text_head": pa.string(),
-                }
-                out = {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"]}
-                for c in _PROFILE_DATA_COLS:
-                    out[f"{c}_a"] = pa.array(a[c].tolist(), type=types[c])
-                    out[f"{c}_b"] = pa.array(b[c].tolist(), type=types[c])
-                return pa.table(out)
-
-        return pairs.map_batches(
-            AttachBoth,
-            fn_constructor_args=(ref,),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-
+    """Hash-join both endpoint profiles onto the pair rows (suffix _a/_b):
+    two ``Dataset.join`` shuffles partitioned on doc_id — the SCALE path,
+    used when the profile set is too large to broadcast (at 10^12 docs the
+    profile table can never be broadcast). The small-side alternative is
+    the fused broadcast scorer in :func:`er_pipeline`."""
     prof_a = profiles.rename_columns(
         {c: f"{c}_a" for c in _PROFILE_DATA_COLS} | {"doc_id": "doc_a"}
     ).select_columns(["doc_a"] + [f"{c}_a" for c in _PROFILE_DATA_COLS])
@@ -174,6 +175,16 @@ def er_pipeline(
     reference likewise reports only groups of size >= 2
     (/root/reference/src/main.rs:610-613).
     """
+    import os
+    import time as _time
+
+    trace = os.environ.get("GRAFT_ER_TRACE") == "1"
+    _t0 = _time.time()
+
+    def _tr(msg: str) -> None:
+        if trace:
+            print(f"[er +{_time.time() - _t0:7.1f}s] {msg}", flush=True)
+
     cfg = cfg or ERConfig()
     ckpt = cfg.checkpoint_dir
     chash = cfg.config_hash()
@@ -187,8 +198,10 @@ def er_pipeline(
         )
     else:
         profiles = make_profiles().materialize()
+    _tr("profiles materialized")
 
     n_profiles = profiles.count()
+    _tr(f"profiles count={n_profiles}")
     if n_profiles == 0:
         return _empty_clusters()
 
@@ -197,25 +210,42 @@ def er_pipeline(
     bands = profiles.map_batches(
         lambda b: emit_blocking_keys(b, cfg), batch_format="pyarrow"
     )
-    cand = bands.groupby("block_key").map_groups(
-        lambda g: candidate_pairs_in_block(g, cfg), batch_format="pandas"
+    cand = bands.groupby("shard").map_groups(
+        lambda g: candidate_pairs_in_shard(g, cfg), batch_format="pandas"
     )
-    pairs = dedup_pairs(cand)
+    pairs = dedup_pairs(cand, cfg.n_shards)
 
-    try:
-        num_partitions = max(profiles.num_blocks(), 8)
-    except NotImplementedError:  # lazy (checkpoint-read) dataset
-        num_partitions = max(n_profiles // 500_000, 8)
-    joined = _attach_profiles(
-        pairs, profiles, num_partitions, n_profiles=n_profiles
-    )
-    scored = joined.map_batches(
-        PairScorer,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.sig_concurrency or (1, 16),
-    )
+    if n_profiles <= cfg.broadcast_max_docs:
+        # small side: ship packed profiles once (ray.put) and score pairs
+        # in a fused stage — no join shuffle at all
+        prof_table = pa.concat_tables(
+            ray.get(profiles.to_arrow_refs()), promote_options="default"
+        )
+        ref = ray.put(pack_profiles(prof_table))
+        _tr("packed + put broadcast")
+        # NOTE: ref is captured in a closure, NOT passed via fn_args — Ray
+        # resolves ObjectRefs appearing in task args, which would ship and
+        # deserialize the full broadcast payload once PER TASK; a closure
+        # keeps it a reference, fetched once per worker process and cached.
+        scored = pairs.map_batches(
+            lambda b: broadcast_score_batch(b, ref, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    else:
+        # scale path: hash-join profiles onto pairs, score the joined rows
+        try:
+            num_partitions = max(profiles.num_blocks(), 8)
+        except NotImplementedError:  # lazy (checkpoint-read) dataset
+            num_partitions = max(n_profiles // 500_000, 8)
+        joined = _attach_profiles(pairs, profiles, num_partitions)
+        scored = joined.map_batches(
+            PairScorer,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.sig_concurrency or (1, 16),
+        )
     near = scored.filter(expr=f"score >= {cfg.score_threshold}").select_columns(
         ["doc_a", "doc_b"]
     )
@@ -227,13 +257,16 @@ def er_pipeline(
         edges = stage_checkpoint(make_edges, "stage5_edges", ckpt, chash, cfg.resume)
     else:
         edges = make_edges().materialize()
+    _tr("edges materialized")
 
     n_edges = edges.count()
+    _tr(f"edges count={n_edges}")
     if n_edges == 0:
         return _empty_clusters()
     if n_edges <= cfg.driver_unionfind_max_edges:
         edge_df = edges.to_pandas()
         labels = ray.data.from_pandas(driver_connected_components(edge_df))
+        _tr("driver union-find done")
     else:
         labels = distributed_connected_components(
             edges, max_rounds=cfg.max_label_rounds

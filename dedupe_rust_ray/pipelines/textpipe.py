@@ -1,0 +1,137 @@
+"""Text-analysis pipelines over the flat ``documents`` table:
+language-ID census, quality scoring, token counting, fingerprint dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions.hashing import stable_hash64
+from ..functions.textstats import (
+    lang_id_batch,
+    quality_scores_batch,
+    token_count_batch,
+    winnow_fingerprints,
+)
+from .common import read
+
+
+def token_counts_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace-token totals per language (sum + avg, rounded)."""
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_tokens": token_count_batch(batch["text"]),
+            }
+        )
+
+    out = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Mean("n_tokens", alias_name="avg_tokens"),
+        )
+        .sort("lang")
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("avg_tokens"),
+            "avg_tokens",
+            pc.round(batch["avg_tokens"], ndigits=4),
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality features; SQL-checkable columns only
+    (n_chars via length, n_tokens via split, punct_chars via regexp)."""
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_scores_batch(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": q["n_chars"],
+                "n_tokens": q["n_tokens"],
+                "punct_chars": (q["punct_ratio"] * q["n_chars"].clip(lower=1))
+                .round()
+                .astype("int64"),
+            }
+        )
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def quality_filter(sf_dir: str, min_score: float = 0.5) -> ray.data.Dataset:
+    """Training-data quality gate: docs whose heuristic quality score
+    passes the threshold (the shape of a C4/Gopher-style filter stage)."""
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_scores_batch(batch["text"])
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"], "quality_score": np.round(q["quality_score"], 4)}
+        )
+        return out[q["quality_score"].to_numpy() >= min_score]
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def lang_id_census(sf_dir: str) -> ray.data.Dataset:
+    """Predicted-language census from the n-gram/stopword heuristic
+    (no SQL oracle — the classifier itself is not SQL-expressible)."""
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id_batch(batch["text"])
+        return (
+            pd.DataFrame({"pred_lang": pred})
+            .groupby("pred_lang", as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+
+    return (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .groupby("pred_lang")
+        .aggregate(Sum("partial", alias_name="n"))
+        .sort("pred_lang")
+    )
+
+
+def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing-fingerprint exact dedup: docs sharing a full fingerprint
+    are textually identical (up to the winnowing resolution); keep
+    min(doc_id) per fingerprint group."""
+    from ray.data.aggregate import Min
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        _, fp = winnow_fingerprints(batch["text"].fillna("").tolist())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )

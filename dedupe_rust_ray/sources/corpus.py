@@ -260,6 +260,76 @@ def synth_corpus_dataset(n_base: int = 200, seed: int = 42):
     return ray.data.from_arrow(docs)
 
 
+def _media_rich_doc_spans(rng: np.random.Generator, vocab: list[str]) -> list[dict]:
+    """Media-dominant documents (2-4 media spans + 1-2 short text spans) —
+    the faithful analog of the reference's image-directory corpus
+    (/root/reference/src/main.rs:127-205: it dedupes IMAGES; text is the
+    generalization). Used by the bench headline."""
+    spans = []
+    off = 0
+    for _ in range(int(rng.integers(2, 5))):
+        ref = "media://" + rng.bytes(8).hex()
+        spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+        off += 1
+    for _ in range(int(rng.integers(1, 3))):
+        n_words = int(rng.integers(20, 40))
+        words = rng.choice(len(vocab), n_words)
+        spans.append(
+            {
+                "kind": "text",
+                "text": " ".join(vocab[w] for w in words),
+                "media_ref": "",
+                "offset": off,
+            }
+        )
+        off += 1
+    return spans
+
+
+def synth_corpus_distributed(
+    n_base: int, seed: int = 42, *, blocks: int = 64, media_rich: bool = False
+):
+    """Large-scale deterministic corpus generated INSIDE Ray tasks (the
+    bench-scale generator): ``ray.data.range`` over base-doc indices,
+    exploded per batch into documents + planted companions.
+
+    Each doc derives from ``default_rng((seed, idx))`` so generation is
+    order- and partitioning-independent. Roles by ``idx % 10``:
+    0 -> +exact copy, 1 -> +near dup, 2 -> +distractor, else singleton."""
+    import ray.data
+
+    vocab = _make_vocab(np.random.default_rng(seed))
+    make_spans = _media_rich_doc_spans if media_rich else _base_doc_spans
+
+    def make_docs(batch) -> pa.Table:
+        idxs = batch["id"]
+        out_ids: list[str] = []
+        out_spans: list[list[dict]] = []
+        for idx in idxs.to_pylist() if hasattr(idxs, "to_pylist") else idxs:
+            idx = int(idx)
+            rng = np.random.default_rng((seed, idx))
+            spans = make_spans(rng, vocab)
+            out_ids.append(f"doc-{idx:09d}")
+            out_spans.append(spans)
+            role = idx % 10
+            if role == 0:
+                out_ids.append(f"doc-{idx:09d}x1")
+                out_spans.append([dict(s) for s in spans])
+            elif role == 1:
+                out_ids.append(f"doc-{idx:09d}x1")
+                out_spans.append(_near_dup_spans(spans, rng, variant=1))
+            elif role == 2:
+                out_ids.append(f"doc-{idx:09d}y1")
+                out_spans.append(_distractor_spans(spans, rng, vocab))
+        return pa.Table.from_pydict(
+            {"doc_id": out_ids, "spans": out_spans}, schema=DOCS_SCHEMA
+        )
+
+    return ray.data.range(n_base, override_num_blocks=blocks).map_batches(
+        make_docs, batch_format="pyarrow"
+    )
+
+
 def corpus_from_flat_documents(sf_dir: str, dup_every: int = 10):
     """Derive an interleaved spans corpus from the driver's flat
     ``documents`` table (doc_id:int64, text, ...) as a *streaming* Ray

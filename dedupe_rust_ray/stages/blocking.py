@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ERConfig
+from ..functions.grouping import shard_of
 from ..functions.minhash import lsh_band_hashes
 from ..functions.shingles import UINT64_MAX
 from .codec import decode_sig_matrix, decode_varlen_u64
@@ -43,6 +44,7 @@ def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
     keys: list[str] = []
     out_doc: list[str] = []
     out_hash: list[int] = []
+    out_aux: list[int] = []  # full pHash on p-chunk rows (0 on text rows)
 
     # text bands (skip docs whose signature is the empty sentinel)
     has_text = sig[:, 0] != UINT64_MAX
@@ -55,8 +57,12 @@ def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
             keys.extend(f"b{j}:{v:016x}" for v in col)
             out_doc.extend(t_ids)
             out_hash.extend(int(h) for h in t_hash)
+            out_aux.extend([0] * len(t_ids))
 
-    # media pHash bit-bands: 4 chunks of 16 bits each
+    # media pHash bit-bands (multi-index Hamming, Norouzi et al.): 4 chunks
+    # of 16 bits nominate, and the FULL 64-bit pHash rides along so the
+    # candidate stage verifies Hamming <= threshold IN-SHARD — random chunk
+    # collisions (quadratic in corpus size) die before the pair shuffle.
     if len(ph_flat):
         doc_of_ph = np.repeat(np.arange(n), ph_off[1:] - ph_off[:-1])
         for j in range(4):
@@ -66,11 +72,17 @@ def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
             )
             out_doc.extend(doc_ids[d] for d in doc_of_ph)
             out_hash.extend(int(chash[d]) for d in doc_of_ph)
+            out_aux.extend(int(p) for p in ph_flat)
 
+    keys_np = np.array(keys, dtype=object)
     return pa.table(
         {
+            "shard": pa.array(
+                shard_of(keys_np, cfg.n_shards), type=pa.int32()
+            ),
             "block_key": pa.array(keys, type=pa.string()),
             "doc_id": pa.array(out_doc, type=pa.string()),
             "content_hash": pa.array(out_hash, type=pa.uint64()),
+            "aux_phash": pa.array(out_aux, type=pa.uint64()),
         }
     )

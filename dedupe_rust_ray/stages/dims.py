@@ -1,0 +1,126 @@
+"""Image-header dimension probes (pure Python over bytes).
+
+Re-implements the reference's header-only dimension parsers — the operators
+M2-M7 of SURVEY.md §2.2 — against in-memory binary payloads instead of file
+paths:
+
+- dispatch          : /root/reference/src/dimensions.rs:10-21
+- JPEG SOF scan     : /root/reference/src/dimensions.rs:24-88
+  (SOF = 0xC0-0xCF excluding 0xC4/0xC8/0xCC; big-endian h/w;
+   validated 0 < dim < 30000)
+- PNG IHDR          : /root/reference/src/dimensions.rs:92-107
+- GIF header        : /root/reference/src/dimensions.rs:111-131 (LE u16 @6)
+- WebP VP8/VP8L/VP8X: /root/reference/src/dimensions.rs:135-178
+- BMP               : not in the reference parser (it delegates BMP to the
+  image crate); included here for the same whitelist
+  (/root/reference/src/main.rs:129).
+
+All parsers return ``None`` rather than raising — the warn-and-skip error
+policy of the reference (/root/reference/src/main.rs:674-680)."""
+
+from __future__ import annotations
+
+import struct
+
+MAX_DIM = 30_000  # same sanity bound as dimensions.rs:72-73
+
+
+def _valid(w: int, h: int) -> bool:
+    return 0 < w < MAX_DIM and 0 < h < MAX_DIM
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """Scan JPEG markers to the first SOF frame header."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = struct.unpack(">H", data[i + 5 : i + 7])[0]
+            w = struct.unpack(">H", data[i + 7 : i + 9])[0]
+            return (w, h) if _valid(w, h) else None
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    return None
+
+
+def png_dims(data: bytes) -> tuple[int, int] | None:
+    if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", data[16:24])
+    return (w, h) if _valid(w, h) else None
+
+
+def gif_dims(data: bytes) -> tuple[int, int] | None:
+    if len(data) < 10 or data[:3] != b"GIF":
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    return (w, h) if _valid(w, h) else None
+
+
+def bmp_dims(data: bytes) -> tuple[int, int] | None:
+    if len(data) < 26 or data[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", data[18:26])
+    w, h = abs(w), abs(h)
+    return (w, h) if _valid(w, h) else None
+
+
+def webp_dims(data: bytes) -> tuple[int, int] | None:
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    fourcc = data[12:16]
+    if fourcc == b"VP8 ":  # lossy: dims at keyframe header
+        w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+    elif fourcc == b"VP8L":  # lossless: 14-bit fields after signature byte
+        bits = struct.unpack("<I", data[21:25])[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+    elif fourcc == b"VP8X":  # extended: 24-bit canvas minus one
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+    else:
+        return None
+    return (w, h) if _valid(w, h) else None
+
+
+_PARSERS = {
+    "jpeg": jpeg_dims,
+    "jpg": jpeg_dims,
+    "png": png_dims,
+    "gif": gif_dims,
+    "bmp": bmp_dims,
+    "webp": webp_dims,
+}
+
+
+def probe_dims(fmt: str, data: bytes) -> tuple[int, int] | None:
+    """Per-format dispatch (dimensions.rs:10-21)."""
+    parser = _PARSERS.get(fmt.lower())
+    return parser(data) if parser else None
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-byte format detection (the target-side replacement for the
+    reference's extension-based dispatch)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:3] == b"GIF":
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    return None

@@ -1,65 +1,90 @@
-"""Stages 3-4 — candidate pair generation inside blocks + cross-band dedup.
+"""Stages 3-4 — candidate pair generation + cross-band dedup (shard pattern).
 
-``groupby('block_key')`` is THE shuffle (reference analog: the in-memory
-HashMap group-by at /root/reference/src/main.rs:365-435). Within each block:
+``groupby('shard')`` is THE shuffle (reference analog: the in-memory
+HashMap group-by at /root/reference/src/main.rs:365-435), where
+``shard = hash(block_key) % n_shards`` — a block never spans shards, and the
+fine-grained per-block grouping happens vectorized inside the shard task
+(functions/grouping.py) instead of paying Ray per-group overhead for
+millions of tiny LSH bands.
 
-- singleton blocks are pruned (src/main.rs:418-421, 610-613);
-- pairs with equal ``content_hash`` are skipped — they are already connected
-  by the exact-dup path, so giant identical groups cost zero pairs here
-  (the skew guard the reference never needed);
-- blocks larger than ``cfg.max_block_size`` switch from all-pairs to
-  *neighbor chaining*: doc_ids sorted, each doc paired with its next W
-  neighbors. True duplicate clusters stay connected (any connected overlay
-  suffices for union-find transitivity) while the pair count drops from
-  O(n^2) to O(n*W) — the documented skew/cap policy (SURVEY.md §4.1).
+Within each shard:
 
-Cross-band dedup then collapses the same (doc_a, doc_b) nominated by many
-bands to one row via groupby on the canonical pair.
+- singleton blocks are pruned (src/main.rs:418-421, 610-613) — they simply
+  produce no index pairs;
+- pairs with equal ``content_hash`` are skipped — already connected by the
+  exact-dup path, so giant identical groups cost zero pairs here (the skew
+  guard the reference never needed);
+- blocks larger than ``cfg.max_block_size`` degrade to *neighbor chaining*
+  (each doc paired with its next W neighbors): true duplicate clusters stay
+  connected (any connected overlay suffices for union-find transitivity)
+  while the pair count drops from O(n^2) to O(n*W);
+- ``cfg.max_pairs_per_shard`` bounds a shard task's output outright.
+
+Cross-band dedup collapses the same (doc_a, doc_b) nominated by many bands
+via a second coarse-shard groupby on the pair hash.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ..config import ERConfig
-
-_NEIGHBOR_W = 4
+from ..functions.grouping import local_candidate_pairs, shard_of
 
 PAIR_COLUMNS = ["doc_a", "doc_b"]
 
-
-def candidate_pairs_in_block(group: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
-    g = group.drop_duplicates("doc_id")
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=object)
-    g = g.sort_values("doc_id")
-    ids = g["doc_id"].tolist()
-    hashes = g["content_hash"].tolist()
-    out_a: list[str] = []
-    out_b: list[str] = []
-    if n <= cfg.max_block_size:
-        for i in range(n):
-            for j in range(i + 1, n):
-                if hashes[i] != hashes[j]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                if len(out_a) >= cfg.max_pairs_per_block:
-                    break
-            if len(out_a) >= cfg.max_pairs_per_block:
-                break
-    else:
-        # neighbor chaining for oversized (skewed) blocks
-        for i in range(n - 1):
-            for j in range(i + 1, min(i + 1 + _NEIGHBOR_W, n)):
-                if hashes[i] != hashes[j]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}, dtype=object)
+_EMPTY = pd.DataFrame({"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)})
 
 
-def dedup_pairs(pairs_ds, num_partitions: int | None = None):
-    """Collapse duplicate (doc_a, doc_b) rows nominated by multiple bands."""
-    return pairs_ds.groupby(PAIR_COLUMNS).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+def candidate_pairs_in_shard(group: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
+    keys = group["block_key"].to_numpy()
+    ia, ib = local_candidate_pairs(
+        keys,
+        max_group=cfg.max_block_size,
+        max_pairs=cfg.max_pairs_per_shard,
+    )
+    if not len(ia):
+        return _EMPTY.copy()
+    ids = group["doc_id"].to_numpy()
+    ch = group["content_hash"].to_numpy()
+    a, b = ids[ia], ids[ib]
+    keep = (a != b) & (ch[ia] != ch[ib])
+    if "aux_phash" in group.columns:
+        # multi-index Hamming verification: a pair nominated by a pHash
+        # chunk must have full-hash Hamming <= threshold; random chunk
+        # collisions (the quadratic term at scale) die right here
+        from ..functions.simhash import hamming64
+
+        aux = group["aux_phash"].to_numpy().astype(np.uint64)
+        is_ph = (aux[ia] != 0) | (aux[ib] != 0)
+        hd = hamming64(aux[ia], aux[ib])
+        keep &= ~is_ph | (hd <= cfg.phash_hamming_max)
+    a, b = a[keep], b[keep]
+    swap = a > b
+    out = pd.DataFrame(
+        {"doc_a": np.where(swap, b, a), "doc_b": np.where(swap, a, b)}
+    )
+    return out.drop_duplicates(PAIR_COLUMNS)
+
+
+def dedup_pairs(pairs_ds, n_shards: int = 64, extra_cols: tuple[str, ...] = ()):
+    """Collapse duplicate (doc_a, doc_b) rows nominated by multiple bands:
+    shuffle on a coarse pair-hash shard, drop duplicates inside the shard."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(pair_shard=np.array([], dtype=np.int32))
+        key = (
+            batch["doc_a"].astype(str) + "\x1f" + batch["doc_b"].astype(str)
+        ).to_numpy()
+        return batch.assign(pair_shard=shard_of(key, n_shards))
+
+    return (
+        pairs_ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("pair_shard")
+        .map_groups(
+            lambda g: g.drop_duplicates(PAIR_COLUMNS).drop(columns=["pair_shard"]),
+            batch_format="pandas",
+        )
     )

@@ -4,9 +4,9 @@ Replaces the reference's deep-confirmation phase — full decode + u64 equality
 (/root/reference/src/main.rs:586-648) — with a fused similarity score:
 
 - exact fast path : equal ``content_hash`` -> score 1.0 (phase-2 equality);
-- text            : MinHash-estimated Jaccard over char shingles, blended
-                    with Jaro-Winkler on the 256-char text head when the
-                    estimate is in the uncertain band;
+- text            : MinHash-estimated Jaccard over shingles, with bounded
+                    Levenshtein similarity on the 256-char text head as the
+                    deep check for candidates the sketch can't clear;
 - media           : per-aligned-span pHash Hamming similarity (1 - hd/64),
                     averaged; SimHash Hamming as a corroborating signal.
 
@@ -27,8 +27,209 @@ import pyarrow as pa
 from ..config import ERConfig
 from ..functions.minhash import estimate_jaccard
 from ..functions.simhash import hamming64
-from ..functions.strsim import jaro_winkler
+from ..functions.shingles import char_shingle_hashes
+from ..functions.strsim import levenshtein_bounded
 from .codec import decode_sig_matrix, decode_varlen_u64
+
+
+def _binary_col_blob(col: pa.ChunkedArray | pa.Array) -> tuple[bytes, np.ndarray]:
+    """(data blob, element offsets) of a binary column — zero-copy from the
+    Arrow buffers, no per-row Python bytes objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    byte_off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = col.buffers()[2]
+    blob = bytes(data)[byte_off[0] : byte_off[-1]]
+    return blob, (byte_off - byte_off[0]) // 8  # offsets in uint64 units
+
+
+def _string_col_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(utf8 data uint8 array, element offsets) of a string column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.uint8), np.zeros(1, dtype=np.int64)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data.copy(), off - off[0]
+
+
+def pack_profiles(table: pa.Table) -> tuple:
+    """Pack a profiles Arrow table into flat NUMPY structures.
+
+    Everything large is a numpy array: Ray's object store keeps numpy
+    buffers out-of-band, so every worker process maps the broadcast
+    READ-ONLY with zero copies — python lists / bytes objects would be
+    re-pickled and copied per process (~seconds each at 10^5 rows). Text
+    heads stay utf8-encoded (buffer + offsets) and are decoded lazily,
+    only for the few pairs that reach the deep text tier."""
+    ids = table["doc_id"].to_pylist()  # small; needed whole for row lookup
+    ch = table["content_hash"].to_numpy().astype(np.uint64)
+    sig_blob, _ = _binary_col_blob(table["minhash_sig"])
+    num_perm = len(sig_blob) // 8 // max(len(ids), 1)
+    sig = np.frombuffer(sig_blob, dtype="<u8").reshape(len(ids), max(num_perm, 1))
+    sim = table["simhash"].to_numpy().astype(np.uint64)
+    ph_blob, ph_off = _binary_col_blob(table["phashes"])
+    ph = np.frombuffer(ph_blob, dtype="<u8")
+    head_buf, head_off = _string_col_buffers(table["text_head"])
+    return (ids, ch, sig, sim, ph_off, ph, head_buf, head_off)
+
+
+_SCORER_CACHE: dict[str, "BroadcastPairScorer"] = {}
+
+
+def broadcast_score_batch(batch: pa.Table, ref, cfg: ERConfig) -> pa.Table:
+    """Task-friendly wrapper around :class:`BroadcastPairScorer` with a
+    per-worker-process cache — the broadcast profile unpack happens once
+    per process, while the stage itself runs as elastic tasks."""
+    key = f"{ref.hex() if hasattr(ref, 'hex') else id(ref)}:{cfg.config_hash()}"
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        scorer = _SCORER_CACHE.setdefault(key, BroadcastPairScorer(ref, cfg))
+    return scorer(batch)
+
+
+class BroadcastPairScorer:
+    """Fused attach+score for the broadcast (small-profile-set) path:
+    reads both endpoint profiles straight out of the broadcast packed
+    arrays — the joined pair table is never materialized. Emits
+    (doc_a, doc_b, score)."""
+
+    def __init__(self, ref, cfg: ERConfig | None = None):
+        import ray
+
+        self.cfg = cfg or ERConfig()
+        packed = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        (ids, self.ch, self.sig, self.sim, self.ph_off, self.ph,
+         self.head_buf, self.head_off) = packed
+        self.row = {d: i for i, d in enumerate(ids)}
+
+    def _head(self, i: int) -> str:
+        lo, hi = self.head_off[i], self.head_off[i + 1]
+        return self.head_buf[lo:hi].tobytes().decode("utf-8", "replace")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_schema = pa.schema(
+            [("doc_a", pa.string()), ("doc_b", pa.string()), ("score", pa.float64())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        docs_a = batch["doc_a"].to_pylist()
+        docs_b = batch["doc_b"].to_pylist()
+        ra = np.fromiter((self.row[d] for d in docs_a), np.int64, n)
+        rb = np.fromiter((self.row[d] for d in docs_b), np.int64, n)
+        score = score_pair_rows(
+            self.cfg,
+            self.ch[ra], self.ch[rb],
+            self.sig[ra], self.sig[rb],
+            self.sim[ra], self.sim[rb],
+            self.ph, self.ph_off, ra, rb,
+            [self._head(i) for i in ra], [self._head(i) for i in rb],
+        )
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "score": pa.array(score, type=pa.float64()),
+            }
+        )
+
+
+def score_pair_rows(
+    cfg, ch_a, ch_b, sig_a, sig_b, sim_a, sim_b,
+    ph_flat, ph_off, ra, rb, heads_a, heads_b,
+) -> np.ndarray:
+    """Vectorized fused score for aligned pair rows (shared by both the
+    broadcast scorer and the join-path scorer)."""
+    n = len(ch_a)
+    exact = ch_a == ch_b
+    jac = estimate_jaccard(sig_a, sig_b)
+    sim_score = 1.0 - hamming64(sim_a, sim_b) / 64.0
+
+    na = ph_off[ra + 1] - ph_off[ra] if len(ph_flat) else np.zeros(n, np.int64)
+    nb = ph_off[rb + 1] - ph_off[rb] if len(ph_flat) else np.zeros(n, np.int64)
+    media_score = np.full(n, np.nan)
+    both = (na > 0) & (nb > 0)
+    single = both & (na == 1) & (nb == 1)  # the common case, vectorized
+    if single.any():
+        s = np.flatnonzero(single)
+        media_score[s] = 1.0 - hamming64(
+            ph_flat[ph_off[ra[s]]], ph_flat[ph_off[rb[s]]]
+        ) / 64.0
+    for i in np.flatnonzero(both & ~single):
+        m = min(na[i], nb[i])
+        ha = ph_flat[ph_off[ra[i]] : ph_off[ra[i]] + m]
+        hb = ph_flat[ph_off[rb[i]] : ph_off[rb[i]] + m]
+        media_score[i] = float(np.mean(1.0 - hamming64(ha, hb) / 64.0))
+
+    has_text = np.array([bool(a) and bool(b) for a, b in zip(heads_a, heads_b)])
+    text_score = np.where(has_text, jac, np.nan)
+
+    # upper-bound screen: skip the expensive text tier for pairs that can't
+    # reach the threshold even with a PERFECT text score. Random pHash-chunk
+    # collisions (Hamming ~32) nominate quadratically many pairs at scale —
+    # this prunes ~95% of them in pure numpy before any string work.
+    w_t0 = np.where(has_text, cfg.w_text, 0.0)
+    w_m0 = np.where(~np.isnan(media_score), cfg.w_media, 0.0)
+    ub_text = 0.8 * 1.0 + 0.2 * sim_score
+    fused_ub = (
+        w_t0 * np.where(has_text, ub_text, 0.0)
+        + w_m0 * np.nan_to_num(media_score)
+    ) / np.maximum(w_t0 + w_m0, 1e-9)
+    passable = exact | (fused_ub >= cfg.score_threshold)
+    # Three-tier text check (cheap-then-deep, the reference's structure):
+    #   1. word-shingle MinHash Jaccard (already computed, vectorized) —
+    #      collapses on SHORT texts under char-level edits (FIXTURES.md:
+    #      <=2 char edits/span), hence:
+    #   2. EXACT char-5-gram Jaccard of the 256-char heads — one
+    #      vectorized hashing pass over the batch's unique heads, then
+    #      sorted-array intersections (~tens of us/pair);
+    #   3. bounded Levenshtein ONLY for the ambiguous sliver where char
+    #      shingling still over-penalizes (very short heads) — a few
+    #      pairs per batch, not all candidates.
+    band = has_text & (jac < 0.95) & ~exact & passable
+    band_idx = np.flatnonzero(band)
+    if len(band_idx):
+        uniq: dict[str, int] = {}
+        for i in band_idx:
+            for h in (heads_a[i], heads_b[i]):
+                if h not in uniq:
+                    uniq[h] = len(uniq)
+        win, off = char_shingle_hashes(list(uniq), k=5)
+        gram_sets = [
+            np.unique(win[off[u] : off[u + 1]]) for u in range(len(uniq))
+        ]
+        for i in band_idx:
+            sa = gram_sets[uniq[heads_a[i]]]
+            sb = gram_sets[uniq[heads_b[i]]]
+            union = sa.size + sb.size
+            if union == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            char_j = inter / (union - inter)
+            best = max(jac[i], char_j)
+            if 0.25 < char_j < 0.9:  # tier 3: edit distance decides
+                ha, hb = heads_a[i], heads_b[i]
+                length = max(len(ha), len(hb))
+                d = levenshtein_bounded(ha, hb, max(2, length // 4))
+                best = max(best, 1.0 - d / length)
+            text_score[i] = best
+    text_score = np.where(
+        has_text, 0.8 * text_score + 0.2 * np.where(has_text, sim_score, 0.0), np.nan
+    )
+
+    w_t = np.where(~np.isnan(text_score), cfg.w_text, 0.0)
+    w_m = np.where(~np.isnan(media_score), cfg.w_media, 0.0)
+    denom = np.maximum(w_t + w_m, 1e-9)
+    fused = (w_t * np.nan_to_num(text_score) + w_m * np.nan_to_num(media_score)) / denom
+    return np.where(exact, 1.0, fused)
 
 
 class PairScorer:
@@ -45,54 +246,23 @@ class PairScorer:
             c = batch[name]
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
-        ch_a = col("content_hash_a").to_numpy()
-        ch_b = col("content_hash_b").to_numpy()
-        exact = ch_a == ch_b
-
         sig_a = decode_sig_matrix(col("minhash_sig_a"), cfg.num_perm)
         sig_b = decode_sig_matrix(col("minhash_sig_b"), cfg.num_perm)
-        jac = estimate_jaccard(sig_a, sig_b)
-
-        sim_hd = hamming64(col("simhash_a").to_numpy(), col("simhash_b").to_numpy())
-        sim_score = 1.0 - sim_hd / 64.0
-
         pa_flat, pa_off = decode_varlen_u64(col("phashes_a"))
         pb_flat, pb_off = decode_varlen_u64(col("phashes_b"))
-        media_score = np.full(n, np.nan)
-        na = pa_off[1:] - pa_off[:-1]
-        nb = pb_off[1:] - pb_off[:-1]
-        both = (na > 0) & (nb > 0)
-        for i in np.flatnonzero(both):
-            # aligned comparison over min(len) spans; short python loop over
-            # the (few) media spans of one pair
-            m = min(na[i], nb[i])
-            ha = pa_flat[pa_off[i] : pa_off[i] + m]
-            hb = pb_flat[pb_off[i] : pb_off[i] + m]
-            media_score[i] = float(np.mean(1.0 - hamming64(ha, hb) / 64.0))
+        # fold the two per-side phash layouts into one flat array so the
+        # shared kernel can index both sides uniformly
+        ph_flat = np.concatenate([pa_flat, pb_flat]) if len(pa_flat) or len(pb_flat) else pa_flat
+        ph_off = np.concatenate([pa_off[:-1], pa_off[-1] + pb_off])
+        ra = np.arange(n, dtype=np.int64)
+        rb = n + ra
 
-        text_a = col("text_head_a").to_pylist()
-        text_b = col("text_head_b").to_pylist()
-        has_text = np.array(
-            [bool(a) and bool(b) for a, b in zip(text_a, text_b)]
+        score = score_pair_rows(
+            cfg,
+            col("content_hash_a").to_numpy(), col("content_hash_b").to_numpy(),
+            sig_a, sig_b,
+            col("simhash_a").to_numpy(), col("simhash_b").to_numpy(),
+            ph_flat, ph_off, ra, rb,
+            col("text_head_a").to_pylist(), col("text_head_b").to_pylist(),
         )
-
-        text_score = np.where(has_text, jac, np.nan)
-        # Jaro-Winkler tiebreak in the uncertain band only
-        band = has_text & (jac > 0.4) & (jac < 0.95)
-        for i in np.flatnonzero(band):
-            jw = jaro_winkler(text_a[i], text_b[i])
-            text_score[i] = 0.6 * jac[i] + 0.4 * jw
-        # corroborate with simhash where text exists
-        text_score = np.where(
-            has_text, 0.8 * text_score + 0.2 * np.where(has_text, sim_score, 0.0),
-            np.nan,
-        )
-
-        w_t = np.where(~np.isnan(text_score), cfg.w_text, 0.0)
-        w_m = np.where(~np.isnan(media_score), cfg.w_media, 0.0)
-        denom = np.maximum(w_t + w_m, 1e-9)
-        fused = (
-            w_t * np.nan_to_num(text_score) + w_m * np.nan_to_num(media_score)
-        ) / denom
-        fused = np.where(exact, 1.0, fused)
-        return batch.append_column("score", pa.array(fused, type=pa.float64()))
+        return batch.append_column("score", pa.array(score, type=pa.float64()))

@@ -36,7 +36,7 @@ from ..config import ERConfig
 from ..functions.hashing import canonical_span_strings, stable_hash64
 from ..functions.imagehash import dct_matrix, phash_batch
 from ..functions.minhash import minhash_signatures
-from ..functions.simhash import simhash_signatures
+from ..functions.simhash import simhash_from_sketch
 from ..sources.corpus import media_payload
 
 PROFILE_COLUMNS = [
@@ -52,6 +52,23 @@ PROFILE_COLUMNS = [
 
 _TEXT_HEAD = 256
 _TEXT_JOIN = "\n"
+
+
+_INSTANCES: dict[str, "SpanSignatures"] = {}
+
+
+def span_signatures_batch(batch: pa.Table, cfg: ERConfig) -> pa.Table:
+    """Task-friendly wrapper: per-worker-process instance cache.
+
+    Stateless Ray tasks scale elastically to every core with no actor-pool
+    ramp-up; the (cheap) per-process construction — DCT basis, seeds — is
+    amortized via this cache, giving actor-pool semantics at task cost.
+    Heavy state (models) would justify a real actor pool instead."""
+    key = cfg.config_hash()
+    inst = _INSTANCES.get(key)
+    if inst is None:
+        inst = _INSTANCES.setdefault(key, SpanSignatures(cfg))
+    return inst(batch)
 
 
 class SpanSignatures:
@@ -88,9 +105,12 @@ class SpanSignatures:
             )
 
         sig = minhash_signatures(
-            doc_texts, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k
+            doc_texts,
+            num_perm=cfg.num_perm,
+            shingle_k=cfg.shingle_k,
+            mode=cfg.shingle_mode,
         )
-        sim = simhash_signatures(doc_texts, shingle_k=cfg.shingle_k)
+        sim = simhash_from_sketch(sig)
 
         # one stacked pHash pass for every media span in the batch
         all_refs = [r for refs_d in media_refs_per_doc for r in refs_d]

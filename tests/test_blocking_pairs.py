@@ -4,7 +4,7 @@ import pyarrow as pa
 from dedupe_rust_ray.config import ERConfig
 from dedupe_rust_ray.sources.corpus import synth_corpus_table
 from dedupe_rust_ray.stages.blocking import emit_blocking_keys
-from dedupe_rust_ray.stages.pairs import candidate_pairs_in_block
+from dedupe_rust_ray.stages.pairs import candidate_pairs_in_shard
 from dedupe_rust_ray.stages.signatures import SpanSignatures
 
 
@@ -21,7 +21,16 @@ def test_blocking_emits_keys_for_text_and_media():
     assert any(k.startswith("p0:") for k in keys)
     assert out.num_rows > 0
     # every exploded row keeps doc_id + content_hash (minimal shuffle row)
-    assert out.column_names == ["block_key", "doc_id", "content_hash"]
+    assert out.column_names == [
+        "shard",
+        "block_key",
+        "doc_id",
+        "content_hash",
+        "aux_phash",
+    ]
+    # a block never spans shards
+    df = out.to_pandas()
+    assert (df.groupby("block_key")["shard"].nunique() == 1).all()
 
 
 def test_exact_dup_docs_share_every_band():
@@ -41,28 +50,50 @@ def test_exact_dup_docs_share_every_band():
 
 def test_pair_generation_singleton_pruned():
     cfg = ERConfig()
-    g = pd.DataFrame({"doc_id": ["a"], "content_hash": [1]})
-    assert len(candidate_pairs_in_block(g, cfg)) == 0
+    g = pd.DataFrame({"block_key": ["k"], "doc_id": ["a"], "content_hash": [1]})
+    assert len(candidate_pairs_in_shard(g, cfg)) == 0
 
 
 def test_pair_generation_skips_equal_hash():
     cfg = ERConfig()
     g = pd.DataFrame(
-        {"doc_id": ["a", "b", "c"], "content_hash": [1, 1, 2]}
+        {
+            "block_key": ["k", "k", "k"],
+            "doc_id": ["a", "b", "c"],
+            "content_hash": [1, 1, 2],
+        }
     )
-    pairs = candidate_pairs_in_block(g, cfg)
+    pairs = candidate_pairs_in_shard(g, cfg)
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     # (a, b) share a content hash -> handled by the exact path, not here
     assert got == {("a", "c"), ("b", "c")}
+
+
+def test_shard_with_multiple_blocks_no_cross_block_pairs():
+    cfg = ERConfig()
+    g = pd.DataFrame(
+        {
+            "block_key": ["k1", "k1", "k2", "k2", "k3"],
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "content_hash": [1, 2, 3, 4, 5],
+        }
+    )
+    pairs = candidate_pairs_in_shard(g, cfg)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == {("a", "b"), ("c", "d")}
 
 
 def test_oversized_block_neighbor_chaining_stays_connected():
     cfg = ERConfig(max_block_size=10)
     n = 50
     g = pd.DataFrame(
-        {"doc_id": [f"d{i:03d}" for i in range(n)], "content_hash": range(n)}
+        {
+            "block_key": ["k"] * n,
+            "doc_id": [f"d{i:03d}" for i in range(n)],
+            "content_hash": range(n),
+        }
     )
-    pairs = candidate_pairs_in_block(g, cfg)
+    pairs = candidate_pairs_in_shard(g, cfg)
     # O(n*W) not O(n^2)
     assert len(pairs) < n * 5
     # the chain connects every doc

@@ -1,0 +1,133 @@
+"""Pytest oracles for queries whose semantics are not SQL-expressible
+(the driver records only a rows-only check for these — SURVEY.md §5.2.3).
+
+All run at sf0.001 for speed; semantic invariants are recomputed in
+straight numpy/python and compared against the pipeline output."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _trigrams(t):
+    w = t.split()
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def test_minhash_lsh_matches_exact_jaccard(docs_df):
+    """Every pair the sketch path reports at est>=0.7 must be a true
+    high-Jaccard pair, and all planted (J>=0.9) pairs must be found."""
+    from dedupe_rust_ray.pipelines.dedupe import minhash_lsh_dedup
+
+    got = minhash_lsh_dedup(SF).to_pandas()
+    grams = {r.doc_id: _trigrams(r.text) for r in docs_df.itertuples()}
+    truth = set()
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = grams[a], grams[b]
+            if ga and gb and len(ga & gb) / len(ga | gb) >= 0.9:
+                truth.add((a, b))
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert truth <= got_pairs  # full recall on planted near-dups
+    for a, b in got_pairs:  # precision: est>=0.7 implies true J >= ~0.5
+        ga, gb = grams[a], grams[b]
+        assert len(ga & gb) / len(ga | gb) >= 0.5
+
+
+def test_simhash_pairs_verified(docs_df):
+    from dedupe_rust_ray.functions.simhash import hamming64, simhash_signatures
+    from dedupe_rust_ray.pipelines.dedupe import simhash_near_dups
+
+    got = simhash_near_dups(SF).to_pandas()
+    sh = simhash_signatures(docs_df["text"].tolist(), shingle_k=3, mode="word")
+    by_id = dict(zip(docs_df["doc_id"], sh))
+    for r in got.itertuples():
+        hd = hamming64(
+            np.array([by_id[r.doc_a]]), np.array([by_id[r.doc_b]])
+        )[0]
+        assert hd == r.hamming and hd <= 8
+
+
+def test_knn_lsh_recall_vs_brute_force():
+    from dedupe_rust_ray.pipelines.similarity import knn_lsh, knn_topk
+
+    exact = knn_topk(SF)
+    approx = knn_lsh(SF)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.25, recall  # 6-bit x 8-table LSH on random vectors
+    # every reported sim must match the exact sim for that pair
+    em = {(q, n): s for q, n, s in exact.itertuples(index=False)}
+    for q, n, s in approx.itertuples(index=False):
+        if (q, n) in em:
+            assert abs(em[(q, n)] - s) < 1e-6
+
+
+def test_media_dims_census_matches_generator():
+    """Census equals what the deterministic generator implies — and the
+    parsers, not the metadata, produced it."""
+    from dedupe_rust_ray.pipelines.multimodal import media_dims_census
+    from dedupe_rust_ray.stages.multimodal import _DIM_CHOICES, _FORMATS
+
+    got = media_dims_census(SF).to_pandas()
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    from collections import Counter
+
+    want = Counter()
+    for d in ids:
+        d = int(d)
+        fmt = _FORMATS[d % len(_FORMATS)]
+        w, h = _DIM_CHOICES[(d // len(_FORMATS)) % len(_DIM_CHOICES)]
+        want[(fmt, w, h)] += 1
+    got_c = {
+        (r.fmt, r.width, r.height): r.n for r in got.itertuples()
+    }
+    assert got_c == dict(want)
+
+
+def test_media_features_decode_policy():
+    from dedupe_rust_ray.pipelines.multimodal import media_features
+
+    got = media_features(SF).to_pandas()
+    # BMP rows decode for real; others are flagged, never task failures
+    assert (got["ok"] == (got["err"] == "")).all()
+    bmp_ok = got[got["ok"]]
+    assert len(bmp_ok) > 0
+    assert (bmp_ok["mean_brightness"] > 0).all()
+    assert (bmp_ok["width"] > 0).all()
+    bad = got[~got["ok"]]
+    assert bad["err"].str.startswith("decode_").all()
+
+
+def test_quality_filter_subset():
+    from dedupe_rust_ray.pipelines.textpipe import quality_filter, quality_scores
+
+    kept = quality_filter(SF, min_score=0.5).to_pandas()
+    assert (kept["quality_score"] >= 0.5).all()
+
+
+def test_lang_id_census_partition(docs_df):
+    from dedupe_rust_ray.pipelines.textpipe import lang_id_census
+
+    got = lang_id_census(SF).to_pandas()
+    assert got["n"].sum() == len(docs_df)
+
+
+def test_fingerprint_dedup_keeps_distinct(docs_df):
+    from dedupe_rust_ray.pipelines.textpipe import fingerprint_dedup
+
+    got = fingerprint_dedup(SF).to_pandas()
+    # at most one kept doc per distinct text; identical texts never both kept
+    assert len(got) <= docs_df["text"].nunique()
