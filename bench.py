@@ -123,7 +123,7 @@ def _scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="er",
-            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "60000"),
+            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "180000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -50,9 +50,10 @@ class ERConfig:
     max_pairs_per_shard: int = 2_000_000  # hard cap per shard task (skew guard)
     n_shards: int = 64            # coarse shuffle shards for block/pair groupbys
 
-    broadcast_max_docs: int = 200_000
-    # profile sets up to this size are ray.put once and read by every
-    # scorer task (~1.3 KB/doc -> 260 MB); beyond it, a hash join runs.
+    broadcast_max_docs: int = 1_000_000
+    # profile sets up to this size are ray.put once and mapped READ-ONLY
+    # (zero-copy numpy) by every scorer worker (~1.3 KB/doc -> 1.3 GB);
+    # beyond it, the hash-join path runs.
 
     # --- execution -------------------------------------------------------
     batch_size: int = 1024        # rows per signature batch

@@ -134,7 +134,19 @@ def _attach_profiles(
     two ``Dataset.join`` shuffles partitioned on doc_id — the SCALE path,
     used when the profile set is too large to broadcast (at 10^12 docs the
     profile table can never be broadcast). The small-side alternative is
-    the fused broadcast scorer in :func:`er_pipeline`."""
+    the fused broadcast scorer in :func:`er_pipeline`.
+
+    The two joins are separated by a ``materialize()``: each hash join
+    spawns one aggregator actor per partition, and two concurrent joins
+    can request more actor CPUs than the cluster has — the barrier caps
+    peak actor demand at one join's worth."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(4, min(num_partitions, cpus))
     prof_a = profiles.rename_columns(
         {c: f"{c}_a" for c in _PROFILE_DATA_COLS} | {"doc_id": "doc_a"}
     ).select_columns(["doc_a"] + [f"{c}_a" for c in _PROFILE_DATA_COLS])
@@ -146,7 +158,7 @@ def _attach_profiles(
         join_type="inner",
         num_partitions=num_partitions,
         on=("doc_a",),
-    )
+    ).materialize()
     return j.join(
         prof_b,
         join_type="inner",

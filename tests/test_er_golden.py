@@ -61,6 +61,18 @@ def test_output_sorted_and_canonical(clusters):
     assert (mins.index == mins.values).all()
 
 
+def test_hash_join_scale_path_matches_broadcast(corpus, clusters):
+    """Forcing the hash-join scorer path (broadcast_max_docs=0) must give
+    the identical cluster set as the broadcast path."""
+    docs, _, _ = corpus
+    got = er_pipeline(
+        ray.data.from_arrow(docs), ERConfig(broadcast_max_docs=0)
+    ).to_pandas()
+    a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
+    b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
+    assert a == b
+
+
 def test_permutation_invariance(corpus, clusters):
     """Shuffling input rows yields the identical cluster set
     (SURVEY.md §5.2 item 4)."""
