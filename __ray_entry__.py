@@ -53,7 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from dedupe_rust_ray.pipelines import (
         analytics,
         dedupe,
+        filededupe,
         multimodal,
+        sessions,
         similarity,
         textpipe,
     )
@@ -76,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
+        "sessionize": sessions.sessionize,
+        "q3_shipping": sessions.q3_shipping,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,
         "quality_scores": textpipe.quality_scores,
@@ -93,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal ---
         "media_dims_census": multimodal.media_dims_census,
         "media_features": multimodal.media_features,
+        # --- reference-parity file pipeline (S1-S5, H1, H4, G1-G6) ---
+        "file_dedupe": filededupe.file_dedupe_query,
         # --- flagship ---
         "er_clusters": er_clusters,
     }
@@ -151,6 +157,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_custkey, c_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 10"
+        ),
+        "sessionize": (
+            "WITH o AS (SELECT user_id, ts, "
+            " LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            " FROM events) "
+            "SELECT user_id, "
+            "CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM o GROUP BY user_id ORDER BY user_id"
+        ),
+        "q3_shipping": (
+            "SELECT o_orderkey, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "

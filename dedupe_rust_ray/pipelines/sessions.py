@@ -1,0 +1,123 @@
+"""Session windows over the events log (streaming-shaped workload,
+SURVEY.md §2.8): Ray Data has no watermarks, so sessionization is expressed
+as partition-by-key + in-partition ordered windowing — the batch expression
+of a session window with a 30-minute inactivity gap.
+
+Shard pattern: shuffle on ``user_id % n_shards`` (a user never spans
+shards), sessionize every user of the shard vectorized with pandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from .common import read
+
+_GAP = pd.Timedelta(minutes=30)
+_N_SHARDS = 32
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session stats: n_sessions (30-min gap), n_events."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["ts"].shift()
+        new_sess = prev.isna() | ((g["ts"] - prev) > _GAP)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "new": new_sess})
+            .groupby("user_id", as_index=False)
+            .agg(n_sessions=("new", "sum"), n_events=("new", "size"))
+        )
+        return out.astype({"n_sessions": "int64", "n_events": "int64"})
+
+    return (
+        read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .sort("user_id")
+    )
+
+
+def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-shaped: top-``k`` orders by lineitem revenue for one
+    customer segment.
+
+    Physical plan: the segment's customer keys are a SMALL side ->
+    broadcast semi-join filters orders; orders join lineitem with the
+    partitioned hash join (``Dataset.join`` — both sides large at scale);
+    revenue pre-aggregated per batch before the final groupby."""
+    import pyarrow.compute as pc
+    import ray
+
+    cust = (
+        read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(expr=f"c_mktsegment == '{segment}'")
+        .to_pandas()
+    )
+    keys = ray.put(set(cust["c_custkey"].tolist()))
+
+    class FilterOrders:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [k in self.keys for k in batch["o_custkey"].to_pylist()]
+            )
+            return batch.filter(mask)
+
+    orders = (
+        read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(FilterOrders, fn_constructor_args=(keys,),
+                     batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["o_orderkey", "o_orderdate"])
+    )
+    lineitem = read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        return (
+            t.group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "rev"])
+        )
+
+    li_partial = lineitem.map_batches(
+        revenue_partial, batch_format="pyarrow", batch_size=65536
+    )
+    joined = orders.join(
+        li_partial,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    top = (
+        joined.groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["revenue"] = top["revenue"].round(2)
+    return top[["o_orderkey", "revenue"]]

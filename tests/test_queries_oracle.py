@@ -125,6 +125,22 @@ def test_lang_id_census_partition(docs_df):
     assert got["n"].sum() == len(docs_df)
 
 
+def test_file_dedupe_query_finds_planted_copies():
+    """Every doc_id % 7 == 0 file was written twice (base + dups/ copy);
+    both must land in the same group. GIF/JPEG header-only payloads are
+    byte-identical per (fmt, dims) by construction, so cross-doc groups
+    are expected — but a planted copy must ALWAYS group with its base."""
+    from dedupe_rust_ray.pipelines.filededupe import file_dedupe_query
+
+    groups = file_dedupe_query(SF)
+    by_path = dict(zip(groups["path"], groups["group_id"]))
+    planted = [p for p in by_path if p.startswith("dups/")]
+    assert planted, "no planted copies found in groups"
+    for copy in planted:
+        base = copy.replace("dups/", "").replace("-copy", "")
+        assert by_path[copy] == by_path.get(base), (copy, base)
+
+
 def test_fingerprint_dedup_keeps_distinct(docs_df):
     from dedupe_rust_ray.pipelines.textpipe import fingerprint_dedup
 
