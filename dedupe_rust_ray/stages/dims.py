@@ -76,17 +76,17 @@ def bmp_dims(data: bytes) -> tuple[int, int] | None:
 
 
 def webp_dims(data: bytes) -> tuple[int, int] | None:
-    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         return None
     fourcc = data[12:16]
-    if fourcc == b"VP8 ":  # lossy: dims at keyframe header
+    if fourcc == b"VP8 " and len(data) >= 30:  # lossy: keyframe header
         w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
         h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
-    elif fourcc == b"VP8L":  # lossless: 14-bit fields after signature byte
+    elif fourcc == b"VP8L" and len(data) >= 25:  # lossless: 14-bit fields
         bits = struct.unpack("<I", data[21:25])[0]
         w = (bits & 0x3FFF) + 1
         h = ((bits >> 14) & 0x3FFF) + 1
-    elif fourcc == b"VP8X":  # extended: 24-bit canvas minus one
+    elif fourcc == b"VP8X" and len(data) >= 30:  # extended: 24-bit canvas
         w = int.from_bytes(data[24:27], "little") + 1
         h = int.from_bytes(data[27:30], "little") + 1
     else:

@@ -1,13 +1,22 @@
-"""Per-stage checkpoints with lineage manifests (north_rule resumability).
+"""Per-stage checkpoints with per-partition lineage manifests
+(north_rule resumability + lineage/metrics).
 
 A checkpointed stage writes its output as a directory of parquet part files
-plus ``_manifest.json`` recording the stage name, config hash, row count and
-schema. On resume, a stage whose manifest exists and matches the current
-config hash is *read back* instead of recomputed; any mismatch (different
-config, incomplete write) recomputes and overwrites.
+plus ``_manifest.json`` recording:
 
-Writes are atomic: data lands in ``<dir>.tmp`` first and is renamed into
-place after the manifest is written, so a killed run can never leave a
+- stage name, config hash, completion flag;
+- totals (rows, bytes, file count) and pipeline counters supplied by the
+  caller (docs in, pairs generated, edges, ...);
+- one entry PER PARTITION FILE (name, rows, bytes) — the lineage record
+  that lets a resumed run trust exactly the partitions that finished and a
+  monitoring job sum per-partition counters without reading data.
+
+On resume, a stage whose manifest is complete, config-hash-matching, and
+whose every listed partition file still exists with the recorded size is
+read back instead of recomputed; any mismatch recomputes and overwrites.
+
+Writes are atomic: data lands in ``<dir>.tmp`` and is renamed into place
+after the manifest is written, so a killed run can never leave a
 half-directory that resume would trust.
 """
 
@@ -24,12 +33,49 @@ def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_manifest.json")
 
 
+def _partition_entries(stage_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(stage_dir, name)
+        entries.append(
+            {
+                "file": name,
+                "rows": pq.read_metadata(path).num_rows,
+                "bytes": os.path.getsize(path),
+            }
+        )
+    return entries
+
+
+def _manifest_valid(stage_dir: str, config_hash: str) -> bool:
+    mpath = _manifest_path(stage_dir)
+    if not os.path.exists(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    if not manifest.get("complete") or manifest.get("config_hash") != config_hash:
+        return False
+    for part in manifest.get("partitions", []):
+        path = os.path.join(stage_dir, part["file"])
+        if not os.path.exists(path) or os.path.getsize(path) != part["bytes"]:
+            return False
+    return True
+
+
 def stage_checkpoint(
     make_ds,
     stage: str,
     checkpoint_dir: str | None,
     config_hash: str,
     resume: bool = False,
+    counters: dict | None = None,
 ) -> ray.data.Dataset:
     """Run ``make_ds()`` through a checkpoint boundary.
 
@@ -39,34 +85,25 @@ def stage_checkpoint(
         return make_ds()
 
     stage_dir = os.path.join(checkpoint_dir, stage)
-    mpath = _manifest_path(stage_dir)
-    if resume and os.path.exists(mpath):
-        try:
-            with open(mpath) as f:
-                manifest = json.load(f)
-            if manifest.get("config_hash") == config_hash and manifest.get(
-                "complete"
-            ):
-                return ray.data.read_parquet(stage_dir)
-        except (json.JSONDecodeError, OSError):
-            pass  # corrupt manifest -> recompute
+    if resume and _manifest_valid(stage_dir, config_hash):
+        return ray.data.read_parquet(stage_dir)
 
     ds = make_ds()
     tmp_dir = stage_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
     ds.write_parquet(tmp_dir)
-    n_files = len(
-        [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")]
-    )
-    count = ray.data.read_parquet(tmp_dir).count()
+    partitions = _partition_entries(tmp_dir)
     with open(_manifest_path(tmp_dir), "w") as f:
         json.dump(
             {
                 "stage": stage,
                 "config_hash": config_hash,
-                "num_rows": count,
-                "num_files": n_files,
+                "num_rows": sum(p["rows"] for p in partitions),
+                "num_bytes": sum(p["bytes"] for p in partitions),
+                "num_files": len(partitions),
+                "counters": counters or {},
+                "partitions": partitions,
                 "complete": True,
             },
             f,
@@ -75,3 +112,12 @@ def stage_checkpoint(
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.replace(tmp_dir, stage_dir)
     return ray.data.read_parquet(stage_dir)
+
+
+def read_manifest(checkpoint_dir: str, stage: str) -> dict | None:
+    """Load one stage's lineage manifest (None if absent/corrupt)."""
+    try:
+        with open(_manifest_path(os.path.join(checkpoint_dir, stage))) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None

@@ -34,6 +34,32 @@ def test_stage_checkpoint_resume_skips_recompute(tmp_path):
     assert out.count() == 5
 
 
+def test_manifest_has_per_partition_lineage(tmp_path):
+    ds = ray.data.from_items([{"x": i} for i in range(100)]).repartition(4)
+    stage_checkpoint(lambda: ds, "s1", str(tmp_path), "cfg1")
+    m = json.load(open(tmp_path / "s1" / "_manifest.json"))
+    assert m["num_files"] == len(m["partitions"]) >= 1
+    assert sum(p["rows"] for p in m["partitions"]) == 100
+    assert all(p["bytes"] > 0 for p in m["partitions"])
+
+
+def test_missing_partition_invalidates_resume(tmp_path):
+    calls = []
+
+    def make():
+        calls.append(1)
+        return ray.data.from_items([{"x": i} for i in range(50)]).repartition(2)
+
+    stage_checkpoint(make, "s1", str(tmp_path), "cfgA")
+    m = json.load(open(tmp_path / "s1" / "_manifest.json"))
+    # corrupt one partition file -> resume must NOT trust the checkpoint
+    victim = tmp_path / "s1" / m["partitions"][0]["file"]
+    victim.write_bytes(b"truncated")
+    out = stage_checkpoint(make, "s1", str(tmp_path), "cfgA", resume=True)
+    assert len(calls) == 2
+    assert out.count() == 50
+
+
 def test_stage_checkpoint_config_mismatch_recomputes(tmp_path):
     calls = []
 

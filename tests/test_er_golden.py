@@ -73,6 +73,18 @@ def test_hash_join_scale_path_matches_broadcast(corpus, clusters):
     assert a == b
 
 
+def test_distributed_unionfind_path_matches_driver(corpus, clusters):
+    """Forcing the distributed label-propagation clustering
+    (driver_unionfind_max_edges=0) must reproduce the driver-DSU clusters."""
+    docs, _, _ = corpus
+    got = er_pipeline(
+        ray.data.from_arrow(docs), ERConfig(driver_unionfind_max_edges=0)
+    ).to_pandas()
+    a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
+    b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
+    assert a == b
+
+
 def test_permutation_invariance(corpus, clusters):
     """Shuffling input rows yields the identical cluster set
     (SURVEY.md §5.2 item 4)."""
