@@ -206,7 +206,8 @@ def er_pipeline(
 
     if ckpt:
         profiles = stage_checkpoint(
-            make_profiles, "stage1_profiles", ckpt, chash, cfg.resume
+            make_profiles, "stage1_profiles", ckpt, chash, cfg.resume,
+            counters={"stage_role": "per-document signature profiles"},
         )
     else:
         profiles = make_profiles().materialize()
@@ -266,7 +267,13 @@ def er_pipeline(
         return exact.union(near)
 
     if ckpt:
-        edges = stage_checkpoint(make_edges, "stage5_edges", ckpt, chash, cfg.resume)
+        edges = stage_checkpoint(
+            make_edges, "stage5_edges", ckpt, chash, cfg.resume,
+            counters={
+                "stage_role": "match edges (exact-union-near)",
+                "input_docs": n_profiles,
+            },
+        )
     else:
         edges = make_edges().materialize()
     _tr("edges materialized")
