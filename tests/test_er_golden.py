@@ -73,6 +73,18 @@ def test_hash_join_scale_path_matches_broadcast(corpus, clusters):
     assert a == b
 
 
+def test_shard_count_invariance(corpus, clusters):
+    """Cluster output must not depend on the shuffle shard count
+    (SURVEY §5.2.4 salt/partitioning invariance)."""
+    docs, _, _ = corpus
+    got = er_pipeline(
+        ray.data.from_arrow(docs), ERConfig(n_shards=7)
+    ).to_pandas()
+    a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
+    b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
+    assert a == b
+
+
 def test_distributed_unionfind_path_matches_driver(corpus, clusters):
     """Forcing the distributed label-propagation clustering
     (driver_unionfind_max_edges=0) must reproduce the driver-DSU clusters."""
