@@ -7,10 +7,12 @@ match edges need explicit connected components:
 - **driver union-find** (small edge sets — tests, sf-scale runs): classic
   DSU with path compression + union by size. Also the test oracle.
 - **distributed min-label propagation** (scale path): iterate
-  ``labels(node) <- min(label over self + neighbors)`` as
-  join + groupby().aggregate(Min) rounds until fixpoint — the
-  hash-partitioned edge-propagation scheme of BTS-style distributed CC
-  (PAPERS.md: "BTS: Load-Balanced Distributed Union-Find", ICDE 2024).
+  ``labels(node) <- min(label over self + neighbors)`` as two
+  hash-partitioned shard groupbys per round (gather proposals at the
+  source shard, scatter-min at the target shard — join-free) until
+  fixpoint — the hash-partitioned edge-propagation scheme of BTS-style
+  distributed CC (PAPERS.md: "BTS: Load-Balanced Distributed
+  Union-Find", ICDE 2024).
   Labels are doc_id strings; min is lexicographic, so the final
   ``cluster_id = min(doc_id)`` matches the reference's canonicalization
   (src/main.rs:630). Monotone decreasing labels guarantee convergence in
@@ -104,64 +106,120 @@ def _label_signature(labels_ds) -> int:
     return total
 
 
-def distributed_connected_components(edges_ds, max_rounds: int = 50):
+def distributed_connected_components(
+    edges_ds, max_rounds: int = 50, n_shards: int = 64
+):
     """Edges dataset (doc_a, doc_b) -> labels dataset (doc_id, cluster_id).
 
-    Each round shuffles label proposals by node and keeps the minimum; the
-    edge set itself is static and re-streamed from its (materialized) blocks.
+    Join-free BTS-style propagation: every round is exactly TWO
+    hash-partitioned shard groupbys (sort shuffles — no per-round join
+    aggregator actor pools):
+
+    1. **gather**: directed edge rows keyed by their SOURCE node meet the
+       source's current label in one shard; each edge emits a proposal
+       ``(dst, label(src))``;
+    2. **scatter-min**: proposals + current labels keyed by the TARGET
+       node; the minimum wins, and the shard reports how many labels
+       changed (monotone decreasing labels -> changed==0 is the fixpoint).
+
+    Labels are doc_id strings; the lexicographic minimum makes the final
+    ``cluster_id = min(doc_id)`` match the reference's canonicalization
+    (/root/reference/src/main.rs:630). Converges in O(log diameter)-ish
+    rounds for typical duplicate-cluster graphs.
     """
     import ray.data
-    from ray.data.aggregate import Min
 
-    edges_ds = edges_ds.materialize()
+    from ..functions.grouping import shard_of
 
-    def init_labels(batch: pa.Table) -> pa.Table:
+    def directed_rows(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
-        m = [min(x, y) for x, y in zip(a, b)]
+        src = np.array(a + b, dtype=object)
+        dst = np.array(b + a, dtype=object)
         return pa.table(
             {
-                "doc_id": pa.array(a + b, type=pa.string()),
-                "cluster_id": pa.array(m + m, type=pa.string()),
+                "shard": pa.array(shard_of(src, n_shards), type=pa.int32()),
+                "key": pa.array(src, type=pa.string()),
+                "other": pa.array(dst, type=pa.string()),
+                "kind": pa.array(
+                    np.full(len(src), 1, dtype=np.int8), type=pa.int8()
+                ),
             }
         )
 
+    edges2 = (
+        edges_ds.map_batches(directed_rows, batch_format="pyarrow").materialize()
+    )
+
+    def init_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lab = (
+            pd.DataFrame({"key": g["key"], "lab": np.minimum(g["key"], g["other"])})
+            .groupby("key", as_index=False)["lab"]
+            .min()
+        )
+        return lab.rename(columns={"key": "doc_id", "lab": "cluster_id"})
+
     labels = (
-        edges_ds.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        edges2.groupby("shard")
+        .map_groups(
+            lambda g: init_in_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
         .materialize()
     )
-    prev_sig = _label_signature(labels)
 
+    def label_rows(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "shard": pa.array(shard_of(keys, n_shards), type=pa.int32()),
+                "key": batch["doc_id"],
+                "other": batch["cluster_id"],
+                "kind": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        """One shard of labels + outgoing edges -> proposals (dst, label)."""
+        lab = g[g["kind"] == 0]
+        lab_map = dict(zip(lab["key"], lab["other"]))
+        e = g[g["kind"] == 1]
+        props = pd.DataFrame(
+            {
+                "doc_id": e["other"].to_numpy(),
+                "cluster_id": e["key"].map(lab_map).to_numpy(),
+            }
+        ).dropna()
+        return pd.concat(
+            [props, pd.DataFrame({"doc_id": lab["key"], "cluster_id": lab["other"]})],
+            ignore_index=True,
+        )
+
+    def proposal_rows(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        return batch.append_column(
+            "shard", pa.array(shard_of(keys, n_shards), type=pa.int32())
+        )
+
+    def scatter_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["cluster_id"].min()
+        return out
+
+    prev_sig = _label_signature(labels)
     for _ in range(max_rounds):
-        # propagate: each edge forwards each endpoint's label to the other
-        prop_a = (
-            edges_ds.join(
-                labels,
-                join_type="inner",
-                num_partitions=max(edges_ds.num_blocks(), 1),
-                on=("doc_a",),
-                right_on=("doc_id",),
-            )
-            .select_columns(["doc_b", "cluster_id"])
-            .rename_columns({"doc_b": "doc_id"})
+        mixed = labels.map_batches(label_rows, batch_format="pyarrow").union(edges2)
+        proposals = mixed.groupby("shard").map_groups(
+            lambda g: gather(g.drop(columns=["shard"])), batch_format="pandas"
         )
-        prop_b = (
-            edges_ds.join(
-                labels,
-                join_type="inner",
-                num_partitions=max(edges_ds.num_blocks(), 1),
-                on=("doc_b",),
-                right_on=("doc_id",),
-            )
-            .select_columns(["doc_a", "cluster_id"])
-            .rename_columns({"doc_a": "doc_id"})
-        )
-        merged = labels.union(prop_a).union(prop_b)
         labels = (
-            merged.groupby("doc_id")
-            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            proposals.map_batches(proposal_rows, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: scatter_min(g.drop(columns=["shard"])),
+                batch_format="pandas",
+            )
             .materialize()
         )
         sig = _label_signature(labels)
