@@ -4,7 +4,8 @@ Target-side generalization of the reference's quick-checksum candidate pass
 (/root/reference/src/main.rs:520-572): a cheap signature whose equality (here:
 band equality) nominates candidate pairs, later confirmed by an exact/deeper
 comparison. Signatures are mergeable sketches: the per-batch work is pure
-numpy, and signatures ride the dataset as a ``list<uint64>`` column.
+numpy, and signatures ride the dataset packed as a ``binary`` column
+(num_perm little-endian uint64 per row).
 """
 
 from __future__ import annotations
@@ -14,7 +15,6 @@ import numpy as np
 from .shingles import (
     UINT64_MAX,
     char_shingle_hashes,
-    segment_min,
     splitmix64,
     word_shingle_hashes,
 )

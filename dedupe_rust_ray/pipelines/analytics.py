@@ -13,7 +13,6 @@ fold/reduce (/root/reference/src/main.rs:393-412).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

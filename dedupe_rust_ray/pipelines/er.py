@@ -1,22 +1,25 @@
 """The flagship entity-resolution pipeline (SURVEY.md §3.4).
 
-    docs --SpanSignatures--> profiles                     [stage 1, actor pool]
-      profiles --groupby(content_hash)--> exact edges     [reference phase 2]
-      profiles --emit_blocking_keys--> band rows          [stage 2]
-        --groupby(block_key).map_groups--> candidate pairs [stage 3, THE shuffle]
-        --groupby(pair).first--> deduped pairs             [stage 4]
-        --join profiles (x2)--> pair rows with both profiles
-        --PairScorer--> scored pairs --filter(score>=θ)--> near edges [stage 5]
+    docs --SpanSignatures--> profiles                      [stage 1]
+      profiles --shard groupby(content_hash)--> exact edges [reference phase 2]
+      profiles --emit_blocking_keys--> (shard, key, doc, aux) rows [stage 2]
+        --groupby(shard) + in-shard enumeration--> candidate pairs [stage 3]
+        --pair-shard groupby--> deduped pairs               [stage 4]
+        --fused broadcast scorer | 2x hash join + PairScorer-->
+          scored pairs --filter(score>=θ)--> near edges     [stage 5]
       exact ∪ near edges --connected components--> clusters [stage 6]
 
 Scale notes (what changes at 10^12 docs, nothing at sf0.x):
-- profiles are the ONLY large intermediate that is reused by several
-  consumers; with a checkpoint_dir they are written to parquet once and
-  re-read (object-store-independent), otherwise materialized.
-- shuffled band rows carry ~50 B/key (not the 1.3 KB profile); profiles are
-  joined onto the *deduplicated* pair set instead.
+- profiles are the ONLY large intermediate reused by several consumers;
+  with a checkpoint_dir they are written to parquet once and re-read
+  (object-store-independent), otherwise materialized.
+- shuffled band rows carry ~60 B/key (never the 1.3 KB profile); scoring
+  reads profiles from a zero-copy broadcast while they fit
+  (cfg.broadcast_max_docs) and hash-joins them onto the deduplicated pair
+  set beyond that.
 - giant identical-content groups produce zero candidate pairs (exact path),
-  oversized blocks degrade to neighbor chaining (stages/pairs.py).
+  oversized blocks degrade to neighbor chaining, random pHash-chunk
+  collisions die at in-shard Hamming verification (stages/pairs.py).
 """
 
 from __future__ import annotations
@@ -28,12 +31,7 @@ import ray.data
 from ..config import ERConfig
 from ..stages.blocking import emit_blocking_keys
 from ..stages.pairs import candidate_pairs_in_shard, dedup_pairs
-from ..stages.scoring import (
-    BroadcastPairScorer,
-    PairScorer,
-    broadcast_score_batch,
-    pack_profiles,
-)
+from ..stages.scoring import PairScorer, broadcast_score_batch, pack_profiles
 from ..stages.signatures import SpanSignatures, span_signatures_batch
 from ..state.checkpoint import stage_checkpoint
 from ..state.unionfind import (

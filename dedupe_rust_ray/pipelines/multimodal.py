@@ -7,10 +7,9 @@ headers, never trusted from metadata."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..stages.multimodal import MediaDecode, probe_dims_batch, synth_media_batch
 from .common import read

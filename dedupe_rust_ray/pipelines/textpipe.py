@@ -7,9 +7,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Mean, Sum
 
-from ..functions.hashing import stable_hash64
 from ..functions.textstats import (
     lang_id_batch,
     quality_scores_batch,
