@@ -123,7 +123,7 @@ def _scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="er",
-            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "180000"),
+            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "120000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -135,7 +135,7 @@ def _scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     # best-of-N per level: the sandbox host has heavy external load noise
     # (loadavg spikes from co-tenants); best-of is the least-noise estimate
     runs_lo = [run(lo) for _ in range(repeats)]
