@@ -176,6 +176,55 @@ def _empty_clusters() -> ray.data.Dataset:
     )
 
 
+def run_er_job(
+    docs_ds: ray.data.Dataset,
+    cfg: ERConfig,
+    out_dir: str,
+) -> dict:
+    """End-to-end job: cluster ``docs_ds`` and persist results resumably.
+
+    Writes ``out_dir/clusters/`` as a directory of parquet part files plus
+    ``out_dir/run_manifest.json`` with counters and timing — the engine's
+    analog of the reference's timestamped results JSON
+    (/root/reference/src/main.rs:282-350), structured for machine
+    consumption and re-runs instead of console reading. Combined with
+    ``cfg.checkpoint_dir`` / ``cfg.resume``, a killed job restarts from its
+    last complete stage and rewrites only the final output.
+    """
+    import json
+    import os
+    import time as _time
+
+    from ..report import format_duration
+
+    t0 = _time.time()
+    clusters = er_pipeline(docs_ds, cfg)
+    out_clusters = os.path.join(out_dir, "clusters")
+    tmp = out_clusters + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    clusters.write_parquet(tmp)
+    shutil.rmtree(out_clusters, ignore_errors=True)
+    os.replace(tmp, out_clusters)
+
+    back = ray.data.read_parquet(out_clusters)
+    n_rows = back.count()
+    n_clusters = back.unique("cluster_id")
+    manifest = {
+        "config_hash": cfg.config_hash(),
+        "cluster_rows": n_rows,
+        "n_clusters": len(n_clusters),
+        "elapsed": format_duration(_time.time() - t0),
+        "elapsed_sec": round(_time.time() - t0, 2),
+        "output": "clusters/",
+        "complete": True,
+    }
+    with open(os.path.join(out_dir, "run_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 def er_pipeline(
     docs_ds: ray.data.Dataset, cfg: ERConfig | None = None
 ) -> ray.data.Dataset:

@@ -72,6 +72,23 @@ def test_stage_checkpoint_config_mismatch_recomputes(tmp_path):
     assert len(calls) == 2
 
 
+def test_run_er_job_output_layout(tmp_path):
+    from dedupe_rust_ray.pipelines.er import run_er_job
+
+    docs, _, _ = synth_corpus_table(60, seed=9)
+    manifest = run_er_job(
+        ray.data.from_arrow(docs), ERConfig(), str(tmp_path / "out")
+    )
+    assert manifest["complete"] and manifest["cluster_rows"] >= 2
+    import glob
+
+    parts = glob.glob(str(tmp_path / "out" / "clusters" / "*.parquet"))
+    assert parts  # a directory of part files, never one giant file
+    back = ray.data.read_parquet(str(tmp_path / "out" / "clusters")).to_pandas()
+    assert len(back) == manifest["cluster_rows"]
+    assert json.load(open(tmp_path / "out" / "run_manifest.json"))["complete"]
+
+
 def test_er_resume_equivalence(tmp_path):
     """Run with checkpoints, then resume: identical output, stage 1 reused
     (SURVEY.md §5.2 item 4: resume equivalence)."""

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the pure kernels
+(SURVEY.md §5.2.4)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dedupe_rust_ray.functions.minhash import estimate_jaccard, minhash_signatures
+from dedupe_rust_ray.functions.simhash import hamming64, popcount64
+from dedupe_rust_ray.functions.strsim import jaro_winkler, levenshtein_bounded
+from dedupe_rust_ray.state.unionfind import UnionFind, driver_connected_components
+
+words = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(words, words)
+def test_minhash_estimate_tracks_exact_jaccard(wa, wb):
+    ta, tb = " ".join(wa), " ".join(wb)
+    sig = minhash_signatures([ta, tb], num_perm=128, shingle_k=3, mode="word")
+    est = float(estimate_jaccard(sig[0:1], sig[1:2])[0])
+
+    def grams(ws):
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    ga, gb = grams(wa), grams(wb)
+    if not ga and not gb:
+        return  # both empty -> sentinel signatures
+    exact = len(ga & gb) / len(ga | gb) if (ga | gb) else 0.0
+    assert abs(est - exact) <= 0.25  # 128-perm sketch tolerance
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=30), st.text(max_size=30))
+def test_levenshtein_symmetry_and_bounds(a, b):
+    d = levenshtein_bounded(a, b, 100)
+    assert d == levenshtein_bounded(b, a, 100)
+    assert d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=30), st.text(max_size=30))
+def test_jaro_winkler_range_and_identity(a, b):
+    s = jaro_winkler(a, b)
+    assert 0.0 <= s <= 1.0
+    if a == b and a:
+        assert s == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+def test_popcount_matches_python(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert popcount64(arr).tolist() == [bin(v).count("1") for v in vals]
+    assert (hamming64(arr, arr) == 0).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_unionfind_matches_naive_components(pairs):
+    import pandas as pd
+
+    edges = pd.DataFrame(
+        {"doc_a": [f"n{a:02d}" for a, _ in pairs],
+         "doc_b": [f"n{b:02d}" for _, b in pairs]}
+    )
+    if not len(edges):
+        return
+    got = dict(
+        zip(*(lambda df: (df["doc_id"], df["cluster_id"]))(
+            driver_connected_components(edges)
+        ))
+    )
+    # naive fixpoint reference
+    comp = {}
+    for a, b in pairs:
+        comp.setdefault(f"n{a:02d}", {f"n{a:02d}"})
+        comp.setdefault(f"n{b:02d}", {f"n{b:02d}"})
+    changed = True
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(f"n{a:02d}", set()).add(f"n{b:02d}")
+        adj.setdefault(f"n{b:02d}", set()).add(f"n{a:02d}")
+    label = {n: n for n in adj}
+    while changed:
+        changed = False
+        for n in adj:
+            m = min([label[n]] + [label[x] for x in adj[n]])
+            if m < label[n]:
+                label[n] = m
+                changed = True
+    assert got == label
