@@ -26,19 +26,73 @@ def perm_seeds(num_perm: int, seed: int = 0x5EED) -> np.ndarray:
     return splitmix64(np.arange(num_perm, dtype=np.uint64) + salt)
 
 
+_DENSIFY_M: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _densify_priorities(num_perm: int, seed: int) -> np.ndarray:
+    """Fixed (num_perm, num_perm) uint64 priority matrix for densification.
+
+    ``M[j, p]`` = random priority with which empty bin ``j`` considers
+    borrowing filled bin ``p``. Hash bin indices on separate 32-bit lanes
+    before mixing — a raw ``j ^ p`` style combine conflates the
+    coordinates (only low bits vary), which in round 2 debugging made some
+    filled bins systematically unreachable-first and re-biased the
+    estimator. Cached per (num_perm, seed); 128 KiB at num_perm=128.
+    """
+    key = (num_perm, seed)
+    m = _DENSIFY_M.get(key)
+    if m is None:
+        jj = np.arange(num_perm, dtype=np.uint64)
+        grid = (jj[:, None] << np.uint64(32)) | jj[None, :]
+        salt = np.uint64((seed * 0xD6E8FEB86659FD93) % (1 << 64))
+        m = splitmix64(grid ^ salt)
+        _DENSIFY_M[key] = m
+    return m
+
+
+_DENSIFY_PI: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _densify_probe_order(num_perm: int, seed: int) -> np.ndarray:
+    """(num_perm, num_perm) probe order: ``PI[j]`` is bin ``j``'s borrow
+    preference (bins sorted by ``M[j, :]`` priority). First filled bin in
+    this order == ``argmin_p filled M[j, p]`` — but computable with an
+    adaptive probe loop instead of a dense masked argmin (dense rows
+    resolve in 1-2 probes; coverage guaranteed within num_perm probes)."""
+    key = (num_perm, seed)
+    pi = _DENSIFY_PI.get(key)
+    if pi is None:
+        pi = np.argsort(
+            _densify_priorities(num_perm, seed), axis=1, kind="stable"
+        ).astype(np.int16)
+        _DENSIFY_PI[key] = pi
+    return pi
+
+
 def minhash_from_windows(
     win: np.ndarray, doc_off: np.ndarray, num_perm: int, seed: int = 0x5EED
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 signature matrix from window hashes via
-    **one-permutation hashing** (Li, Owen, Zhang 2012) with circular
-    rotation densification (Shrivastava & Li 2014).
+    **one-permutation hashing** (Li, Owen, Zhang 2012) with **optimal
+    densification** (Shrivastava 2017).
 
     One pass over the windows — the hash's top bits pick a bin, the bin
     keeps its minimum — instead of ``num_perm`` salted rehash passes. This
     cuts memory traffic ~num_perm-fold, which matters because signature
-    computation is bandwidth-bound on many-core nodes. Empty bins borrow
-    from the nearest filled bin to their left (circularly), preserving the
-    ``mean(sig_a == sig_b)`` Jaccard estimator; empty docs keep the
+    computation is bandwidth-bound on many-core nodes.
+
+    Empty bins are densified with a *row-independent random priority
+    matrix* ``M[j, p]``: empty bin ``j`` borrows from the filled bin
+    ``argmin_p M[j, p]``. This is equivalent in distribution to Optimal
+    Densification's shared hash-directed probe sequence (the argmin is the
+    first bin such a sequence would hit), so for any two rows the
+    collision probability of a densified slot equals the Jaccard
+    similarity — the estimator stays unbiased even for docs with only 1-3
+    shingles, where directional (nearest-left rotation) borrowing produces
+    near-arbitrary estimates (the round-1 bias: a 1-shingle doc copied its
+    lone bin everywhere). Because ``M`` is a fixed function of
+    ``(num_perm, seed)``, densification of a row never depends on other
+    rows — results are invariant to batch splits. Empty docs keep the
     UINT64_MAX sentinel in every slot (analog of the reference's
     EMPTY_FILE sentinel, /root/reference/src/main.rs:536-538).
 
@@ -64,20 +118,27 @@ def minhash_from_windows(
     mins = np.minimum.reduceat(sv, bounds)
     sig.reshape(-1)[sk[bounds]] = mins
 
-    # rotation densification: every empty bin borrows the value of the
-    # nearest filled bin to its left, wrapping around the row
+    # optimal densification via shared priorities: empty bin j borrows from
+    # the filled bin argmin_p M[j, p], where M is a function of (bin pair,
+    # seed) ONLY — identical for every row — so P(collision) == Jaccard.
     empty = sig == UINT64_MAX
     if empty.any():
-        idx = np.arange(num_perm, dtype=np.int64)[None, :]
-        pos1 = np.where(~empty, idx, -1)
-        pos2 = np.where(~empty, idx + num_perm, -1)
-        ff = np.maximum.accumulate(
-            np.concatenate([pos1, pos2], axis=1), axis=1
-        )[:, num_perm:]
-        ok = ff >= 0
-        src = np.where(ok, ff % num_perm, 0)
-        borrowed = np.take_along_axis(sig, src, axis=1)
-        sig = np.where(empty & ok, borrowed, sig)
+        filled = ~empty
+        has_any = filled.any(axis=1)
+        ui, uj = np.nonzero(empty & has_any[:, None])
+        if ui.size:
+            pi = _densify_probe_order(num_perm, seed)
+            # writes touch only originally-empty slots and reads only
+            # originally-filled slots, so in-place on ``sig`` is safe
+            for t in range(num_perm):
+                if not ui.size:
+                    break
+                tgt = pi[uj, t].astype(np.int64)
+                hit = filled[ui, tgt]
+                if hit.any():
+                    sig[ui[hit], uj[hit]] = sig[ui[hit], tgt[hit]]
+                    miss = ~hit
+                    ui, uj = ui[miss], uj[miss]
     return sig
 
 
