@@ -206,7 +206,7 @@ def oracle_sql() -> dict[str, str]:
             "      len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard "
             "FROM tri a JOIN tri b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE / "
-            "      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5 "
+            "      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7 "
             "ORDER BY doc_a, doc_b"
         ),
         # embeddings are float32 on disk; cast to DOUBLE so DuckDB's cosine

@@ -12,6 +12,13 @@ Shared shape (the reference's candidate->confirm structure,
 /root/reference/src/main.rs:452-648): a vectorized signature pass, a
 groupby-shuffle on compact band rows, within-group pair enumeration, then a
 verification pass over candidates only.
+
+Verification has two physical plans, chosen by corpus size (mirroring
+pipelines/er.py): below ``_BROADCAST_MAX_DOCS`` the small side (signatures
+/ candidate texts) is shipped once via ``ray.put``; above it, the side data
+is hash-joined onto the deduplicated pair set (``attach_to_pairs``) — no
+driver-side materialization of the corpus at any size. ``scale_path``
+forces one plan for testing.
 """
 
 from __future__ import annotations
@@ -22,14 +29,21 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.grouping import local_candidate_pairs, shard_of
+from ..functions.grouping import local_candidate_pairs
 from ..functions.minhash import estimate_jaccard, lsh_band_hashes, minhash_signatures
 from ..functions.simhash import hamming64, simhash_signatures
+from ..stages.blocking import shard_of_u64
+from ..stages.codec import decode_sig_matrix, encode_fixed_u64_rows
+from ..stages.pairs import attach_to_pairs, dedup_pairs
 from .common import read
 
 _NUM_PERM = 128
-_BANDS = 32  # r=4 rows/band -> s-curve midpoint ~0.42, high recall at J>=0.5
+_BANDS = 32  # r=4 rows/band: recall ~1-1.6e-4 at J=0.7, ~1-2e-15 at J=0.9
 _N_SHARDS = 64
+# above this corpus size, verification hash-joins side data onto pairs
+# instead of broadcasting it (the er.py pattern; at 10^12 docs a broadcast
+# can never fit)
+_BROADCAST_MAX_DOCS = 1_000_000
 
 
 def _word_trigrams(text: str) -> set[str]:
@@ -45,38 +59,33 @@ def _sig_profiles(ds) -> "ray.data.Dataset":
             batch["text"].to_pylist(), num_perm=_NUM_PERM, shingle_k=3, mode="word"
         )
         return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "sig": pa.array(
-                    [r.tobytes() for r in sig.astype("<u8")], type=pa.binary()
-                ),
-            }
+            {"doc_id": batch["doc_id"], "sig": encode_fixed_u64_rows(sig)}
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
 def _band_rows(profiles) -> "ray.data.Dataset":
-    """MINIMAL shuffle rows (shard, band_key, doc_id) — ~30 B/key. The
+    """MINIMAL shuffle rows (shard, band_key, doc_id) — ~20 B/key. The
     1 KB signature does NOT ride the shuffle; verification reads it from a
-    broadcast matrix instead (at 10^12 docs: a hash join on doc_id)."""
+    broadcast matrix (small corpora) or a hash join on doc_id (scale).
+    Band keys are numeric uint64 (band hashes are already salted per band
+    index) — no per-row string formatting on the shuffle hot path."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        sig = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype="<u8").reshape(
-            len(ids), _NUM_PERM
-        )
+        n = batch.num_rows
+        sig = decode_sig_matrix(batch["sig"], _NUM_PERM)
         bh = lsh_band_hashes(sig, _BANDS)
-        n = len(ids)
-        keys = np.array(
-            [f"{j}:{bh[i, j]:016x}" for j in range(_BANDS) for i in range(n)],
-            dtype=object,
-        )
+        keys = bh.T.reshape(-1)
         return pa.table(
             {
-                "shard": pa.array(shard_of(keys, _N_SHARDS), type=pa.int32()),
-                "band_key": pa.array(keys, type=pa.string()),
-                "doc_id": pa.array(np.tile(ids, _BANDS), type=pa.int64()),
+                "shard": pa.array(
+                    shard_of_u64(keys, _N_SHARDS), type=pa.int32()
+                ),
+                "band_key": pa.array(keys, type=pa.uint64()),
+                "doc_id": pa.concat_arrays(
+                    [batch["doc_id"].combine_chunks()] * _BANDS
+                ),
             }
         )
 
@@ -140,77 +149,161 @@ def _lsh_candidates(sf_dir: str):
 
 
 def _broadcast_sigs(profiles):
-    df = profiles.to_pandas()
-    ids = df["doc_id"].to_numpy()
-    blob = b"".join(df["sig"])
+    from ..stages.codec import binary_col_blob
+
+    t = pa.concat_tables(
+        ray.get(profiles.to_arrow_refs()), promote_options="default"
+    )
+    ids = t["doc_id"].to_numpy()
+    blob, _ = binary_col_blob(t["sig"])
     return ray.put((ids, blob))
 
 
 def _dedup_pairs_ds(pairs, n_shards: int = _N_SHARDS):
-    from ..stages.pairs import dedup_pairs
-
     return dedup_pairs(pairs, n_shards)
 
 
-def minhash_lsh_dedup(sf_dir: str, jaccard_min: float = 0.7) -> ray.data.Dataset:
+def _use_join_path(scale_path: str, n_docs: int) -> bool:
+    if scale_path == "join":
+        return True
+    if scale_path == "broadcast":
+        return False
+    return n_docs > _BROADCAST_MAX_DOCS
+
+
+def minhash_lsh_dedup(
+    sf_dir: str, jaccard_min: float = 0.7, scale_path: str = "auto"
+) -> ray.data.Dataset:
     """Near-dup pairs by MinHash-estimated Jaccard >= ``jaccard_min``."""
     profiles, pairs = _lsh_candidates(sf_dir)
-    ref = _broadcast_sigs(profiles)
-    return pairs.map_batches(
-        _VerifyEstJaccard,
-        fn_constructor_args=(ref, jaccard_min),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    ).sort(["doc_a", "doc_b"])
+    if _use_join_path(scale_path, profiles.count()):
+        joined = attach_to_pairs(pairs, profiles, ["sig"], num_partitions=16)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            sig_a = decode_sig_matrix(batch["sig_a"], _NUM_PERM)
+            sig_b = decode_sig_matrix(batch["sig_b"], _NUM_PERM)
+            est = estimate_jaccard(sig_a, sig_b)
+            keep = est >= jaccard_min
+            return pa.table(
+                {
+                    "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                    "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                    "est_jaccard": pa.array(np.round(est[keep], 4)),
+                }
+            )
+
+        out = joined.map_batches(verify, batch_format="pyarrow")
+    else:
+        ref = _broadcast_sigs(profiles)
+        out = pairs.map_batches(
+            _VerifyEstJaccard,
+            fn_constructor_args=(ref, jaccard_min),
+            batch_format="pandas",
+            concurrency=(1, 4),
+        )
+    return out.sort(["doc_a", "doc_b"])
 
 
-def ngram_jaccard_dedup(sf_dir: str, jaccard_min: float = 0.5) -> pd.DataFrame:
+def _verify_trigram_rows(
+    texts_a: list[str], texts_b: list[str]
+) -> np.ndarray:
+    """Exact word-trigram Jaccard per aligned pair (memoized per text)."""
+    cache: dict[str, set] = {}
+
+    def grams(t: str) -> set:
+        g = cache.get(t)
+        if g is None:
+            g = cache.setdefault(t, _word_trigrams(t))
+        return g
+
+    out = np.empty(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        ga, gb = grams(ta), grams(tb)
+        union = len(ga | gb)
+        out[i] = (len(ga & gb) / union) if union else 0.0
+    return out
+
+
+def ngram_jaccard_dedup(
+    sf_dir: str, jaccard_min: float = 0.7, scale_path: str = "auto"
+) -> pd.DataFrame:
     """Pairs with EXACT word-trigram Jaccard >= threshold.
 
-    Candidates come from MinHash LSH (recall at J=0.5 is 1-(1-0.5^4)^32
-    ~= 0.87 and ~1.0 for J>=0.7); verification recomputes exact Jaccard
-    from the two texts, fetched via broadcast lookup (small side; a hash
-    join at scale). Column semantics match the DuckDB oracle exactly.
+    Candidates come from MinHash LSH; verification recomputes exact
+    Jaccard from the two texts. Column semantics match the DuckDB oracle
+    exactly, but candidate recall is probabilistic: with 32 bands of 4
+    rows, a pair at exactly J=0.7 is nominated w.p. ~1-1.6e-4 (and
+    ~1-2e-15 at J=0.9) — the default threshold sits in this high-recall
+    region on purpose; at J=0.5 recall would drop to ~0.87.
+
+    Texts are never materialized corpus-wide on the driver: the broadcast
+    plan ships only the texts of docs that appear in candidate pairs; the
+    join plan attaches texts to pairs with a hash join.
     """
     _, pairs = _lsh_candidates(sf_dir)
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    texts = ds.to_pandas().set_index("doc_id")["text"]
-    ref = ray.put(texts)
+    if _use_join_path(scale_path, docs.count()):
+        joined = attach_to_pairs(pairs, docs, ["text"], num_partitions=16)
 
-    class VerifyExact:
-        def __init__(self, ref, thresh):
-            self.texts = ray.get(ref)
-            self.thresh = thresh
-            self.cache: dict[int, set] = {}
-
-        def _grams(self, d):
-            g = self.cache.get(d)
-            if g is None:
-                g = _word_trigrams(self.texts.loc[d])
-                self.cache[d] = g
-            return g
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
             if not len(batch):
                 return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-            out_j = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                ga, gb = self._grams(int(a)), self._grams(int(b))
-                if not ga and not gb:
-                    out_j.append(0.0)
-                else:
-                    out_j.append(len(ga & gb) / len(ga | gb))
-            batch = batch[["doc_a", "doc_b"]].copy()
-            batch["jaccard"] = np.round(out_j, 4)
-            return batch[np.array(out_j) >= self.thresh]
+            j = _verify_trigram_rows(
+                batch["text_a"].tolist(), batch["text_b"].tolist()
+            )
+            out = batch[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = np.round(j, 4)
+            return out[j >= jaccard_min]
 
-    out = pairs.map_batches(
-        VerifyExact,
-        fn_constructor_args=(ref, jaccard_min),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    ).to_pandas()
+        out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    else:
+        pairs = pairs.materialize()
+        cand_df = pairs.to_pandas()  # small: the deduplicated candidate set
+        if len(cand_df):
+            cand_ids = np.unique(
+                np.concatenate(
+                    [cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()]
+                )
+            )
+        else:
+            cand_ids = np.empty(0, np.int64)
+        idset_ref = ray.put(cand_ids)
+
+        def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["doc_id"].isin(ray.get(idset_ref))]
+
+        # distributed scan -> only candidate texts reach the driver
+        cand_texts = docs.map_batches(
+            keep_candidates, batch_format="pandas"
+        ).to_pandas()
+        texts = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
+        ref = ray.put(texts)
+
+        class VerifyExact:
+            def __init__(self, ref, thresh):
+                self.texts = ray.get(ref)
+                self.thresh = thresh
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if not len(batch):
+                    return pd.DataFrame(
+                        {"doc_a": [], "doc_b": [], "jaccard": []}
+                    )
+                j = _verify_trigram_rows(
+                    [self.texts[int(a)] for a in batch["doc_a"]],
+                    [self.texts[int(b)] for b in batch["doc_b"]],
+                )
+                out = batch[["doc_a", "doc_b"]].copy()
+                out["jaccard"] = np.round(j, 4)
+                return out[j >= self.thresh]
+
+        out = pairs.map_batches(
+            VerifyExact,
+            fn_constructor_args=(ref, jaccard_min),
+            batch_format="pandas",
+            concurrency=(1, 4),
+        ).to_pandas()
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True).astype(
         {"doc_a": "int64", "doc_b": "int64"}
     )
@@ -222,21 +315,22 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
     hd <= 3 is guaranteed to share a chunk; higher hd probabilistic)."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
+        n = batch.num_rows
         sh = simhash_signatures(batch["text"].to_pylist(), shingle_k=3, mode="word")
-        out_key, out_id, out_sh = [], [], []
+        key_parts = []
         for j in range(4):
             chunk = (sh >> np.uint64(16 * j)) & np.uint64(0xFFFF)
-            out_key.extend(f"{j}:{int(c):04x}" for c in chunk)
-            out_id.extend(int(i) for i in ids)
-            out_sh.extend(int(s) for s in sh)
-        keys = np.array(out_key, dtype=object)
+            key_parts.append((np.uint64(j) << np.uint64(16)) | chunk)
+        keys = np.concatenate(key_parts)
+        ids4 = pa.concat_arrays([batch["doc_id"].combine_chunks()] * 4)
         return pa.table(
             {
-                "shard": pa.array(shard_of(keys, _N_SHARDS), type=pa.int32()),
-                "band_key": pa.array(keys, type=pa.string()),
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "simhash": pa.array(out_sh, type=pa.uint64()),
+                "shard": pa.array(
+                    shard_of_u64(keys, _N_SHARDS), type=pa.int32()
+                ),
+                "band_key": pa.array(keys, type=pa.uint64()),
+                "doc_id": ids4,
+                "simhash": pa.array(np.tile(sh, 4), type=pa.uint64()),
             }
         )
 

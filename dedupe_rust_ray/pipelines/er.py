@@ -30,7 +30,7 @@ import ray.data
 
 from ..config import ERConfig
 from ..stages.blocking import emit_blocking_keys
-from ..stages.pairs import candidate_pairs_in_shard, dedup_pairs
+from ..stages.pairs import attach_to_pairs, candidate_pairs_in_shard, dedup_pairs
 from ..stages.scoring import PairScorer, broadcast_score_batch, pack_profiles
 from ..stages.signatures import SpanSignatures, span_signatures_batch
 from ..state.checkpoint import stage_checkpoint
@@ -128,41 +128,11 @@ def _attach_profiles(
     profiles: ray.data.Dataset,
     num_partitions: int,
 ) -> ray.data.Dataset:
-    """Hash-join both endpoint profiles onto the pair rows (suffix _a/_b):
-    two ``Dataset.join`` shuffles partitioned on doc_id — the SCALE path,
-    used when the profile set is too large to broadcast (at 10^12 docs the
-    profile table can never be broadcast). The small-side alternative is
-    the fused broadcast scorer in :func:`er_pipeline`.
-
-    The two joins are separated by a ``materialize()``: each hash join
-    spawns one aggregator actor per partition, and two concurrent joins
-    can request more actor CPUs than the cluster has — the barrier caps
-    peak actor demand at one join's worth."""
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
-    num_partitions = max(4, min(num_partitions, cpus))
-    prof_a = profiles.rename_columns(
-        {c: f"{c}_a" for c in _PROFILE_DATA_COLS} | {"doc_id": "doc_a"}
-    ).select_columns(["doc_a"] + [f"{c}_a" for c in _PROFILE_DATA_COLS])
-    prof_b = profiles.rename_columns(
-        {c: f"{c}_b" for c in _PROFILE_DATA_COLS} | {"doc_id": "doc_b"}
-    ).select_columns(["doc_b"] + [f"{c}_b" for c in _PROFILE_DATA_COLS])
-    j = pairs.join(
-        prof_a,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_a",),
-    ).materialize()
-    return j.join(
-        prof_b,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_b",),
-    )
+    """Hash-join both endpoint profiles onto the pair rows (suffix _a/_b)
+    — the SCALE path, used when the profile set is too large to broadcast.
+    The small-side alternative is the fused broadcast scorer in
+    :func:`er_pipeline`. Shared machinery: stages/pairs.attach_to_pairs."""
+    return attach_to_pairs(pairs, profiles, _PROFILE_DATA_COLS, num_partitions)
 
 
 def _empty_clusters() -> ray.data.Dataset:

@@ -4,11 +4,17 @@ The analog of the reference's blocking operator — group-by
 ``(extension, width, height)`` at /root/reference/src/main.rs:365-435 —
 generalized to LSH keys for near-duplicate candidates:
 
-- ``b{j}:{band_hash}``  : MinHash LSH bands over the text signature
-  (j in 0..lsh_bands), emitted only for docs with text;
-- ``p{j}:{16-bit chunk}``: pHash bit-bands (4 chunks of 16 bits) per media
-  span — a pair within Hamming<=3 is *guaranteed* to share a chunk
-  (pigeonhole) and pairs within <=10 share one with high probability.
+- MinHash LSH bands over the text signature (j in 0..lsh_bands), emitted
+  only for docs with text;
+- pHash bit-bands (4 chunks of 16 bits) per media span — a pair within
+  Hamming<=3 is *guaranteed* to share a chunk (pigeonhole) and pairs
+  within <=10 share one with high probability.
+
+Keys are NUMERIC uint64 (round-1 emitted ``f"b{j}:{hash:016x}"`` strings
+built in a Python loop — O(rows x bands) string formatting per batch, then
+re-hashed for sharding; the numeric key needs neither). Key spaces are
+disjoint by the top bit: text band hashes (already salted per band) keep
+bit 63 clear; pHash chunk keys set it and pack ``(chunk_band, chunk)``.
 
 Exact duplicates do NOT go through blocking at all — they are clustered
 directly by ``groupby(content_hash)`` (the reference's phase-2 equality,
@@ -26,63 +32,73 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ERConfig
-from ..functions.grouping import shard_of
 from ..functions.minhash import lsh_band_hashes
-from ..functions.shingles import UINT64_MAX
+from ..functions.shingles import UINT64_MAX, splitmix64
 from .codec import decode_sig_matrix, decode_varlen_u64
+
+_TOP_BIT = np.uint64(1) << np.uint64(63)
+_NO_TOP = ~_TOP_BIT
+_SHARD_SALT = np.uint64(0xA24BAED4963EE407)
+
+
+def shard_of_u64(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Stable shard id per uint64 key (splitmix64, no string hashing)."""
+    return (splitmix64(keys ^ _SHARD_SALT) % np.uint64(n_shards)).astype(
+        np.int32
+    )
 
 
 def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
     """profile batch -> exploded (block_key, doc_id, content_hash) rows."""
     n = batch.num_rows
-    doc_ids = batch["doc_id"].to_pylist()
-    chash = batch["content_hash"].to_numpy()
+    chash = batch["content_hash"].to_numpy().astype(np.uint64, copy=False)
 
     sig = decode_sig_matrix(batch["minhash_sig"], cfg.num_perm)
     ph_flat, ph_off = decode_varlen_u64(batch["phashes"])
 
-    keys: list[str] = []
-    out_doc: list[str] = []
-    out_hash: list[int] = []
-    out_aux: list[int] = []  # full pHash on p-chunk rows (0 on text rows)
+    key_parts: list[np.ndarray] = []
+    idx_parts: list[np.ndarray] = []  # source row per emitted key
+    aux_parts: list[np.ndarray] = []  # full pHash on p-chunk rows (0 on text)
 
-    # text bands (skip docs whose signature is the empty sentinel)
+    # text bands (skip docs whose signature is the empty sentinel);
+    # band hashes are already salted per band, so they ARE the key
     has_text = sig[:, 0] != UINT64_MAX
     if has_text.any():
-        bands = lsh_band_hashes(sig[has_text], cfg.lsh_bands)
-        t_ids = [doc_ids[i] for i in np.flatnonzero(has_text)]
-        t_hash = chash[has_text]
-        for j in range(cfg.lsh_bands):
-            col = bands[:, j]
-            keys.extend(f"b{j}:{v:016x}" for v in col)
-            out_doc.extend(t_ids)
-            out_hash.extend(int(h) for h in t_hash)
-            out_aux.extend([0] * len(t_ids))
+        t_idx = np.flatnonzero(has_text)
+        bands = lsh_band_hashes(sig[t_idx], cfg.lsh_bands)
+        key_parts.append(bands.T.reshape(-1) & _NO_TOP)
+        idx_parts.append(np.tile(t_idx, cfg.lsh_bands))
+        aux_parts.append(np.zeros(t_idx.size * cfg.lsh_bands, np.uint64))
 
     # media pHash bit-bands (multi-index Hamming, Norouzi et al.): 4 chunks
     # of 16 bits nominate, and the FULL 64-bit pHash rides along so the
     # candidate stage verifies Hamming <= threshold IN-SHARD — random chunk
     # collisions (quadratic in corpus size) die before the pair shuffle.
     if len(ph_flat):
-        doc_of_ph = np.repeat(np.arange(n), ph_off[1:] - ph_off[:-1])
+        doc_of_ph = np.repeat(np.arange(n), np.diff(ph_off))
         for j in range(4):
             chunk = (ph_flat >> np.uint64(16 * j)) & np.uint64(0xFFFF)
-            keys.extend(
-                f"p{j}:{int(c):04x}" for c in chunk
+            key_parts.append(
+                _TOP_BIT | (np.uint64(j) << np.uint64(16)) | chunk
             )
-            out_doc.extend(doc_ids[d] for d in doc_of_ph)
-            out_hash.extend(int(chash[d]) for d in doc_of_ph)
-            out_aux.extend(int(p) for p in ph_flat)
+            idx_parts.append(doc_of_ph)
+            aux_parts.append(ph_flat)
 
-    keys_np = np.array(keys, dtype=object)
+    if not key_parts:
+        keys = np.empty(0, np.uint64)
+        idx = np.empty(0, np.int64)
+        aux = np.empty(0, np.uint64)
+    else:
+        keys = np.concatenate(key_parts)
+        idx = np.concatenate(idx_parts)
+        aux = np.concatenate(aux_parts)
+
     return pa.table(
         {
-            "shard": pa.array(
-                shard_of(keys_np, cfg.n_shards), type=pa.int32()
-            ),
-            "block_key": pa.array(keys, type=pa.string()),
-            "doc_id": pa.array(out_doc, type=pa.string()),
-            "content_hash": pa.array(out_hash, type=pa.uint64()),
-            "aux_phash": pa.array(out_aux, type=pa.uint64()),
+            "shard": pa.array(shard_of_u64(keys, cfg.n_shards), type=pa.int32()),
+            "block_key": pa.array(keys, type=pa.uint64()),
+            "doc_id": batch.column("doc_id").take(pa.array(idx)),
+            "content_hash": pa.array(chash[idx], type=pa.uint64()),
+            "aux_phash": pa.array(aux, type=pa.uint64()),
         }
     )

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import ERConfig
-from ..functions.grouping import local_candidate_pairs, shard_of
+from ..functions.grouping import local_candidate_pairs
 
 PAIR_COLUMNS = ["doc_a", "doc_b"]
 
@@ -68,6 +68,37 @@ def candidate_pairs_in_shard(group: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame
     return out.drop_duplicates(PAIR_COLUMNS)
 
 
+def attach_to_pairs(pairs, side, cols, num_partitions: int):
+    """Hash-join ``side`` (a dataset keyed by ``doc_id`` carrying ``cols``)
+    onto pair rows as ``_a``/``_b``-suffixed columns — the SCALE path used
+    when the side table is too large to broadcast (at 10^12 docs it never
+    fits). Two ``Dataset.join`` shuffles partitioned on doc id.
+
+    The joins are separated by a ``materialize()``: each hash join spawns
+    one aggregator actor per partition, and two concurrent joins can
+    request more actor CPUs than the cluster has — the barrier caps peak
+    actor demand at one join's worth."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(4, min(num_partitions, cpus))
+    side_a = side.rename_columns(
+        {c: f"{c}_a" for c in cols} | {"doc_id": "doc_a"}
+    ).select_columns(["doc_a"] + [f"{c}_a" for c in cols])
+    side_b = side.rename_columns(
+        {c: f"{c}_b" for c in cols} | {"doc_id": "doc_b"}
+    ).select_columns(["doc_b"] + [f"{c}_b" for c in cols])
+    j = pairs.join(
+        side_a, join_type="inner", num_partitions=num_partitions, on=("doc_a",)
+    ).materialize()
+    return j.join(
+        side_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",)
+    )
+
+
 def dedup_pairs(pairs_ds, n_shards: int = 64, extra_cols: tuple[str, ...] = ()):
     """Collapse duplicate (doc_a, doc_b) rows nominated by multiple bands:
     shuffle on a coarse pair-hash shard, drop duplicates inside the shard."""
@@ -75,10 +106,19 @@ def dedup_pairs(pairs_ds, n_shards: int = 64, extra_cols: tuple[str, ...] = ()):
     def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return batch.assign(pair_shard=np.array([], dtype=np.int32))
-        key = (
-            batch["doc_a"].astype(str) + "\x1f" + batch["doc_b"].astype(str)
-        ).to_numpy()
-        return batch.assign(pair_shard=shard_of(key, n_shards))
+        # vectorized per-column hashes combined numerically — no per-row
+        # string concatenation/allocation on the pair shuffle
+        ha = pd.util.hash_array(
+            batch["doc_a"].to_numpy(), hash_key="dedupe_ray_00042"
+        )
+        hb = pd.util.hash_array(
+            batch["doc_b"].to_numpy(), hash_key="dedupe_ray_00042"
+        )
+        with np.errstate(over="ignore"):
+            h = ha * np.uint64(0x9E3779B97F4A7C15) ^ hb
+        return batch.assign(
+            pair_shard=(h % np.uint64(n_shards)).astype(np.int32)
+        )
 
     return (
         pairs_ds.map_batches(add_shard, batch_format="pandas")

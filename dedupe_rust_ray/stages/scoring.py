@@ -29,47 +29,12 @@ from ..functions.minhash import estimate_jaccard
 from ..functions.simhash import hamming64
 from ..functions.shingles import char_shingle_hashes
 from ..functions.strsim import levenshtein_bounded
-from .codec import decode_sig_matrix, decode_varlen_u64
-
-
-def _offsets_dtype(t: pa.DataType):
-    # large_binary / large_string carry 64-bit offsets; plain ones 32-bit.
-    # Matters at the broadcast ceiling: 10^6 profiles x 1 KB sigs pushes a
-    # combined binary column past the int32 offset range, and Arrow then
-    # hands us a large_* column.
-    return np.int64 if t in (pa.large_binary(), pa.large_string()) else np.int32
-
-
-def _binary_col_blob(col: pa.ChunkedArray | pa.Array) -> tuple[bytes, np.ndarray]:
-    """(data blob, element offsets) of a binary column — zero-copy from the
-    Arrow buffers, no per-row Python bytes objects."""
-    if isinstance(col, pa.ChunkedArray):
-        if col.num_chunks > 1 and col.nbytes > (1 << 31) - (1 << 20):
-            col = col.cast(pa.large_binary())
-        col = col.combine_chunks()
-    if len(col) == 0:
-        return b"", np.zeros(1, dtype=np.int64)
-    byte_off = np.frombuffer(col.buffers()[1], dtype=_offsets_dtype(col.type))[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    data = col.buffers()[2]
-    blob = bytes(data)[byte_off[0] : byte_off[-1]]
-    return blob, (byte_off - byte_off[0]) // 8  # offsets in uint64 units
-
-
-def _string_col_buffers(col) -> tuple[np.ndarray, np.ndarray]:
-    """(utf8 data uint8 array, element offsets) of a string column."""
-    if isinstance(col, pa.ChunkedArray):
-        if col.num_chunks > 1 and col.nbytes > (1 << 31) - (1 << 20):
-            col = col.cast(pa.large_string())
-        col = col.combine_chunks()
-    if len(col) == 0:
-        return np.empty(0, np.uint8), np.zeros(1, dtype=np.int64)
-    off = np.frombuffer(col.buffers()[1], dtype=_offsets_dtype(col.type))[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
-    return data.copy(), off - off[0]
+from .codec import (
+    binary_col_blob as _binary_col_blob,
+    decode_sig_matrix,
+    decode_varlen_u64,
+    string_col_buffers as _string_col_buffers,
+)
 
 
 def pack_profiles(table: pa.Table) -> tuple:
@@ -103,6 +68,9 @@ def broadcast_score_batch(batch: pa.Table, ref, cfg: ERConfig) -> pa.Table:
     key = f"{ref.hex() if hasattr(ref, 'hex') else id(ref)}:{cfg.config_hash()}"
     scorer = _SCORER_CACHE.get(key)
     if scorer is None:
+        # size-1 cache: a stale entry pins a full packed profile set
+        # (up to ~1.3 GB at broadcast_max_docs) in a long-lived worker
+        _SCORER_CACHE.clear()
         scorer = _SCORER_CACHE.setdefault(key, BroadcastPairScorer(ref, cfg))
     return scorer(batch)
 

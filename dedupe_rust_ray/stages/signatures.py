@@ -38,6 +38,7 @@ from ..functions.imagehash import dct_matrix, phash_batch
 from ..functions.minhash import minhash_signatures
 from ..functions.simhash import simhash_from_sketch
 from ..sources.corpus import media_payload
+from .codec import encode_fixed_u64_rows, encode_varlen_u64
 
 PROFILE_COLUMNS = [
     "doc_id",
@@ -121,12 +122,10 @@ class SpanSignatures:
             ph = phash_batch(payloads, cfg.phash_dct, basis=self._dct)
         else:
             ph = np.empty(0, dtype=np.uint64)
-        ph = ph.astype("<u8")
-        phashes: list[bytes] = []
-        pos = 0
-        for refs_d in media_refs_per_doc:
-            phashes.append(ph[pos : pos + len(refs_d)].tobytes())
-            pos += len(refs_d)
+        n_media = np.fromiter(
+            (len(r) for r in media_refs_per_doc), np.int64, n_docs
+        )
+        phashes = encode_varlen_u64(ph, n_media)
 
         return pa.table(
             {
@@ -136,14 +135,11 @@ class SpanSignatures:
                     (offsets[1:] - offsets[:-1]).astype(np.int32),
                     type=pa.int32(),
                 ),
-                "minhash_sig": pa.array(
-                    [row.tobytes() for row in sig.astype("<u8")],
-                    type=pa.binary(),
-                ),
+                "minhash_sig": encode_fixed_u64_rows(sig),
                 "simhash": pa.array(sim, type=pa.uint64()),
-                "phashes": pa.array(phashes, type=pa.binary()),
+                "phashes": phashes,
                 "n_media": pa.array(
-                    [len(r) for r in media_refs_per_doc], type=pa.int32()
+                    n_media.astype(np.int32), type=pa.int32()
                 ),
                 "text_head": pa.array(
                     [t[:_TEXT_HEAD] for t in doc_texts], type=pa.string()

@@ -1,3 +1,4 @@
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -16,9 +17,14 @@ def _profiles(n=40):
 def test_blocking_emits_keys_for_text_and_media():
     cfg = ERConfig()
     out = emit_blocking_keys(_profiles(), cfg)
-    keys = out["block_key"].to_pylist()
-    assert any(k.startswith("b0:") for k in keys)
-    assert any(k.startswith("p0:") for k in keys)
+    keys = out["block_key"].to_numpy()
+    # numeric uint64 keys: pHash-chunk keys set bit 63, text band keys don't
+    top = keys >> np.uint64(63)
+    assert (top == 0).any(), "expected text band keys"
+    assert (top == 1).any(), "expected pHash chunk keys"
+    # aux_phash is 0 exactly on text band rows
+    aux = out["aux_phash"].to_numpy()
+    assert ((aux == 0) == (top == 0)).all()
     assert out.num_rows > 0
     # every exploded row keeps doc_id + content_hash (minimal shuffle row)
     assert out.column_names == [

@@ -147,3 +147,24 @@ def test_fingerprint_dedup_keeps_distinct(docs_df):
     got = fingerprint_dedup(SF).to_pandas()
     # at most one kept doc per distinct text; identical texts never both kept
     assert len(got) <= docs_df["text"].nunique()
+
+
+def test_dedupe_join_path_matches_broadcast_path():
+    """The hash-join (scale) verification plan must produce exactly the
+    broadcast plan's output for both sketch and exact-trigram dedup."""
+    from dedupe_rust_ray.pipelines.dedupe import (
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+    )
+
+    mh_b = minhash_lsh_dedup(SF, scale_path="broadcast").to_pandas()
+    mh_j = minhash_lsh_dedup(SF, scale_path="join").to_pandas()
+    pd.testing.assert_frame_equal(
+        mh_b.reset_index(drop=True), mh_j.reset_index(drop=True)
+    )
+
+    ng_b = ngram_jaccard_dedup(SF, scale_path="broadcast")
+    ng_j = ngram_jaccard_dedup(SF, scale_path="join")
+    pd.testing.assert_frame_equal(
+        ng_b.reset_index(drop=True), ng_j.reset_index(drop=True)
+    )
