@@ -16,9 +16,8 @@ match edges need explicit connected components:
   Labels are doc_id strings; min is lexicographic, so the final
   ``cluster_id = min(doc_id)`` matches the reference's canonicalization
   (src/main.rs:630). Monotone decreasing labels guarantee convergence in
-  O(log diameter) rounds; fixpoint is detected with a cheap per-round
-  label-multiset hash (labels can only decrease, so an unchanged hash sum
-  means converged).
+  O(log diameter) rounds; fixpoint is ``sum(changed) == 0`` where each
+  scatter-min row flags whether its label decreased this round.
 """
 
 from __future__ import annotations
@@ -26,8 +25,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-from ..functions.hashing import stable_hash64
 
 
 class UnionFind:
@@ -81,31 +78,6 @@ def driver_connected_components(edges: pd.DataFrame) -> pd.DataFrame:
     ).sort_values("doc_id", ignore_index=True)
 
 
-def _label_signature(labels_ds) -> int:
-    """Order-insensitive uint64 signature of the (node,label) multiset."""
-
-    def sig_batch(batch: pa.Table) -> pa.Table:
-        s = stable_hash64(
-            [
-                f"{n}\x1f{l}"
-                for n, l in zip(
-                    batch["doc_id"].to_pylist(), batch["cluster_id"].to_pylist()
-                )
-            ]
-        )
-        total = np.uint64(0)
-        with np.errstate(over="ignore"):
-            for v in s:
-                total += v
-        return pa.table({"sig": pa.array([int(total)], type=pa.uint64())})
-
-    parts = labels_ds.map_batches(sig_batch, batch_format="pyarrow").take_all()
-    total = 0
-    for row in parts:
-        total = (total + int(row["sig"])) % (1 << 64)
-    return total
-
-
 def distributed_connected_components(
     edges_ds, max_rounds: int = 50, n_shards: int = 64
 ):
@@ -119,8 +91,13 @@ def distributed_connected_components(
        source's current label in one shard; each edge emits a proposal
        ``(dst, label(src))``;
     2. **scatter-min**: proposals + current labels keyed by the TARGET
-       node; the minimum wins, and the shard reports how many labels
-       changed (monotone decreasing labels -> changed==0 is the fixpoint).
+       node; the minimum wins, and each node row carries a ``changed``
+       flag (new label < previous label). Monotone decreasing labels make
+       ``sum(changed) == 0`` the fixpoint — no extra hashing pass over the
+       label set per round.
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixpoint (a silently over-segmented result would look valid).
 
     Labels are doc_id strings; the lexicographic minimum makes the final
     ``cluster_id = min(doc_id)`` match the reference's canonicalization
@@ -182,7 +159,11 @@ def distributed_connected_components(
         )
 
     def gather(g: pd.DataFrame) -> pd.DataFrame:
-        """One shard of labels + outgoing edges -> proposals (dst, label)."""
+        """One shard of labels + outgoing edges -> proposals (dst, label).
+
+        Emitted rows keep ``kind``: the node's own current label travels as
+        kind=0 (so scatter-min can compare old vs new), neighbor proposals
+        as kind=1."""
         lab = g[g["kind"] == 0]
         lab_map = dict(zip(lab["key"], lab["other"]))
         e = g[g["kind"] == 1]
@@ -192,10 +173,12 @@ def distributed_connected_components(
                 "cluster_id": e["key"].map(lab_map).to_numpy(),
             }
         ).dropna()
-        return pd.concat(
-            [props, pd.DataFrame({"doc_id": lab["key"], "cluster_id": lab["other"]})],
-            ignore_index=True,
+        props["kind"] = np.int8(1)
+        own = pd.DataFrame(
+            {"doc_id": lab["key"], "cluster_id": lab["other"]}
         )
+        own["kind"] = np.int8(0)
+        return pd.concat([props, own], ignore_index=True)
 
     def proposal_rows(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
@@ -204,10 +187,16 @@ def distributed_connected_components(
         )
 
     def scatter_min(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("doc_id", as_index=False)["cluster_id"].min()
-        return out
+        new = g.groupby("doc_id", as_index=False)["cluster_id"].min()
+        old = g[g["kind"] == 0][["doc_id", "cluster_id"]].rename(
+            columns={"cluster_id": "old"}
+        )
+        m = new.merge(old, on="doc_id", how="left")
+        new["changed"] = (
+            m["old"].isna() | (m["cluster_id"] < m["old"])
+        ).to_numpy(dtype=np.int64)
+        return new
 
-    prev_sig = _label_signature(labels)
     for _ in range(max_rounds):
         mixed = labels.map_batches(label_rows, batch_format="pyarrow").union(edges2)
         proposals = mixed.groupby("shard").map_groups(
@@ -222,8 +211,10 @@ def distributed_connected_components(
             )
             .materialize()
         )
-        sig = _label_signature(labels)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    return labels
+        if labels.sum("changed") == 0:
+            return labels.drop_columns(["changed"])
+    raise RuntimeError(
+        f"distributed_connected_components did not converge within "
+        f"{max_rounds} rounds — labels were still changing (long-diameter "
+        f"component?); raise max_rounds (cfg.max_label_rounds)"
+    )

@@ -72,3 +72,20 @@ def test_distributed_matches_driver():
     pd.testing.assert_frame_equal(
         want[["doc_id", "cluster_id"]], got, check_dtype=False
     )
+
+
+def test_distributed_cc_raises_on_nonconvergence(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from dedupe_rust_ray.state.unionfind import distributed_connected_components
+
+    # a 40-node path graph needs ~log2(40) doubling rounds; 1 round cannot
+    # reach the fixpoint and must raise instead of returning silently
+    df = pd.DataFrame(
+        {"doc_a": [f"n{i:03d}" for i in range(39)],
+         "doc_b": [f"n{i + 1:03d}" for i in range(39)]}
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        distributed_connected_components(ray.data.from_pandas(df), max_rounds=1)
