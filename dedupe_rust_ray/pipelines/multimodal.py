@@ -35,10 +35,10 @@ def media_dims_census(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_features(sf_dir: str) -> ray.data.Dataset:
-    """Decode stage output (actor pool; BMP real, others stubbed with
-    per-row error flags). Returns (media_id, ok, err, width, height,
-    mean_brightness) sorted by media_id; thumbs dropped from the query
-    result to keep the driver comparison compact."""
+    """Decode stage output (actor pool; BMP/PNG/GIF decode real pixels,
+    JPEG rows carry per-row error flags). Returns (media_id, fmt, ok, err,
+    width, height, mean_brightness) sorted by media_id; thumbs dropped
+    from the query result to keep the driver comparison compact."""
     out = synth_media(sf_dir).map_batches(
         MediaDecode,
         batch_format="pyarrow",
@@ -46,7 +46,7 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 8),
     )
     return out.select_columns(
-        ["media_id", "ok", "err", "width", "height", "mean_brightness"]
+        ["media_id", "fmt", "ok", "err", "width", "height", "mean_brightness"]
     ).sort("media_id")
 
 

@@ -11,6 +11,9 @@ paths:
 - PNG IHDR          : /root/reference/src/dimensions.rs:92-107
 - GIF header        : /root/reference/src/dimensions.rs:111-131 (LE u16 @6)
 - WebP VP8/VP8L/VP8X: /root/reference/src/dimensions.rs:135-178
+- HEIC/HEIF ispe    : /root/reference/src/dimensions.rs:182-195 (the
+  reference uses libheif; here a pure-bytes ISO-BMFF ftyp/meta/ispe walk
+  reads the same spatial extents without any codec library)
 - BMP               : not in the reference parser (it delegates BMP to the
   image crate); included here for the same whitelist
   (/root/reference/src/main.rs:129).
@@ -94,6 +97,40 @@ def webp_dims(data: bytes) -> tuple[int, int] | None:
     return (w, h) if _valid(w, h) else None
 
 
+def heic_dims(data: bytes) -> tuple[int, int] | None:
+    """HEIC/HEIF dimensions from the ISO-BMFF box structure — pure bytes,
+    no libheif (the reference's M7 uses libheif's primary-image handle,
+    /root/reference/src/dimensions.rs:182-195; the equivalent metadata
+    lives in the ``ispe`` (image spatial extents) property box nested
+    under ``meta``/``iprp``/``ipco``).
+
+    Walks top-level boxes to find ``ftyp`` with a heic/heif/mif1 brand,
+    then scans for ``ispe`` boxes and returns the LARGEST extent found —
+    libheif's primary handle is the full-resolution image, while smaller
+    ``ispe`` entries belong to thumbnails."""
+    if len(data) < 16:
+        return None
+    # first box must be ftyp with an HEIF-family brand
+    (size,) = struct.unpack(">I", data[0:4])
+    if data[4:8] != b"ftyp" or size < 16 or size > len(data):
+        return None
+    brands = {data[i : i + 4] for i in range(8, size, 4)}
+    if not brands & {b"heic", b"heix", b"heif", b"mif1", b"msf1", b"hevc"}:
+        return None
+    best: tuple[int, int] | None = None
+    i = 0
+    # ispe payload: version/flags (4 B) + width u32 + height u32, both BE.
+    # A flat scan over box headers is robust to the deep container nesting
+    # (meta -> iprp -> ipco -> ispe) without tracking every parent size.
+    while i + 8 <= len(data):
+        if data[i : i + 4] == b"ispe" and i + 16 <= len(data):
+            w, h = struct.unpack(">II", data[i + 8 : i + 16])
+            if _valid(w, h) and (best is None or w * h > best[0] * best[1]):
+                best = (w, h)
+        i += 1
+    return best
+
+
 _PARSERS = {
     "jpeg": jpeg_dims,
     "jpg": jpeg_dims,
@@ -101,6 +138,8 @@ _PARSERS = {
     "gif": gif_dims,
     "bmp": bmp_dims,
     "webp": webp_dims,
+    "heic": heic_dims,
+    "heif": heic_dims,
 }
 
 
@@ -123,4 +162,6 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "heic"
     return None

@@ -3,17 +3,18 @@
 The sandbox has no image libraries (no Pillow/libheif), so:
 
 - **Encoders** here synthesize REAL minimal files (valid PNG via stdlib
-  zlib + CRC, uncompressed 24-bit BMP, GIF87a header, JPEG marker stream)
-  deterministically from a seed — the target-side replacement for the
-  reference's checked-in fixture generator
+  zlib + CRC, uncompressed 24-bit BMP, GIF87a with LZW image data, JPEG
+  marker stream) deterministically from a seed — the target-side
+  replacement for the reference's checked-in fixture generator
   (/root/reference/test_images/create_test_image.rs:4-41).
 - **MediaDecode** is the actor-pool decode stage with REAL Ray plumbing
-  (schema, batching, per-row error columns). BMP decode is fully
-  implemented (numpy over the uncompressed pixel array); other formats are
-  STUBBED — they surface ``err='decode_unsupported:<fmt>'`` per row, never
-  a task failure (the warn-and-skip policy of
-  /root/reference/src/main.rs:674-680). Swap in Pillow in ``__init__``
-  when available.
+  (schema, batching, per-row error columns). BMP, PNG (8-bit gray/RGB,
+  all five filters) and GIF (LZW, global/local palettes) decode for real
+  — mirroring the reference's decoded-pixel phase
+  (/root/reference/src/main.rs:593-681); JPEG scan decode needs a codec
+  library the sandbox lacks and surfaces
+  ``err='decode_unsupported:jpeg'`` per row, never a task failure (the
+  warn-and-skip policy of /root/reference/src/main.rs:674-680).
 """
 
 from __future__ import annotations
@@ -80,9 +81,218 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     return rows[::-1, :, 0].astype(np.float32)  # bottom-up -> top-down, gray
 
 
+def decode_png(data: bytes) -> np.ndarray | None:
+    """Inverse of :func:`encode_png`, generalized: 8-bit grayscale or RGB,
+    non-interlaced, all five scanline filters (the reference decodes PNG
+    pixels via the png crate, /root/reference/src/dimensions.rs:92-107 and
+    image::open at src/main.rs:659-681). Returns float32 grayscale."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w, h, color, idat = 8, None, None, None, bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color not in (0, 2) or interlace:
+                return None
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if not w or not h:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        return None
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int64)
+    for r in range(h):
+        f = lines[r, 0]
+        cur = lines[r, 1:].astype(np.int64)
+        up = out[r - 1] if r else np.zeros(stride, np.int64)
+        if f == 0:
+            out[r] = cur
+        elif f == 1:  # sub: cumulative left-neighbor per channel lane
+            out[r] = np.cumsum(cur.reshape(w, ch), axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # up
+            out[r] = (cur + up) & 0xFF
+        elif f == 3:  # average
+            row = out[r]
+            for i in range(stride):
+                left = row[i - ch] if i >= ch else 0
+                row[i] = (cur[i] + ((left + up[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            row = out[r]
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = up[i]
+                c = up[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                row[i] = (cur[i] + pred) & 0xFF
+        else:
+            return None
+    px = out.reshape(h, w, ch)
+    return (
+        px[:, :, 0] if ch == 1 else px.mean(axis=2)
+    ).astype(np.float32)
+
+
 def encode_gif_header(w: int, h: int) -> bytes:
     """GIF87a header + logical screen descriptor (enough for dim probing)."""
     return b"GIF87a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Real GIF87a: grayscale palette + LZW-coded image data.
+
+    Uses the "uncompressed GIF" trick — every pixel is emitted as its own
+    literal 9-bit code with a CLEAR before the decoder's dictionary would
+    force a code-width bump — a fully conformant stream any GIF decoder
+    reads, without implementing dictionary compression."""
+    h, w = pixels.shape
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h) + bytes([0xF7, 0x00, 0x00]) + gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW min code size
+    clear, eoi = 256, 257
+    acc = 0
+    nbits = 0
+    codes = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    flat = pixels.astype(np.uint8).ravel()
+    for i, v in enumerate(flat):
+        if i and i % 250 == 0:
+            emit(clear)  # keep decoder dict < 512 -> code width stays 9
+        emit(int(v))
+    emit(eoi)
+    if nbits:
+        codes.append(acc & 0xFF)
+    for s in range(0, len(codes), 255):
+        block = codes[s : s + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray | None:
+    """Full GIF-variant LZW decoder (variable code width, clear/EOI)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+    table = base + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = base + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray | None:
+    """Decode a GIF87a/89a first frame (global color table, no interlace),
+    LZW and all. Returns float32 grayscale (palette luma)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    sw, sh = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            lct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                lct = np.frombuffer(
+                    data, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40 or lct is None:  # interlaced unsupported
+                return None
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            pal_idx = np.frombuffer(bytes(idx[: w * h]), np.uint8)
+            if int(pal_idx.max(initial=0)) >= len(lct):
+                return None
+            rgb = lct[pal_idx].reshape(h, w, 3).astype(np.float32)
+            return rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+        if b0 == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x3B:
+            return None  # trailer before any image data
+        else:
+            return None
+    return None
 
 
 def encode_jpeg_markers(w: int, h: int) -> bytes:
@@ -119,7 +329,7 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
         elif fmt == "bmp":
             data = encode_bmp(rng.integers(0, 256, (h, w)).astype(np.uint8))
         elif fmt == "gif":
-            data = encode_gif_header(w, h)
+            data = encode_gif(rng.integers(0, 256, (h, w)).astype(np.uint8))
         else:
             data = encode_jpeg_markers(w, h)
         media_ids.append(f"m-{d:09d}")
@@ -164,7 +374,14 @@ class MediaDecode:
     """
 
     def __init__(self):
-        self.decoders = {"bmp": decode_bmp}
+        self.decoders = {
+            "bmp": decode_bmp,
+            "png": decode_png,
+            "gif": decode_gif,
+            # jpeg: entropy-coded scan decode needs a codec library the
+            # sandbox lacks; rows flag decode_unsupported:jpeg per the
+            # warn-and-skip policy
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch["fmt"].to_pylist()
@@ -201,6 +418,7 @@ class MediaDecode:
         return pa.table(
             {
                 "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
                 "ok": pa.array(ok, type=pa.bool_()),
                 "err": pa.array(err, type=pa.string()),
                 "width": pa.array(ws, type=pa.int32()),

@@ -90,3 +90,108 @@ def test_probe_dispatch_and_sniff():
     assert sniff_format(encode_jpeg_markers(2, 2)) == "jpeg"
     assert sniff_format(_webp_vp8(4, 4)) == "webp"
     assert sniff_format(b"garbage") is None
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+    import struct
+    import zlib
+
+    from dedupe_rust_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (24, 17)).astype(np.uint8)
+    out = decode_png(encode_png(px))
+    assert out is not None and out.shape == (24, 17)
+    assert (out.astype(np.uint8) == px).all()
+
+    # hand-build a PNG using every filter type (1,2,3,4) and verify the
+    # defilter logic reproduces the pixels
+    h, w = 6, 9
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    recon = px.astype(np.int64)
+    lines = bytearray()
+    for r, f in enumerate([0, 1, 2, 3, 4, 2]):
+        cur = recon[r]
+        up = recon[r - 1] if r else np.zeros(w, np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - np.r_[0, cur[:-1]]) & 0xFF
+        elif f == 2:
+            enc = (cur - up) & 0xFF
+        elif f == 3:
+            enc = (cur - ((np.r_[0, cur[:-1]] + up) >> 1)) & 0xFF
+        else:
+            enc = np.zeros(w, np.int64)
+            for i in range(w):
+                a = cur[i - 1] if i else 0
+                b, c = up[i], (up[i - 1] if i else 0)
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+        lines += bytes([f]) + bytes(enc.astype(np.uint8))
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out is not None
+    assert (out.astype(np.uint8) == px).all()
+
+
+def test_gif_roundtrip_lzw():
+    import numpy as np
+
+    from dedupe_rust_ray.stages.multimodal import decode_gif, encode_gif
+    from dedupe_rust_ray.stages.dims import probe_dims, sniff_format
+
+    rng = np.random.default_rng(7)
+    # > 250 pixels so the encoder's mid-stream CLEAR codes are exercised
+    px = rng.integers(0, 256, (23, 31)).astype(np.uint8)
+    data = encode_gif(px)
+    assert sniff_format(data) == "gif"
+    assert probe_dims("gif", data) == (31, 23)
+    out = decode_gif(data)
+    assert out is not None and out.shape == (23, 31)
+    # grayscale palette: luma of (v,v,v) == v
+    assert np.allclose(out, px.astype(np.float32), atol=0.51)
+
+
+def test_heic_dims_box_walk():
+    import struct
+
+    from dedupe_rust_ray.stages.dims import heic_dims, probe_dims, sniff_format
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"heic" + b"\x00" * 4 + b"mif1")
+    ispe_full = box(b"ispe", b"\x00" * 4 + struct.pack(">II", 1280, 960))
+    ispe_thumb = box(b"ispe", b"\x00" * 4 + struct.pack(">II", 160, 120))
+    ipco = box(b"ipco", ispe_full + ispe_thumb)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", b"\x00" * 4 + iprp)
+    data = ftyp + meta
+
+    assert sniff_format(data) == "heic"
+    # largest ispe wins: the primary image, not the thumbnail
+    assert heic_dims(data) == (1280, 960)
+    assert probe_dims("heic", data) == (1280, 960)
+    assert probe_dims("heif", data) == (1280, 960)
+
+    # non-HEIF brand (e.g. mp4) must not parse
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 4 + b"iso2") + meta
+    assert heic_dims(mp4) is None
+    # truncated / missing ispe
+    assert heic_dims(ftyp) is None

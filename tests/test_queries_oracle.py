@@ -101,13 +101,14 @@ def test_media_features_decode_policy():
     from dedupe_rust_ray.pipelines.multimodal import media_features
 
     got = media_features(SF).to_pandas()
-    # BMP rows decode for real; others are flagged, never task failures
+    # BMP/PNG/GIF rows decode for real; JPEG is flagged, never a failure
     assert (got["ok"] == (got["err"] == "")).all()
-    bmp_ok = got[got["ok"]]
-    assert len(bmp_ok) > 0
-    assert (bmp_ok["mean_brightness"] > 0).all()
-    assert (bmp_ok["width"] > 0).all()
+    decoded = got[got["ok"]]
+    assert set(decoded["fmt"]) == {"bmp", "png", "gif"}
+    assert (decoded["mean_brightness"] > 0).all()
+    assert (decoded["width"] > 0).all()
     bad = got[~got["ok"]]
+    assert set(bad["fmt"]) == {"jpeg"}
     assert bad["err"].str.startswith("decode_").all()
 
 
