@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_group_sizes": analytics.dup_group_sizes,
         "doc_len_stats": analytics.doc_len_stats,
         "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "part_type_census": analytics.part_type_census,
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
         "sessionize": sessions.sessionize,
@@ -141,6 +143,30 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(n_chars), 4) AS avg_chars, "
             "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        "part_type_census": (
+            "SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(SUM(p_retailprice), 2) AS sum_price "
+            "FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type"
+        ),
+        # the synthetic media table is a deterministic function of doc_id
+        # (stages/multimodal.synth_media_batch), so the dims census IS
+        # SQL-expressible over the documents table
+        "media_dims_census": (
+            "WITH m AS (SELECT doc_id % 4 AS fi, (doc_id // 4) % 5 AS di "
+            "FROM documents) "
+            "SELECT ['png','bmp','gif','jpeg'][CAST(fi AS INTEGER) + 1] AS fmt, "
+            "CAST([16,32,32,64,48][CAST(di AS INTEGER) + 1] AS INTEGER) AS width, "
+            "CAST([16,32,16,64,32][CAST(di AS INTEGER) + 1] AS INTEGER) AS height, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM m GROUP BY fi, di "
+            "ORDER BY n DESC, fmt, width, height"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -301,3 +301,81 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-style filtered aggregate: predicate pushdown at the read
+    (only 4 columns leave storage) + one partial sum per batch — the
+    canonical filter->aggregate shape where the shuffle moves a single
+    float per block."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"]
+        disc = batch["l_discount"]
+        qty = batch["l_quantity"]
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(sd, pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(sd, pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, pa.scalar(0.03)),
+                    pc.less_equal(disc, pa.scalar(0.07)),
+                ),
+                pc.less(qty, pa.scalar(24.0)),
+            ),
+        )
+        t = batch.filter(mask)
+        rev = pc.sum(
+            pc.multiply(t["l_extendedprice"], t["l_discount"])
+        ).as_py()
+        return pa.table({"partial": pa.array([rev or 0.0], type=pa.float64())})
+
+    total = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("partial", alias_name="revenue"))
+    )
+    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+
+
+def part_type_census(sf_dir: str) -> ray.data.Dataset:
+    """Per (p_brand, p_type) part counts with summed retail price — the
+    reference's census pattern over a second dimension table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["p_brand", "p_type"]).aggregate(
+            [("p_partkey", "count"), ("p_retailprice", "sum")]
+        )
+        return t.rename_columns(["p_brand", "p_type", "n_part", "sum_price"])
+
+    out = (
+        read(sf_dir, "part", columns=["p_brand", "p_type", "p_partkey", "p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("sum_price", alias_name="sum_price"),
+        )
+        .sort(["p_brand", "p_type"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # rounded SUM, not AVG: 2-decimal inputs keep the sum safely off
+        # the .005 round-half boundary that a sum/count division can hit
+        # depending on float accumulation order
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "p_type": batch["p_type"],
+                "n": batch["n"],
+                "sum_price": pc.round(batch["sum_price"], ndigits=2),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -173,12 +173,14 @@ def run_er_job(
     tmp = out_clusters + ".tmp"
     import shutil
 
+    from ..sources.storage import read_table, write_table
+
     shutil.rmtree(tmp, ignore_errors=True)
-    clusters.write_parquet(tmp)
+    write_table(clusters, tmp)
     shutil.rmtree(out_clusters, ignore_errors=True)
     os.replace(tmp, out_clusters)
 
-    back = ray.data.read_parquet(out_clusters)
+    back = read_table(out_clusters)
     n_rows = back.count()
     n_clusters = back.unique("cluster_id")
     manifest = {

@@ -84,15 +84,17 @@ def stage_checkpoint(
     if not checkpoint_dir:
         return make_ds()
 
+    from ..sources.storage import read_table, write_table
+
     stage_dir = os.path.join(checkpoint_dir, stage)
     if resume and _manifest_valid(stage_dir, config_hash):
-        return ray.data.read_parquet(stage_dir)
+        return read_table(stage_dir)
 
     ds = make_ds()
     tmp_dir = stage_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
-    ds.write_parquet(tmp_dir)
+    write_table(ds, tmp_dir)
     partitions = _partition_entries(tmp_dir)
     with open(_manifest_path(tmp_dir), "w") as f:
         json.dump(
@@ -111,7 +113,7 @@ def stage_checkpoint(
         )
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.replace(tmp_dir, stage_dir)
-    return ray.data.read_parquet(stage_dir)
+    return read_table(stage_dir)
 
 
 def read_manifest(checkpoint_dir: str, stage: str) -> dict | None:

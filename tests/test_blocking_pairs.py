@@ -108,3 +108,35 @@ def test_oversized_block_neighbor_chaining_stays_connected():
     lab = driver_connected_components(pairs)
     assert len(set(lab["cluster_id"])) == 1
     assert len(lab) == n
+
+
+def test_pathological_skew_hot_key_10k_docs():
+    """One blocking key holding 10,000 docs (the all-identical-dims case
+    the reference would process as a single rayon group): pair count must
+    stay O(n*W) via neighbor chaining, never O(n^2); the chain must still
+    connect every doc; and the shard task's output must respect
+    max_pairs_per_shard."""
+    cfg = ERConfig()
+    n = 10_000
+    g = pd.DataFrame(
+        {
+            "block_key": np.zeros(n, dtype=np.uint64),
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            "content_hash": np.arange(n, dtype=np.uint64),
+        }
+    )
+    pairs = candidate_pairs_in_shard(g, cfg)
+    # O(n*W): neighbor chaining with W=4 emits < 4n pairs, vs ~50M for n^2/2
+    assert len(pairs) < n * 5
+    assert len(pairs) <= cfg.max_pairs_per_shard
+
+    from dedupe_rust_ray.state.unionfind import driver_connected_components
+
+    lab = driver_connected_components(pairs)
+    assert len(lab) == n
+    assert lab["cluster_id"].nunique() == 1
+
+    # with a tight per-shard pair cap the output is bounded by the cap
+    tight = ERConfig(max_pairs_per_shard=1000)
+    capped = candidate_pairs_in_shard(g, tight)
+    assert len(capped) <= 1000
