@@ -73,20 +73,24 @@ def list_image_files(
 
 
 def quick_checksum(data: bytes, width: int, height: int) -> str:
-    """H1 — the reference's prefix checksum, from spec (src/main.rs:520-572)."""
+    """H1 — the reference's prefix checksum, bit-faithful
+    (src/main.rs:520-572).
+
+    The reference reads into a zero-initialized 3000-byte buffer and then
+    folds over the WHOLE buffer: short files are effectively zero-padded,
+    every 3-byte chunk counts as valid, and the multiplier is always 1000.
+    Its NO_VALID_PIXELS branch is therefore unreachable for any non-empty
+    file (kept here as documentation of that quirk, not as live code)."""
     if len(data) == 0:
         return "EMPTY_FILE"
-    prefix = np.frombuffer(data[:3000], dtype=np.uint8)
-    n_chunks = len(prefix) // 3
-    if n_chunks == 0:
-        return "NO_VALID_PIXELS"
-    chunks = prefix[: n_chunks * 3].reshape(-1, 3).astype(np.uint64)
+    prefix = np.zeros(3000, dtype=np.uint8)
+    head = np.frombuffer(data[:3000], dtype=np.uint8)
+    prefix[: len(head)] = head
+    chunks = prefix.reshape(-1, 3).astype(np.uint64)
     packed = (chunks[:, 0] << np.uint64(16)) | (chunks[:, 1] << np.uint64(8)) | chunks[:, 2]
     with np.errstate(over="ignore"):
-        total = np.uint64(0)
-        for v in packed:
-            total += v
-        final = (total * np.uint64(n_chunks)) ^ (
+        total = np.add.reduce(packed)  # uint64 wrapping sum
+        final = (total * np.uint64(1000)) ^ (
             (np.uint64(width) << np.uint64(32)) | np.uint64(height)
         )
     return f"{int(final):016x}"

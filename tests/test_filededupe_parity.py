@@ -102,7 +102,15 @@ def test_results_json_shape(tree, tmp_path):
 
 def test_quick_checksum_sentinels_and_mixing():
     assert quick_checksum(b"", 4, 4) == "EMPTY_FILE"
-    assert quick_checksum(b"ab", 4, 4) == "NO_VALID_PIXELS"  # < one 3-byte chunk
+    # reference parity for short files: the fold runs over its whole
+    # zero-initialized 3000-byte buffer, so "ab" hashes as one padded
+    # chunk ('a'<<16 | 'b'<<8 | 0) + 999 zero chunks, times 1000
+    expect = (((ord("a") << 16) | (ord("b") << 8)) * 1000) ^ ((4 << 32) | 4)
+    assert quick_checksum(b"ab", 4, 4) == f"{expect:016x}"
+    # zero-padding makes a short file hash equal its explicitly padded self
+    assert quick_checksum(b"xyz", 2, 2) == quick_checksum(
+        b"xyz" + b"\x00" * 2997, 2, 2
+    )
     h1 = quick_checksum(b"abcdef" * 10, 4, 4)
     h2 = quick_checksum(b"abcdef" * 10, 4, 4)
     h3 = quick_checksum(b"abcdef" * 10, 8, 4)  # dims mixed into the hash
