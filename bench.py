@@ -81,9 +81,12 @@ def _run_queries() -> dict:
 
     # headline: full ER pipeline over the distributed synthetic corpus
     # (media-rich — the reference is an image deduper; decode+pHash is the
-    # dominant cost, which is also the compute-bound path that scales)
+    # dominant cost, which is also the compute-bound path that scales).
+    # Block count is FIXED (not a function of num_cpus) so the scaling
+    # comparison runs on byte-identical input layout at every level.
     corpus = synth_corpus_distributed(
-        ER_N_BASE, blocks=max(NUM_CPUS * 2, 16), media_rich=True
+        ER_N_BASE, blocks=int(os.environ.get("GRAFT_ER_BLOCKS", "64")),
+        media_rich=True,
     ).materialize()
     n_docs = corpus.count()
     er_runs = []
@@ -151,12 +154,19 @@ def _scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def loadavg() -> float:
+        return round(os.getloadavg()[0], 1)
+
     lo, hi = 8, 32
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
-    # best-of-N per level: the sandbox host has heavy external load noise
-    # (loadavg spikes from co-tenants); best-of is the least-noise estimate
-    runs_lo = [run(lo) for _ in range(repeats)]
-    runs_hi = [run(hi) for _ in range(repeats)]
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # best-of-N per level (interleaved lo/hi so co-tenant load spikes hit
+    # both levels alike): the sandbox host shows loadavg spikes from
+    # OUTSIDE the container that can double any single wall-time
+    load_before = loadavg()
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = max(runs_lo, key=lambda r: r["er_docs_per_sec"])
     r_hi = max(runs_hi, key=lambda r: r["er_docs_per_sec"])
     tput_lo = r_lo["er_docs_per_sec"]
@@ -172,10 +182,12 @@ def _scaling() -> None:
                 "cpus_hi": hi,
                 "er_docs_per_sec_lo": tput_lo,
                 "er_docs_per_sec_hi": tput_hi,
+                "er_docs_per_sec_lo_runs": [r["er_docs_per_sec"] for r in runs_lo],
+                "er_docs_per_sec_hi_runs": [r["er_docs_per_sec"] for r in runs_hi],
                 "er_sec_lo": r_lo["queries"]["er_pipeline"],
                 "er_sec_hi": r_hi["queries"]["er_pipeline"],
-                "suite_sec_lo": r_lo["value"],
-                "suite_sec_hi": r_hi["value"],
+                "loadavg_before": load_before,
+                "loadavg_after": loadavg(),
                 "sf": SF_DIR,
             }
         )

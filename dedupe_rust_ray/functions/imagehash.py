@@ -35,7 +35,12 @@ def phash_batch(imgs: np.ndarray, dct_keep: int = 8, basis: np.ndarray | None = 
         imgs = imgs[None]
     b, n, _ = imgs.shape
     d = basis if basis is not None else dct_matrix(n)
-    coeffs = np.einsum("un,bnm,vm->buv", d, imgs, d, optimize=True)
+    # float32 batched matmuls: einsum over a float64 basis upcasts the
+    # whole (B, N, N) stack and lands in a non-BLAS contraction ~250x
+    # slower on this host; two sgemm-backed matmuls do the 2-D DCT
+    d32 = d.astype(np.float32, copy=False)
+    imgs32 = np.ascontiguousarray(imgs, dtype=np.float32)
+    coeffs = np.matmul(np.matmul(d32, imgs32), d32.T)
     block = coeffs[:, :dct_keep, :dct_keep].reshape(b, -1)
     med = np.median(block[:, 1:], axis=1, keepdims=True)
     bits = (block > med).astype(np.uint64)
