@@ -139,11 +139,16 @@ def _run_queries() -> dict:
 
 def _scaling() -> None:
     def run(ncpu: int) -> dict:
+        # 360k-base corpus (~468k docs): large enough that fixed per-run
+        # costs (scheduling, broadcast, driver CC) amortize — the regime a
+        # real multi-node job runs in. At 120k docs fixed costs eat ~30%
+        # of the 32-CPU wall and the efficiency number measures overhead,
+        # not the pipeline.
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="er",
-            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "120000"),
+            GRAFT_ER_N_BASE=os.environ.get("GRAFT_ER_N_BASE", "360000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -158,7 +163,7 @@ def _scaling() -> None:
         return round(os.getloadavg()[0], 1)
 
     lo, hi = 8, 32
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     # best-of-N per level (interleaved lo/hi so co-tenant load spikes hit
     # both levels alike): the sandbox host shows loadavg spikes from
     # OUTSIDE the container that can double any single wall-time

@@ -40,22 +40,32 @@ from .codec import (
 def pack_profiles(table: pa.Table) -> tuple:
     """Pack a profiles Arrow table into flat NUMPY structures.
 
-    Everything large is a numpy array: Ray's object store keeps numpy
-    buffers out-of-band, so every worker process maps the broadcast
-    READ-ONLY with zero copies — python lists / bytes objects would be
-    re-pickled and copied per process (~seconds each at 10^5 rows). Text
-    heads stay utf8-encoded (buffer + offsets) and are decoded lazily,
-    only for the few pairs that reach the deep text tier."""
-    ids = table["doc_id"].to_pylist()  # small; needed whole for row lookup
+    EVERYTHING is a numpy array — including the doc-id lookup, which is a
+    sorted array of 64-bit id hashes plus the row permutation (binary
+    search per pair endpoint instead of a dict). Ray's object store keeps
+    numpy buffers out-of-band, so every worker process maps the broadcast
+    READ-ONLY with zero copies; a python list / dict of 10^5+ doc-id
+    strings would be re-pickled and rebuilt once per worker process
+    (~seconds each, multiplied by every process in the pool). Text heads
+    stay utf8-encoded (buffer + offsets) and are decoded lazily, only for
+    the few pairs that reach the deep text tier."""
+    from ..functions.hashing import stable_hash64
+
+    n = table.num_rows
+    id_hash = stable_hash64(table["doc_id"].to_pylist()).astype(np.uint64)
+    order = np.argsort(id_hash, kind="stable")
+    id_hash_sorted = id_hash[order]
+    if n and (id_hash_sorted[1:] == id_hash_sorted[:-1]).any():
+        raise ValueError("doc_id hash collision in broadcast pack")
     ch = table["content_hash"].to_numpy().astype(np.uint64)
     sig_blob, _ = _binary_col_blob(table["minhash_sig"])
-    num_perm = len(sig_blob) // 8 // max(len(ids), 1)
-    sig = np.frombuffer(sig_blob, dtype="<u8").reshape(len(ids), max(num_perm, 1))
+    num_perm = len(sig_blob) // 8 // max(n, 1)
+    sig = np.frombuffer(sig_blob, dtype="<u8").reshape(n, max(num_perm, 1))
     sim = table["simhash"].to_numpy().astype(np.uint64)
     ph_blob, ph_off = _binary_col_blob(table["phashes"])
     ph = np.frombuffer(ph_blob, dtype="<u8")
     head_buf, head_off = _string_col_buffers(table["text_head"])
-    return (ids, ch, sig, sim, ph_off, ph, head_buf, head_off)
+    return (id_hash_sorted, order, ch, sig, sim, ph_off, ph, head_buf, head_off)
 
 
 _SCORER_CACHE: dict[str, "BroadcastPairScorer"] = {}
@@ -86,13 +96,23 @@ class BroadcastPairScorer:
 
         self.cfg = cfg or ERConfig()
         packed = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        (ids, self.ch, self.sig, self.sim, self.ph_off, self.ph,
-         self.head_buf, self.head_off) = packed
-        self.row = {d: i for i, d in enumerate(ids)}
+        (self.id_hash_sorted, self.order, self.ch, self.sig, self.sim,
+         self.ph_off, self.ph, self.head_buf, self.head_off) = packed
 
     def _head(self, i: int) -> str:
         lo, hi = self.head_off[i], self.head_off[i + 1]
         return self.head_buf[lo:hi].tobytes().decode("utf-8", "replace")
+
+    def _rows_of(self, doc_ids: list) -> np.ndarray:
+        """Vectorized doc_id -> profile row via binary search on hashes."""
+        from ..functions.hashing import stable_hash64
+
+        h = stable_hash64(doc_ids).astype(np.uint64)
+        pos = np.searchsorted(self.id_hash_sorted, h)
+        pos = np.minimum(pos, len(self.id_hash_sorted) - 1)
+        if not (self.id_hash_sorted[pos] == h).all():
+            raise KeyError("candidate pair references unknown doc_id")
+        return self.order[pos]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -101,10 +121,8 @@ class BroadcastPairScorer:
         )
         if n == 0:
             return out_schema.empty_table()
-        docs_a = batch["doc_a"].to_pylist()
-        docs_b = batch["doc_b"].to_pylist()
-        ra = np.fromiter((self.row[d] for d in docs_a), np.int64, n)
-        rb = np.fromiter((self.row[d] for d in docs_b), np.int64, n)
+        ra = self._rows_of(batch["doc_a"].to_pylist())
+        rb = self._rows_of(batch["doc_b"].to_pylist())
         score = score_pair_rows(
             self.cfg,
             self.ch[ra], self.ch[rb],

@@ -37,7 +37,7 @@ from ..functions.hashing import canonical_span_strings, stable_hash64
 from ..functions.imagehash import dct_matrix, phash_batch
 from ..functions.minhash import minhash_signatures
 from ..functions.simhash import simhash_from_sketch
-from ..sources.corpus import media_payload
+from ..sources.corpus import media_payload_batch
 from .codec import encode_fixed_u64_rows, encode_varlen_u64
 
 PROFILE_COLUMNS = [
@@ -116,9 +116,7 @@ class SpanSignatures:
         # one stacked pHash pass for every media span in the batch
         all_refs = [r for refs_d in media_refs_per_doc for r in refs_d]
         if all_refs:
-            payloads = np.stack(
-                [media_payload(r, cfg.phash_size) for r in all_refs]
-            )
+            payloads = media_payload_batch(all_refs, cfg.phash_size)
             ph = phash_batch(payloads, cfg.phash_dct, basis=self._dct)
         else:
             ph = np.empty(0, dtype=np.uint64)
