@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal ---
         "media_dims_census": multimodal.media_dims_census,
         "media_features": multimodal.media_features,
+        "media_thumbnails": multimodal.media_thumbnails,
+        "video_frame_sample": multimodal.video_frame_sample,
         # --- reference-parity file pipeline (S1-S5, H1, H4, G1-G6) ---
         "file_dedupe": filededupe.file_dedupe_query,
         # --- flagship ---

@@ -73,3 +73,64 @@ def media_decode_summary(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("fmt_err")
     )
+
+
+def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool resize stage: decode -> 16x16 block-mean -> PNG.
+
+    Returns (media_id, fmt, err, thumb_bytes) sorted by media_id; the
+    thumbnail payload itself is summarized as its byte length so the
+    driver comparison stays compact."""
+    from ..stages.multimodal import MediaResize
+
+    out = synth_media(sf_dir).map_batches(
+        MediaResize,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "err": batch["err"],
+                "thumb_bytes": pc.binary_length(batch["thumb_png"]),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow").sort("media_id")
+
+
+def video_frame_sample(sf_dir: str, every_n: int = 10) -> ray.data.Dataset:
+    """Frame-sampling over opaque 'video' payloads (synthetic decoder —
+    the sandbox has no codec libraries; the Ray plumbing is real).
+    One output row per sampled frame."""
+    from ..stages.multimodal import VideoFrameSample
+
+    frames = synth_media(sf_dir).map_batches(
+        VideoFrameSample,
+        fn_constructor_args=(every_n,),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "decoder": batch["decoder"],
+                "frame_bytes": pc.binary_length(batch["frame"]),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow").sort(
+        ["media_id", "frame_idx"]
+    )

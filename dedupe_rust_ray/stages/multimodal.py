@@ -19,6 +19,7 @@ The sandbox has no image libraries (no Pillow/libheif), so:
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -427,5 +428,104 @@ class MediaDecode:
                     [round(b, 4) for b in bright], type=pa.float64()
                 ),
                 "thumb": pa.array(thumbs, type=pa.binary()),
+            }
+        )
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area (block-mean) downsample of a 2-D grayscale image — the
+    vectorized resize kernel used by the thumbnail stage."""
+    h, w = img.shape
+    ry = np.linspace(0, h, out_h + 1).astype(np.int64)
+    rx = np.linspace(0, w, out_w + 1).astype(np.int64)
+    pooled = np.add.reduceat(np.add.reduceat(img, ry[:-1], axis=0), rx[:-1], axis=1)
+    counts = np.outer(np.diff(ry), np.diff(rx))
+    return (pooled / counts).astype(np.float32)
+
+
+class MediaResize:
+    """Actor-pool resize stage: decode (where a codec exists) -> area
+    downsample to ``edge`` x ``edge`` -> re-encode as PNG.
+
+    Same per-row error policy as :class:`MediaDecode`: rows whose format
+    cannot be decoded here carry ``err`` and an empty payload, never a
+    task failure (/root/reference/src/main.rs:674-680)."""
+
+    def __init__(self, edge: int = 16):
+        self.edge = edge
+        self.decoders = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_p, errs = [], []
+        for f, p in zip(fmts, payloads):
+            sniffed = sniff_format(p) or f
+            dec = self.decoders.get(sniffed)
+            img = dec(p) if dec else None
+            if img is None:
+                out_p.append(b"")
+                errs.append(f"decode_unsupported:{sniffed}" if dec is None else "decode_failed")
+                continue
+            small = resize_block_mean(img, self.edge, self.edge)
+            out_p.append(encode_png(np.clip(small, 0, 255).astype(np.uint8)))
+            errs.append("")
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "thumb_png": pa.array(out_p, type=pa.binary()),
+                "err": pa.array(errs, type=pa.string()),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool frame-sampling stage for opaque video payloads.
+
+    Real video demuxing needs codec libraries this environment lacks, so
+    the DECODE step is a deterministic fake (frames synthesized from the
+    payload hash) clearly marked per row with ``decoder='synthetic'`` —
+    while the Ray-side plumbing (schema, batching, actor signature,
+    one-row-per-sampled-frame explode) is real and tested. Swap
+    ``_decode_frames`` for a PyAV/ffmpeg call in a full environment."""
+
+    def __init__(self, every_n: int = 10, frame_edge: int = 16):
+        self.every_n = every_n
+        self.frame_edge = frame_edge
+
+    def _decode_frames(self, payload: bytes) -> np.ndarray:
+        # deterministic fake: "frame count" from payload length, pixels
+        # from a splitmix64 stream over the payload hash
+        from ..functions.shingles import splitmix64
+
+        n_frames = max(1, len(payload) // 256)
+        seed = np.uint64(int.from_bytes(
+            hashlib.sha256(payload).digest()[:8], "little"
+        ))
+        e = self.frame_edge
+        k = np.arange(n_frames * e * e, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            px = (splitmix64(seed * np.uint64(0x9E3779B97F4A7C15) ^ k)
+                  % np.uint64(256))
+        return px.astype(np.float32).reshape(n_frames, e, e)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_frame, out_dec = [], [], [], []
+        for mid, p in zip(ids, payloads):
+            frames = self._decode_frames(p)
+            for j in range(0, len(frames), self.every_n):
+                out_id.append(mid)
+                out_idx.append(j)
+                out_frame.append(frames[j].astype("<f4").tobytes())
+                out_dec.append("synthetic")
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.string()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "frame": pa.array(out_frame, type=pa.binary()),
+                "decoder": pa.array(out_dec, type=pa.string()),
             }
         )

@@ -68,6 +68,7 @@ def span_signatures_batch(batch: pa.Table, cfg: ERConfig) -> pa.Table:
     key = cfg.config_hash()
     inst = _INSTANCES.get(key)
     if inst is None:
+        _INSTANCES.clear()  # size-1: stale configs would pin state forever
         inst = _INSTANCES.setdefault(key, SpanSignatures(cfg))
     return inst(batch)
 

@@ -169,3 +169,26 @@ def test_dedupe_join_path_matches_broadcast_path():
     pd.testing.assert_frame_equal(
         ng_b.reset_index(drop=True), ng_j.reset_index(drop=True)
     )
+
+
+def test_media_thumbnails_and_frame_sample():
+    from dedupe_rust_ray.pipelines.multimodal import (
+        media_thumbnails,
+        video_frame_sample,
+    )
+
+    th = media_thumbnails(SF).to_pandas()
+    assert len(th) == 500
+    ok = th[th["err"] == ""]
+    # decodable formats produce a real PNG thumbnail payload
+    assert set(ok["fmt"]) == {"bmp", "png", "gif"}
+    assert (ok["thumb_bytes"] > 50).all()
+    assert (th[th["err"] != ""]["thumb_bytes"] == 0).all()
+
+    fr = video_frame_sample(SF).to_pandas()
+    assert len(fr) > 0
+    assert (fr["decoder"] == "synthetic").all()
+    # frames are 16x16 float32
+    assert (fr["frame_bytes"] == 16 * 16 * 4).all()
+    # frame indices respect the sampling stride
+    assert (fr["frame_idx"] % 10 == 0).all()
