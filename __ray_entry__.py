@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_topk": similarity.knn_topk,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         # --- multimodal ---
         "media_dims_census": multimodal.media_dims_census,
         "media_features": multimodal.media_features,

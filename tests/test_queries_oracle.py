@@ -192,3 +192,21 @@ def test_media_thumbnails_and_frame_sample():
     assert (fr["frame_bytes"] == 16 * 16 * 4).all()
     # frame indices respect the sampling stride
     assert (fr["frame_idx"] % 10 == 0).all()
+
+
+def test_knn_ivf_recall_vs_brute_force():
+    from dedupe_rust_ray.pipelines.similarity import knn_ivf, knn_topk
+
+    exact = knn_topk(SF)
+    approx = knn_ivf(SF)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    # n_probe=4 of 16 cells on random vectors; clustered real embeddings
+    # fare far better (same caveat as knn_lsh)
+    assert recall >= 0.25, recall
+    # every reported sim must equal the exact sim for that pair
+    em = {(q, n): s for q, n, s in exact.itertuples(index=False)}
+    for q, n, s in approx.itertuples(index=False):
+        if (q, n) in em:
+            assert abs(em[(q, n)] - s) < 1e-6
