@@ -130,9 +130,69 @@ def _attach_profiles(
 ) -> ray.data.Dataset:
     """Hash-join both endpoint profiles onto the pair rows (suffix _a/_b)
     — the SCALE path, used when the profile set is too large to broadcast.
-    The small-side alternative is the fused broadcast scorer in
-    :func:`er_pipeline`. Shared machinery: stages/pairs.attach_to_pairs."""
-    return attach_to_pairs(pairs, profiles, _PROFILE_DATA_COLS, num_partitions)
+    Pair endpoints are uint64 ``idh`` hashes, so the join keys are
+    fixed-width numerics. The small-side alternative is the fused
+    broadcast scorer in :func:`er_pipeline`."""
+    return attach_to_pairs(
+        pairs, profiles, _PROFILE_DATA_COLS, num_partitions, side_key="idh"
+    )
+
+
+_IDMAP_CACHE: dict[str, tuple] = {}
+
+
+def _attach_doc_ids(
+    edges_h: ray.data.Dataset,
+    profiles: ray.data.Dataset,
+    n_profiles: int,
+    cfg: ERConfig,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Map uint64 ``idh`` edge endpoints back to doc_id strings.
+
+    The edge set is small relative to the corpus (duplicates only), so
+    this is the ONLY place strings re-enter the tail. Below the broadcast
+    ceiling the (sorted idh -> doc_id) map ships once via ``ray.put``;
+    above it the strings are hash-joined on from the profiles."""
+    if n_profiles <= cfg.broadcast_max_docs:
+        import numpy as np
+
+        t = pa.concat_tables(
+            ray.get(
+                profiles.select_columns(["doc_id", "idh"]).to_arrow_refs()
+            ),
+            promote_options="default",
+        )
+        idh = t["idh"].to_numpy().astype("uint64", copy=False)
+        order = np.argsort(idh, kind="stable")
+        ids_sorted = np.asarray(t["doc_id"].to_pylist(), dtype=object)[order]
+        ref = ray.put((idh[order], ids_sorted))
+
+        def to_ids(batch: pa.Table) -> pa.Table:
+            key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+            cached = _IDMAP_CACHE.get(key)
+            if cached is None:
+                _IDMAP_CACHE.clear()
+                cached = _IDMAP_CACHE.setdefault(key, ray.get(ref))
+            hs, ids = cached
+
+            def look(col):
+                h = col.to_numpy().astype("uint64", copy=False)
+                pos = np.searchsorted(hs, h)
+                return pa.array(ids[pos], type=pa.string())
+
+            return pa.table(
+                {"doc_a": look(batch["doc_a"]), "doc_b": look(batch["doc_b"])}
+            )
+
+        return edges_h.map_batches(to_ids, batch_format="pyarrow")
+
+    joined = attach_to_pairs(
+        edges_h, profiles, ["doc_id"], num_partitions, side_key="idh"
+    )
+    return joined.select_columns(["doc_id_a", "doc_id_b"]).rename_columns(
+        {"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+    )
 
 
 def _empty_clusters() -> ray.data.Dataset:
@@ -278,9 +338,14 @@ def er_pipeline(
             batch_size=cfg.batch_size,
             concurrency=cfg.sig_concurrency or (1, 16),
         )
-    near = scored.filter(expr=f"score >= {cfg.score_threshold}").select_columns(
+    near_h = scored.filter(expr=f"score >= {cfg.score_threshold}").select_columns(
         ["doc_a", "doc_b"]
     )
+    try:
+        num_partitions = max(profiles.num_blocks(), 8)
+    except NotImplementedError:
+        num_partitions = max(n_profiles // 500_000, 8)
+    near = _attach_doc_ids(near_h, profiles, n_profiles, cfg, num_partitions)
 
     def make_edges():
         return exact.union(near)

@@ -49,9 +49,14 @@ def shard_of_u64(keys: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
-    """profile batch -> exploded (block_key, doc_id, content_hash) rows."""
+    """profile batch -> exploded (block_key, idh, content_hash) rows.
+
+    Every column is fixed-width numeric — the doc identifier is the
+    profile's ``idh`` hash, so the three tail shuffles (bands, pairs,
+    scores) never move or convert object strings."""
     n = batch.num_rows
     chash = batch["content_hash"].to_numpy().astype(np.uint64, copy=False)
+    idh = batch["idh"].to_numpy().astype(np.uint64, copy=False)
 
     sig = decode_sig_matrix(batch["minhash_sig"], cfg.num_perm)
     ph_flat, ph_off = decode_varlen_u64(batch["phashes"])
@@ -97,7 +102,7 @@ def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
         {
             "shard": pa.array(shard_of_u64(keys, cfg.n_shards), type=pa.int32()),
             "block_key": pa.array(keys, type=pa.uint64()),
-            "doc_id": batch.column("doc_id").take(pa.array(idx)),
+            "idh": pa.array(idh[idx], type=pa.uint64()),
             "content_hash": pa.array(chash[idx], type=pa.uint64()),
             "aux_phash": pa.array(aux, type=pa.uint64()),
         }

@@ -38,15 +38,22 @@ _EMPTY = pd.DataFrame({"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtyp
 
 
 def candidate_pairs_in_shard(group: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame:
+    """Pairs within one shard. The id column is ``idh`` (uint64 — the ER
+    tail path, fully numeric) or ``doc_id`` (direct/test use); output
+    columns are (doc_a, doc_b) in the same dtype as the input ids."""
     keys = group["block_key"].to_numpy()
     ia, ib = local_candidate_pairs(
         keys,
         max_group=cfg.max_block_size,
         max_pairs=cfg.max_pairs_per_shard,
     )
+    id_col = "idh" if "idh" in group.columns else "doc_id"
     if not len(ia):
-        return _EMPTY.copy()
-    ids = group["doc_id"].to_numpy()
+        dt = group[id_col].dtype if id_col == "idh" else object
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype=dt), "doc_b": pd.Series(dtype=dt)}
+        )
+    ids = group[id_col].to_numpy()
     ch = group["content_hash"].to_numpy()
     a, b = ids[ia], ids[ib]
     keep = (a != b) & (ch[ia] != ch[ib])
@@ -68,7 +75,15 @@ def candidate_pairs_in_shard(group: pd.DataFrame, cfg: ERConfig) -> pd.DataFrame
     return out.drop_duplicates(PAIR_COLUMNS)
 
 
-def attach_to_pairs(pairs, side, cols, num_partitions: int):
+def attach_to_pairs(
+    pairs,
+    side,
+    cols,
+    num_partitions: int,
+    *,
+    pair_keys: tuple[str, str] = ("doc_a", "doc_b"),
+    side_key: str = "doc_id",
+):
     """Hash-join ``side`` (a dataset keyed by ``doc_id`` carrying ``cols``)
     onto pair rows as ``_a``/``_b``-suffixed columns — the SCALE path used
     when the side table is too large to broadcast (at 10^12 docs it never
@@ -85,17 +100,18 @@ def attach_to_pairs(pairs, side, cols, num_partitions: int):
     except Exception:  # noqa: BLE001
         cpus = 8
     num_partitions = max(4, min(num_partitions, cpus))
+    ka, kb = pair_keys
     side_a = side.rename_columns(
-        {c: f"{c}_a" for c in cols} | {"doc_id": "doc_a"}
-    ).select_columns(["doc_a"] + [f"{c}_a" for c in cols])
+        {c: f"{c}_a" for c in cols} | {side_key: ka}
+    ).select_columns([ka] + [f"{c}_a" for c in cols])
     side_b = side.rename_columns(
-        {c: f"{c}_b" for c in cols} | {"doc_id": "doc_b"}
-    ).select_columns(["doc_b"] + [f"{c}_b" for c in cols])
+        {c: f"{c}_b" for c in cols} | {side_key: kb}
+    ).select_columns([kb] + [f"{c}_b" for c in cols])
     j = pairs.join(
-        side_a, join_type="inner", num_partitions=num_partitions, on=("doc_a",)
+        side_a, join_type="inner", num_partitions=num_partitions, on=(ka,)
     ).materialize()
     return j.join(
-        side_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",)
+        side_b, join_type="inner", num_partitions=num_partitions, on=(kb,)
     )
 
 

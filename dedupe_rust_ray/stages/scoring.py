@@ -52,7 +52,10 @@ def pack_profiles(table: pa.Table) -> tuple:
     from ..functions.hashing import stable_hash64
 
     n = table.num_rows
-    id_hash = stable_hash64(table["doc_id"].to_pylist()).astype(np.uint64)
+    if "idh" in table.column_names:
+        id_hash = table["idh"].to_numpy().astype(np.uint64, copy=False)
+    else:
+        id_hash = stable_hash64(table["doc_id"].to_pylist()).astype(np.uint64)
     order = np.argsort(id_hash, kind="stable")
     id_hash_sorted = id_hash[order]
     if n and (id_hash_sorted[1:] == id_hash_sorted[:-1]).any():
@@ -103,11 +106,16 @@ class BroadcastPairScorer:
         lo, hi = self.head_off[i], self.head_off[i + 1]
         return self.head_buf[lo:hi].tobytes().decode("utf-8", "replace")
 
-    def _rows_of(self, doc_ids: list) -> np.ndarray:
-        """Vectorized doc_id -> profile row via binary search on hashes."""
-        from ..functions.hashing import stable_hash64
+    def _rows_of(self, col) -> np.ndarray:
+        """Vectorized id -> profile row via binary search on id hashes.
+        Accepts a uint64 ``idh`` column (the numeric tail path — no
+        hashing at all) or a string doc_id column."""
+        if pa.types.is_unsigned_integer(col.type):
+            h = col.to_numpy().astype(np.uint64, copy=False)
+        else:
+            from ..functions.hashing import stable_hash64
 
-        h = stable_hash64(doc_ids).astype(np.uint64)
+            h = stable_hash64(col.to_pylist()).astype(np.uint64)
         pos = np.searchsorted(self.id_hash_sorted, h)
         pos = np.minimum(pos, len(self.id_hash_sorted) - 1)
         if not (self.id_hash_sorted[pos] == h).all():
@@ -116,13 +124,18 @@ class BroadcastPairScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        out_schema = pa.schema(
-            [("doc_a", pa.string()), ("doc_b", pa.string()), ("score", pa.float64())]
-        )
         if n == 0:
-            return out_schema.empty_table()
-        ra = self._rows_of(batch["doc_a"].to_pylist())
-        rb = self._rows_of(batch["doc_b"].to_pylist())
+            return batch.append_column(
+                "score", pa.array([], type=pa.float64())
+            )
+        ca = batch["doc_a"]
+        cb = batch["doc_b"]
+        if isinstance(ca, pa.ChunkedArray):
+            ca = ca.combine_chunks()
+        if isinstance(cb, pa.ChunkedArray):
+            cb = cb.combine_chunks()
+        ra = self._rows_of(ca)
+        rb = self._rows_of(cb)
         score = score_pair_rows(
             self.cfg,
             self.ch[ra], self.ch[rb],
@@ -238,7 +251,13 @@ class PairScorer:
         cfg = self.cfg
         n = batch.num_rows
         if n == 0:
-            return batch.append_column("score", pa.array([], type=pa.float64()))
+            return pa.table(
+                {
+                    "doc_a": batch["doc_a"],
+                    "doc_b": batch["doc_b"],
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
 
         def col(name):
             c = batch[name]
@@ -263,4 +282,12 @@ class PairScorer:
             ph_flat, ph_off, ra, rb,
             col("text_head_a").to_pylist(), col("text_head_b").to_pylist(),
         )
-        return batch.append_column("score", pa.array(score, type=pa.float64()))
+        # minimal output: the joined 1.3 KB/row profile payloads must not
+        # ride beyond the scorer
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "score": pa.array(score, type=pa.float64()),
+            }
+        )

@@ -6,6 +6,14 @@ probe (/root/reference/src/dimensions.rs:10-21) and the quick checksum
 compact *profile* per document:
 
     doc_id       : string
+    idh          : uint64        stable hash of doc_id — the identifier that
+                                 rides every tail shuffle (band rows, pairs,
+                                 scores) so those stages move fixed-width
+                                 numerics, never object strings; strings are
+                                 re-attached only to the (small) edge set.
+                                 Collisions are detected at broadcast-pack
+                                 time; the >10^9-doc upgrade path is a
+                                 second 64-bit lane.
     content_hash : uint64        exact-dup key (canonical span bytes)
     n_spans      : int32
     minhash_sig  : binary        MinHash over concatenated text spans
@@ -42,6 +50,7 @@ from .codec import encode_fixed_u64_rows, encode_varlen_u64
 
 PROFILE_COLUMNS = [
     "doc_id",
+    "idh",
     "content_hash",
     "n_spans",
     "minhash_sig",
@@ -126,9 +135,11 @@ class SpanSignatures:
         )
         phashes = encode_varlen_u64(ph, n_media)
 
+        idh = stable_hash64(batch["doc_id"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
+                "idh": pa.array(idh, type=pa.uint64()),
                 "content_hash": pa.array(content_hash, type=pa.uint64()),
                 "n_spans": pa.array(
                     (offsets[1:] - offsets[:-1]).astype(np.int32),

@@ -26,14 +26,19 @@ def test_blocking_emits_keys_for_text_and_media():
     aux = out["aux_phash"].to_numpy()
     assert ((aux == 0) == (top == 0)).all()
     assert out.num_rows > 0
-    # every exploded row keeps doc_id + content_hash (minimal shuffle row)
+    # every exploded row keeps idh + content_hash (minimal all-numeric
+    # shuffle row — no object strings ride the tail)
     assert out.column_names == [
         "shard",
         "block_key",
-        "doc_id",
+        "idh",
         "content_hash",
         "aux_phash",
     ]
+    assert all(
+        str(out.schema.field(c).type) in ("uint64", "int32")
+        for c in out.column_names
+    )
     # a block never spans shards
     df = out.to_pandas()
     assert (df.groupby("block_key")["shard"].nunique() == 1).all()
@@ -45,12 +50,12 @@ def test_exact_dup_docs_share_every_band():
     prof = SpanSignatures(cfg)(docs)
     out = emit_blocking_keys(prof, cfg)
     df = out.to_pandas()
-    h = prof.to_pandas().set_index("doc_id")["content_hash"]
+    h = prof.to_pandas().set_index("idh")["content_hash"]
     dup_groups = h.groupby(h).filter(lambda g: len(g) > 1)
     if len(dup_groups):
         some_hash = dup_groups.iloc[0]
         ids = h[h == some_hash].index.tolist()
-        keysets = [set(df[df.doc_id == d].block_key) for d in ids]
+        keysets = [set(df[df.idh == d].block_key) for d in ids]
         assert keysets[0] == keysets[1]
 
 
