@@ -57,7 +57,15 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
 
 
 def levenshtein_bounded(a: str, b: str, max_dist: int) -> int:
-    """Banded Levenshtein; returns ``max_dist + 1`` once the bound is exceeded."""
+    """Bounded Levenshtein; returns ``max_dist + 1`` once the bound is
+    exceeded.
+
+    Vectorized row DP: each of the ``len(a)`` rows is computed with numpy
+    ops over the whole row. The sequential insertion dependency
+    (``cur[j-1] + 1``) is folded in with the running-minimum identity
+    ``cur[j] = j + min_{m<=j}(base[m] - m)``. The scalar-Python version
+    this replaces cost ~27 ms per 256-char pair and dominated the whole
+    scoring stage (round-2 profile: 118 s of a 120 s scorer run)."""
     la, lb = len(a), len(b)
     if abs(la - lb) > max_dist:
         return max_dist + 1
@@ -65,21 +73,31 @@ def levenshtein_bounded(a: str, b: str, max_dist: int) -> int:
         return lb
     if lb == 0:
         return la
-    prev = list(range(lb + 1))
+    if la < 8 or lb < 8:  # tiny strings: scalar DP beats numpy overhead
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            prev = cur
+        return min(prev[lb], max_dist + 1)
+
+    import numpy as np
+
+    A = np.frombuffer(a.encode("utf-32-le"), dtype="<u4")
+    B = np.frombuffer(b.encode("utf-32-le"), dtype="<u4")
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
     for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        lo = max(1, i - max_dist)
-        hi = min(lb, i + max_dist)
-        if lo > 1:
-            cur[lo - 1] = max_dist + 1
-        row_min = cur[0] if lo == 1 else max_dist + 1
-        for j in range(lo, hi + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            row_min = min(row_min, cur[j])
-        if hi < lb:
-            cur[hi + 1 :] = [max_dist + 1] * (lb - hi)
-        if row_min > max_dist:
+        neq = (B != A[i - 1]).astype(np.int64)
+        base = np.empty(lb + 1, dtype=np.int64)
+        base[0] = i
+        # substitution / deletion candidates (no left-to-right dependency)
+        np.minimum(prev[1:] + 1, prev[:-1] + neq, out=base[1:])
+        # insertion closure: cur[j] = j + min_{m<=j}(base[m] - m)
+        cur = np.minimum.accumulate(base - idx) + idx
+        if cur.min() > max_dist:
             return max_dist + 1
         prev = cur
-    return min(prev[lb], max_dist + 1)
+    return int(min(prev[lb], max_dist + 1))

@@ -226,9 +226,12 @@ def score_pair_rows(
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             char_j = inter / (union - inter)
             best = max(jac[i], char_j)
-            if 0.25 < char_j < 0.9:  # tier 3: edit distance decides
-                ha, hb = heads_a[i], heads_b[i]
-                length = max(len(ha), len(hb))
+            ha, hb = heads_a[i], heads_b[i]
+            length = max(len(ha), len(hb))
+            # tier 3 (edit distance) decides only for SHORT heads, where
+            # char shingling over-penalizes; for long heads the exact
+            # char-gram Jaccard is already a reliable similarity
+            if 0.25 < char_j < 0.9 and length < 64:
                 d = levenshtein_bounded(ha, hb, max(2, length // 4))
                 best = max(best, 1.0 - d / length)
             text_score[i] = best
