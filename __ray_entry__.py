@@ -17,14 +17,20 @@ Operator coverage map (SURVEY.md §2 -> query names):
                              fingerprint_dedup
   G6 summary aggregates   -> summary_stats
   O2/O3 deterministic sort-> every query emits canonically sorted output
-  M2-M7 dimension probes  -> media_dims_census / media_features
+  M2-M7 dimension probes  -> media_dims_census / media_features (incl.
+                             pure-bytes HEIC ispe probe)
   H1-H5 signatures+decode -> er_clusters (flagship), media_features
+                             (real PNG/GIF/BMP pixel decode),
+                             media_thumbnails (resize), video_frame_sample
   near-dup family         -> minhash_lsh_dedup, ngram_jaccard_dedup,
                              simhash_near_dups, embedding_cosine_pairs
-  similarity search       -> knn_topk (exact), knn_lsh (bucketed)
+  similarity search       -> knn_topk (exact), knn_lsh (bucketed),
+                             knn_ivf (inverted-file)
   text analysis           -> token_counts_by_lang, quality_scores,
                              quality_filter, lang_id_census
-  joins / sort / limit    -> top_customers; windowed agg -> events_hourly
+  joins / sort / limit    -> top_customers; windowed agg -> events_hourly;
+                             filtered agg -> q6_forecast_revenue;
+                             dim census -> part_type_census
 """
 
 from __future__ import annotations
