@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_stats": analytics.doc_len_stats,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
         "part_type_census": analytics.part_type_census,
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
@@ -158,6 +159,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "  AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
         "part_type_census": (
             "SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -379,3 +379,95 @@ def part_type_census(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-style six-table join: revenue per ASIA nation where the
+    supplier and customer share the nation, for orders in 1996.
+
+    Physical plan: the one genuinely large-x-large join
+    (lineitem x date-filtered orders) is a hash `Dataset.join`; every
+    dimension side (region, nation, customer, supplier) is a broadcast
+    lookup applied inside `map_batches` — at warehouse scale those sides
+    stay millions of rows while the fact tables are billions, so this is
+    the broadcast-small-sides shape, not a six-way shuffle. Revenue is
+    pre-aggregated per batch so the final groupby moves one row per
+    (batch, nation)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia_keys = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    asia_nations = nation[nation["n_regionkey"].isin(asia_keys)]
+    nation_name = dict(zip(asia_nations["n_nationkey"], asia_nations["n_name"]))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_name)]
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_name)]
+    ref = ray.put(
+        (
+            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+            dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+            nation_name,
+        )
+    )
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["o_orderdate"] >= pd.Timestamp("1996-01-01")) & (
+            batch["o_orderdate"] < pd.Timestamp("1997-01-01")
+        )
+        out = batch.loc[m, ["o_orderkey", "o_custkey"]]
+        return out.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pandas")
+
+    lineitem = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    joined = lineitem.join(
+        orders_f,
+        join_type="inner",
+        num_partitions=max(4, min(16, cpus)),
+        on=("l_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap, smap, nname = ray.get(ref)
+        cn = batch["o_custkey"].map(cmap)
+        sn = batch["l_suppkey"].map(smap)
+        keep = cn.notna() & sn.notna() & (cn == sn)
+        if not keep.any():
+            return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                                 "partial": pd.Series(dtype=float)})
+        b = batch[keep]
+        rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        out = (
+            pd.DataFrame({"n_name": cn[keep].map(nname), "rev": rev})
+            .groupby("n_name", as_index=False)["rev"]
+            .sum()
+        )
+        return out.rename(columns={"rev": "partial"})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("partial", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], ignore_index=True
+    )
