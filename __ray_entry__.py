@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": sessions.q3_shipping,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,
+        "bpe_token_stats": textpipe.bpe_token_stats,
         "quality_scores": textpipe.quality_scores,
         "quality_filter": textpipe.quality_filter,
         "lang_id_census": textpipe.lang_id_census,
@@ -237,6 +238,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT lang, CAST(SUM({_WS_TOKENS}) AS BIGINT) AS sum_tokens, "
             f"ROUND(AVG({_WS_TOKENS}), 4) AS avg_tokens "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "bpe_token_stats": (
+            "WITH t AS (SELECT lang, "
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) "
+            "   AS n_bpe FROM documents) "
+            "SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens, "
+            "ROUND(AVG(n_bpe), 4) AS avg_bpe_tokens "
+            "FROM t GROUP BY lang ORDER BY lang"
         ),
         "quality_scores": (
             "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "

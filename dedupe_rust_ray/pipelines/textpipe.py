@@ -134,3 +134,40 @@ def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
         .select_columns(["doc_id"])
         .sort("doc_id")
     )
+
+
+def bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-language totals under the BPE-ish regex pre-tokenizer
+    (letter runs | digit runs | single symbols) — the tokenizer-aware
+    counterpart of :func:`token_counts_by_lang`, SQL-checkable via
+    DuckDB's regexp_extract_all."""
+    ds = read(sf_dir, "documents", columns=["lang", "text"])
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_bpe": token_count_batch(batch["text"], mode="bpe"),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_doc, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_bpe", alias_name="sum_bpe_tokens"),
+            Mean("n_bpe", alias_name="avg_bpe_tokens"),
+        )
+        .sort("lang")
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("avg_bpe_tokens"),
+            "avg_bpe_tokens",
+            pc.round(batch["avg_bpe_tokens"], ndigits=4),
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
