@@ -147,21 +147,28 @@ def _attach_doc_ids(
     n_profiles: int,
     cfg: ERConfig,
     num_partitions: int,
+    prebuilt_table: pa.Table | None = None,
 ) -> ray.data.Dataset:
     """Map uint64 ``idh`` edge endpoints back to doc_id strings.
 
     The edge set is small relative to the corpus (duplicates only), so
     this is the ONLY place strings re-enter the tail. Below the broadcast
-    ceiling the (sorted idh -> doc_id) map ships once via ``ray.put``;
-    above it the strings are hash-joined on from the profiles."""
-    if n_profiles <= cfg.broadcast_max_docs:
+    ceiling the (sorted idh -> doc_id) map ships once via ``ray.put`` —
+    built from ``prebuilt_table`` (the scorer's broadcast profile set,
+    which already covers every near-edge endpoint) when available; above
+    it the strings are hash-joined on from the profiles."""
+    if prebuilt_table is not None or n_profiles <= cfg.broadcast_max_docs:
         import numpy as np
 
-        t = pa.concat_tables(
-            ray.get(
-                profiles.select_columns(["doc_id", "idh"]).to_arrow_refs()
-            ),
-            promote_options="default",
+        t = (
+            prebuilt_table.select(["doc_id", "idh"])
+            if prebuilt_table is not None
+            else pa.concat_tables(
+                ray.get(
+                    profiles.select_columns(["doc_id", "idh"]).to_arrow_refs()
+                ),
+                promote_options="default",
+            )
         )
         idh = t["idh"].to_numpy().astype("uint64", copy=False)
         order = np.argsort(idh, kind="stable")
@@ -307,37 +314,97 @@ def er_pipeline(
     )
     pairs = dedup_pairs(cand, cfg.n_shards)
 
-    if n_profiles <= cfg.broadcast_max_docs:
-        # small side: ship packed profiles once (ray.put) and score pairs
-        # in a fused stage — no join shuffle at all
-        prof_table = pa.concat_tables(
-            ray.get(profiles.to_arrow_refs()), promote_options="default"
-        )
-        ref = ray.put(pack_profiles(prof_table))
-        _tr("packed + put broadcast")
+    bcast_prof_table: pa.Table | None = None
+
+    def broadcast_scored(prof_ds):
+        # ship packed profiles once (ray.put) and score pairs in a fused
+        # stage — no join shuffle at all.
         # NOTE: ref is captured in a closure, NOT passed via fn_args — Ray
         # resolves ObjectRefs appearing in task args, which would ship and
         # deserialize the full broadcast payload once PER TASK; a closure
         # keeps it a reference, fetched once per worker process and cached.
-        scored = pairs.map_batches(
+        nonlocal bcast_prof_table
+        prof_table = pa.concat_tables(
+            ray.get(prof_ds.to_arrow_refs()), promote_options="default"
+        )
+        bcast_prof_table = prof_table
+        ref = ray.put(pack_profiles(prof_table))
+        _tr(f"packed + put broadcast ({prof_table.num_rows} profiles)")
+        return pairs.map_batches(
             lambda b: broadcast_score_batch(b, ref, cfg),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
+
+    if n_profiles <= cfg.broadcast_max_docs:
+        scored = broadcast_scored(profiles)
     else:
-        # scale path: hash-join profiles onto pairs, score the joined rows
-        try:
-            num_partitions = max(profiles.num_blocks(), 8)
-        except NotImplementedError:  # lazy (checkpoint-read) dataset
-            num_partitions = max(n_profiles // 500_000, 8)
-        joined = _attach_profiles(pairs, profiles, num_partitions)
-        scored = joined.map_batches(
-            PairScorer,
-            fn_constructor_args=(cfg,),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.sig_concurrency or (1, 16),
+        # corpus too large to broadcast whole — but scoring only needs the
+        # profiles of docs that appear in candidate pairs (the duplicate-
+        # suspect minority at real dup rates). Semi-join reduction: gather
+        # distinct candidate ids (8 B each), filter profiles to them, and
+        # broadcast THAT if it fits; only when even the candidate set is
+        # too large does the full hash join run.
+        import numpy as np
+
+        pairs = pairs.materialize()
+
+        def batch_ids(b: pa.Table) -> pa.Table:
+            ids = np.unique(
+                np.concatenate(
+                    [b["doc_a"].to_numpy(), b["doc_b"].to_numpy()]
+                )
+            ) if b.num_rows else np.empty(0, np.uint64)
+            return pa.table({"idh": pa.array(ids, type=pa.uint64())})
+
+        id_parts = ray.get(
+            pairs.map_batches(batch_ids, batch_format="pyarrow").to_arrow_refs()
         )
+
+        def part_ids(t):
+            # empty upstream blocks can pass through as schema-less
+            # pandas blocks — treat anything without an idh column as empty
+            names = getattr(t, "column_names", None) or list(
+                getattr(t, "columns", [])
+            )
+            if "idh" not in names or not len(t):
+                return np.empty(0, np.uint64)
+            return t["idh"].to_numpy().astype(np.uint64, copy=False)
+
+        cand_ids = (
+            np.unique(np.concatenate([part_ids(t) for t in id_parts]))
+            if id_parts
+            else np.empty(0, np.uint64)
+        )
+        _tr(f"candidate endpoints: {len(cand_ids)} of {n_profiles}")
+        if len(cand_ids) <= cfg.broadcast_max_docs:
+            cref = ray.put(cand_ids)  # sorted uint64, zero-copy per worker
+
+            def keep_candidates(b: pa.Table) -> pa.Table:
+                cand = ray.get(cref)
+                h = b["idh"].to_numpy().astype(np.uint64, copy=False)
+                pos = np.searchsorted(cand, h)
+                pos = np.minimum(pos, max(len(cand) - 1, 0))
+                m = cand[pos] == h if len(cand) else np.zeros(len(h), bool)
+                return b.filter(pa.array(m))
+
+            scored = broadcast_scored(
+                profiles.map_batches(keep_candidates, batch_format="pyarrow")
+            )
+        else:
+            # full scale path: hash-join profiles onto pairs on numeric idh
+            try:
+                num_partitions = max(profiles.num_blocks(), 8)
+            except NotImplementedError:  # lazy (checkpoint-read) dataset
+                num_partitions = max(n_profiles // 500_000, 8)
+            joined = _attach_profiles(pairs, profiles, num_partitions)
+            scored = joined.map_batches(
+                PairScorer,
+                fn_constructor_args=(cfg,),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.sig_concurrency or (1, 16),
+            )
     near_h = scored.filter(expr=f"score >= {cfg.score_threshold}").select_columns(
         ["doc_a", "doc_b"]
     )
@@ -345,7 +412,10 @@ def er_pipeline(
         num_partitions = max(profiles.num_blocks(), 8)
     except NotImplementedError:
         num_partitions = max(n_profiles // 500_000, 8)
-    near = _attach_doc_ids(near_h, profiles, n_profiles, cfg, num_partitions)
+    near = _attach_doc_ids(
+        near_h, profiles, n_profiles, cfg, num_partitions,
+        prebuilt_table=bcast_prof_table,
+    )
 
     def make_edges():
         return exact.union(near)

@@ -109,3 +109,17 @@ def test_permutation_invariance(corpus, clusters):
     a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
     b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
     assert a == b
+
+
+def test_semijoin_candidate_broadcast_path_matches(corpus, clusters):
+    """When the corpus exceeds the broadcast ceiling but the CANDIDATE set
+    fits, scoring reduces the broadcast to candidate profiles (semi-join
+    reduction) — output must be identical to the default path."""
+    docs, _, _ = corpus
+    # ceiling below the 200-doc corpus, above the candidate-endpoint count
+    got = er_pipeline(
+        ray.data.from_arrow(docs), ERConfig(broadcast_max_docs=199)
+    ).to_pandas()
+    a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
+    b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
+    assert a == b
