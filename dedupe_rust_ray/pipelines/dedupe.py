@@ -44,6 +44,9 @@ _N_SHARDS = 64
 # instead of broadcasting it (the er.py pattern; at 10^12 docs a broadcast
 # can never fit)
 _BROADCAST_MAX_DOCS = 1_000_000
+# below this, skip the candidate semi-join reduction (its two extra passes
+# cost more than just broadcasting every signature)
+_CANDIDATE_REDUCE_MIN_DOCS = 100_000
 
 
 def _word_trigrams(text: str) -> set[str]:
@@ -148,9 +151,54 @@ def _lsh_candidates(sf_dir: str):
     return profiles, _dedup_pairs_ds(cand)
 
 
-def _broadcast_sigs(profiles):
+def _candidate_ids(pairs) -> np.ndarray:
+    """Distinct endpoint ids of a (doc_a, doc_b) pairs dataset, sorted."""
+
+    def batch_ids(b: pa.Table) -> pa.Table:
+        ids = (
+            np.unique(
+                np.concatenate([b["doc_a"].to_numpy(), b["doc_b"].to_numpy()])
+            )
+            if b.num_rows
+            else np.empty(0, np.int64)
+        )
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    parts = ray.get(
+        pairs.map_batches(batch_ids, batch_format="pyarrow").to_arrow_refs()
+    )
+
+    def part_ids(t):
+        names = getattr(t, "column_names", None) or list(getattr(t, "columns", []))
+        if "doc_id" not in names or not len(t):
+            return np.empty(0, np.int64)
+        return t["doc_id"].to_numpy()
+
+    return (
+        np.unique(np.concatenate([part_ids(t) for t in parts]))
+        if parts
+        else np.empty(0, np.int64)
+    )
+
+
+def _broadcast_sigs(profiles, cand_ids: np.ndarray | None = None):
+    """Pack (ids, sig blob) for broadcast — reduced to the candidate
+    endpoints when given (semi-join reduction: verification only ever
+    looks up docs that appear in candidate pairs)."""
     from ..stages.codec import binary_col_blob
 
+    if cand_ids is not None:
+        cref = ray.put(cand_ids)
+
+        def keep(b: pa.Table) -> pa.Table:
+            cand = ray.get(cref)
+            ids = b["doc_id"].to_numpy()
+            pos = np.searchsorted(cand, ids)
+            pos = np.minimum(pos, max(len(cand) - 1, 0))
+            m = cand[pos] == ids if len(cand) else np.zeros(len(ids), bool)
+            return b.filter(pa.array(m))
+
+        profiles = profiles.map_batches(keep, batch_format="pyarrow")
     t = pa.concat_tables(
         ray.get(profiles.to_arrow_refs()), promote_options="default"
     )
@@ -194,7 +242,14 @@ def minhash_lsh_dedup(
 
         out = joined.map_batches(verify, batch_format="pyarrow")
     else:
-        ref = _broadcast_sigs(profiles)
+        # candidate semi-join reduction only pays once the corpus is big:
+        # gathering candidate ids costs two extra (cheap) passes, so small
+        # corpora just broadcast everything
+        if profiles.count() > _CANDIDATE_REDUCE_MIN_DOCS:
+            pairs = pairs.materialize()
+            ref = _broadcast_sigs(profiles, _candidate_ids(pairs))
+        else:
+            ref = _broadcast_sigs(profiles)
         out = pairs.map_batches(
             _VerifyEstJaccard,
             fn_constructor_args=(ref, jaccard_min),
@@ -259,15 +314,7 @@ def ngram_jaccard_dedup(
         out = joined.map_batches(verify, batch_format="pandas").to_pandas()
     else:
         pairs = pairs.materialize()
-        cand_df = pairs.to_pandas()  # small: the deduplicated candidate set
-        if len(cand_df):
-            cand_ids = np.unique(
-                np.concatenate(
-                    [cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()]
-                )
-            )
-        else:
-            cand_ids = np.empty(0, np.int64)
+        cand_ids = _candidate_ids(pairs)  # distributed gather, ids only
         idset_ref = ray.put(cand_ids)
 
         def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
