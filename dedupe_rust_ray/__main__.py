@@ -50,6 +50,27 @@ def _cmd_filededupe(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_probe(args: argparse.Namespace) -> int:
+    from .stages.dims import probe_dims, sniff_format
+
+    with open(args.file, "rb") as f:
+        data = f.read()
+    fmt = sniff_format(data)
+    dims = probe_dims(fmt, data) if fmt else None
+    print(
+        json.dumps(
+            {
+                "file": args.file,
+                "format": fmt,
+                "width": dims[0] if dims else None,
+                "height": dims[1] if dims else None,
+                "bytes": len(data),
+            }
+        )
+    )
+    return 0 if dims else 1
+
+
 def _cmd_er(args: argparse.Namespace) -> int:
     import ray.data
 
@@ -82,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
     fd.add_argument("--exclude", action="append", default=[])
     fd.add_argument("--out-dir", default=".")
     fd.set_defaults(fn=_cmd_filededupe)
+
+    probe = sub.add_parser(
+        "probe",
+        help="diagnostic header probe for one media file (the reference's "
+        "standalone HEIC test binaries, test_heic_support.rs:7-44, "
+        "generalized to every supported format; no Ray session needed)",
+    )
+    probe.add_argument("file")
+    probe.set_defaults(fn=_cmd_probe)
 
     er = sub.add_parser("er", help="entity resolution over interleaved documents")
     er.add_argument("--input", required=True, help="parquet file/dir of documents")

@@ -53,3 +53,22 @@ def test_cli_er_job_and_resume(tmp_path, capsys, ray_session):
     assert (m1["cluster_rows"], m1["n_clusters"]) == (
         m2["cluster_rows"], m2["n_clusters"]
     )
+
+
+def test_cli_probe_heic(tmp_path, capsys):
+    import struct
+
+    from dedupe_rust_ray.__main__ import main
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ispe = box(b"ispe", b"\x00" * 4 + struct.pack(">II", 640, 480))
+    data = box(b"ftyp", b"heic" + b"\x00" * 4 + b"mif1") + box(
+        b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", ispe))
+    )
+    f = tmp_path / "t.heic"
+    f.write_bytes(data)
+    assert main(["probe", str(f)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert (out["format"], out["width"], out["height"]) == ("heic", 640, 480)
