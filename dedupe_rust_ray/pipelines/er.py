@@ -71,14 +71,19 @@ def compute_profiles(docs_ds: ray.data.Dataset, cfg: ERConfig) -> ray.data.Datas
 def exact_edges_from_profiles(
     profiles: ray.data.Dataset, n_shards: int = 64
 ) -> ray.data.Dataset:
-    """Star edges (min_doc -> member) per equal-content group, sharded:
-    the shuffle key is ``content_hash % n_shards`` (a hash group never
-    spans shards) and the per-hash grouping happens vectorized inside the
-    shard task — no per-group Ray overhead for millions of distinct hashes.
+    """Star edges per equal-content group, sharded — ALL NUMERIC: rows are
+    (shard, idh, content_hash), so even the exact path's full-corpus pass
+    never shuffles doc_id strings. The star root is the group's min idh —
+    connectivity is all that matters here, because the lexicographic
+    ``cluster_id = min(doc_id)`` canonicalization happens at the
+    connected-component level after edges are mapped back to strings.
 
-    64-bit content-hash equality stands in for byte equality (collision
-    probability ~n^2/2^64 — negligible at any per-group size we allow).
-    """
+    The shuffle key is ``content_hash % n_shards`` (a hash group never
+    spans shards) and the per-hash grouping happens vectorized inside the
+    shard task — no per-group Ray overhead for millions of distinct
+    hashes. 64-bit content-hash equality stands in for byte equality
+    (collision probability ~n^2/2^64 — negligible at any per-group size
+    we allow)."""
 
     def add_shard(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -89,7 +94,7 @@ def exact_edges_from_profiles(
         return pa.table(
             {
                 "shard": pa.array(shard, type=pa.int32()),
-                "doc_id": batch["doc_id"],
+                "idh": batch["idh"],
                 "content_hash": batch["content_hash"],
             }
         )
@@ -97,16 +102,19 @@ def exact_edges_from_profiles(
     def star_in_shard(group: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        g = group.sort_values(["content_hash", "doc_id"], ignore_index=True)
+        g = group.sort_values(["content_hash", "idh"], ignore_index=True)
         h = g["content_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy()
+        ids = g["idh"].to_numpy()
         bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
         sizes = np.diff(bounds)
         starts = bounds[:-1]
         multi = sizes >= 2
         if not multi.any():
             return pd.DataFrame(
-                {"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)}
+                {
+                    "doc_a": pd.Series(dtype="uint64"),
+                    "doc_b": pd.Series(dtype="uint64"),
+                }
             )
         roots = np.repeat(ids[starts[multi]], sizes[multi] - 1)
         member_idx = np.concatenate(
@@ -115,7 +123,7 @@ def exact_edges_from_profiles(
         return pd.DataFrame({"doc_a": roots, "doc_b": ids[member_idx]})
 
     return (
-        profiles.select_columns(["doc_id", "content_hash"])
+        profiles.select_columns(["idh", "content_hash"])
         .map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(star_in_shard, batch_format="pandas")
@@ -152,24 +160,81 @@ def _attach_doc_ids(
     """Map uint64 ``idh`` edge endpoints back to doc_id strings.
 
     The edge set is small relative to the corpus (duplicates only), so
-    this is the ONLY place strings re-enter the tail. Below the broadcast
-    ceiling the (sorted idh -> doc_id) map ships once via ``ray.put`` —
-    built from ``prebuilt_table`` (the scorer's broadcast profile set,
-    which already covers every near-edge endpoint) when available; above
-    it the strings are hash-joined on from the profiles."""
-    if prebuilt_table is not None or n_profiles <= cfg.broadcast_max_docs:
-        import numpy as np
+    this is the ONLY place strings re-enter the tail. The (sorted idh ->
+    doc_id) map ships once via ``ray.put`` — built from
+    ``prebuilt_table`` (the scorer's broadcast profile set, which already
+    covers every near-edge endpoint) when available, from the whole
+    profile set below the broadcast ceiling, or from an endpoint-reduced
+    profile scan above it (edge endpoints are gathered first — 8 B each —
+    and only their id/doc_id rows leave the profile partitions). The
+    double hash join remains the last resort for edge sets whose endpoint
+    count alone exceeds the ceiling."""
+    import numpy as np
 
-        t = (
-            prebuilt_table.select(["doc_id", "idh"])
-            if prebuilt_table is not None
-            else pa.concat_tables(
-                ray.get(
-                    profiles.select_columns(["doc_id", "idh"]).to_arrow_refs()
-                ),
-                promote_options="default",
+    reduce_ids: np.ndarray | None = None
+    if prebuilt_table is None and n_profiles > cfg.broadcast_max_docs:
+        edges_h = edges_h.materialize()
+
+        def batch_ids(b: pa.Table) -> pa.Table:
+            ids = (
+                np.unique(
+                    np.concatenate(
+                        [b["doc_a"].to_numpy(), b["doc_b"].to_numpy()]
+                    )
+                )
+                if b.num_rows
+                else np.empty(0, np.uint64)
             )
+            return pa.table({"idh": pa.array(ids, type=pa.uint64())})
+
+        parts = ray.get(
+            edges_h.map_batches(batch_ids, batch_format="pyarrow").to_arrow_refs()
         )
+
+        def part_ids(t):
+            names = getattr(t, "column_names", None) or list(
+                getattr(t, "columns", [])
+            )
+            if "idh" not in names or not len(t):
+                return np.empty(0, np.uint64)
+            return t["idh"].to_numpy().astype(np.uint64, copy=False)
+
+        reduce_ids = (
+            np.unique(np.concatenate([part_ids(t) for t in parts]))
+            if parts
+            else np.empty(0, np.uint64)
+        )
+        if len(reduce_ids) > cfg.broadcast_max_docs:
+            reduce_ids = None  # fall through to the join path
+
+    if (
+        prebuilt_table is not None
+        or n_profiles <= cfg.broadcast_max_docs
+        or reduce_ids is not None
+    ):
+        if prebuilt_table is not None:
+            t = prebuilt_table.select(["doc_id", "idh"])
+        else:
+            side = profiles.select_columns(["doc_id", "idh"])
+            if reduce_ids is not None:
+                rref = ray.put(reduce_ids)
+
+                def keep(b: pa.Table) -> pa.Table:
+                    cand = ray.get(rref)
+                    h = b["idh"].to_numpy().astype(np.uint64, copy=False)
+                    pos = np.searchsorted(cand, h)
+                    pos = np.minimum(pos, max(len(cand) - 1, 0))
+                    m = (
+                        cand[pos] == h
+                        if len(cand)
+                        else np.zeros(len(h), bool)
+                    )
+                    return b.filter(pa.array(m))
+
+                side = side.map_batches(keep, batch_format="pyarrow")
+            t = pa.concat_tables(
+                ray.get(side.to_arrow_refs()), promote_options="default"
+            )
         idh = t["idh"].to_numpy().astype("uint64", copy=False)
         order = np.argsort(idh, kind="stable")
         ids_sorted = np.asarray(t["doc_id"].to_pylist(), dtype=object)[order]
@@ -304,7 +369,7 @@ def er_pipeline(
     if n_profiles == 0:
         return _empty_clusters()
 
-    exact = exact_edges_from_profiles(profiles)
+    exact_h = exact_edges_from_profiles(profiles)
 
     bands = profiles.map_batches(
         lambda b: emit_blocking_keys(b, cfg), batch_format="pyarrow"
@@ -415,6 +480,16 @@ def er_pipeline(
     near = _attach_doc_ids(
         near_h, profiles, n_profiles, cfg, num_partitions,
         prebuilt_table=bcast_prof_table,
+    )
+    # exact-dup endpoints may not appear in candidate pairs (equal-hash
+    # pairs are skipped at candidate generation), so a candidate-reduced
+    # broadcast table cannot map them — reuse it only when it covers the
+    # whole corpus
+    exact = _attach_doc_ids(
+        exact_h, profiles, n_profiles, cfg, num_partitions,
+        prebuilt_table=(
+            bcast_prof_table if n_profiles <= cfg.broadcast_max_docs else None
+        ),
     )
 
     def make_edges():
