@@ -417,10 +417,14 @@ def embedding_cosine_pairs(
     with one float64 matmul and keeps pairs (vec_a < vec_b). At scales
     where the matrix cannot be broadcast, swap the broadcast side for LSH
     buckets (see similarity.knn_lsh)."""
+    from ..stages.codec import list_col_matrix
+
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    full = ds.to_pandas()
+    full = pa.concat_tables(
+        ray.get(ds.to_arrow_refs()), promote_options="default"
+    )
     ids = full["vec_id"].to_numpy()
-    E = np.stack([np.asarray(e, dtype=np.float64) for e in full["embedding"]])
+    E = list_col_matrix(full["embedding"])
     E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, E))
 
@@ -431,10 +435,10 @@ def embedding_cosine_pairs(
             self.order = {int(v): i for i, v in enumerate(self.ids)}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.codec import list_col_matrix
+
             bid = batch["vec_id"].to_numpy()
-            V = np.stack(
-                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-            )
+            V = list_col_matrix(batch["embedding"])
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = V @ self.E.T
             rows, cols = np.nonzero(S >= self.cos_min)

@@ -30,7 +30,9 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     )
     t = t.filter(pc.less(t["vec_id"], n_queries))
     ids = t["vec_id"].to_numpy()
-    Q = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    from ..stages.codec import list_col_matrix
+
+    Q = list_col_matrix(t["embedding"])
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     return ids, Q
 
@@ -48,9 +50,9 @@ def knn_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy()
-            V = np.stack(
-                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-            )
+            from ..stages.codec import list_col_matrix
+
+            V = list_col_matrix(batch["embedding"])
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = self.Q @ V.T  # (n_queries, batch)
             out_q, out_n, out_s = [], [], []
@@ -131,31 +133,41 @@ def knn_lsh(
             _, _, self.planes = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.codec import _binary_from_parts, list_col_matrix
+
             ids = batch["vec_id"].to_numpy()
-            V = np.stack(
-                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-            )
+            V = list_col_matrix(batch["embedding"])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            out_key, out_id, out_emb = [], [], []
-            for t in range(self.planes.shape[0]):
-                c = codes(Vn, self.planes[t])
-                out_key.extend(f"{t}:{int(x)}" for x in c)
-                out_id.extend(int(i) for i in ids)
-                out_emb.extend(Vn[i].astype("<f8").tobytes() for i in range(len(ids)))
+            n, dim = Vn.shape
+            n_tab = self.planes.shape[0]
+            # numeric bucket keys (table_idx << 32 | code) and ONE packed
+            # float blob per batch reused for every table copy — no
+            # per-row Python strings/bytes on this explode
+            keys = np.concatenate(
+                [
+                    (np.uint64(t) << np.uint64(32))
+                    | codes(Vn, self.planes[t]).astype(np.uint64)
+                    for t in range(n_tab)
+                ]
+            )
+            emb = _binary_from_parts(
+                np.ascontiguousarray(Vn, dtype="<f8").tobytes(),
+                np.arange(n + 1, dtype=np.int64) * (dim * 8),
+            )
             return pa.table(
                 {
-                    "bucket": pa.array(out_key),
-                    "vec_id": pa.array(out_id, type=pa.int64()),
-                    "emb": pa.array(out_emb, type=pa.binary()),
+                    "bucket": pa.array(keys, type=pa.uint64()),
+                    "vec_id": pa.array(np.tile(ids, n_tab), type=pa.int64()),
+                    "emb": pa.concat_arrays([emb] * n_tab),
                 }
             )
 
     # query buckets (driver side; queries are tiny)
-    qbuckets: dict[str, list[int]] = {}
+    qbuckets: dict[int, list[int]] = {}
     for t in range(n_tables):
         c = codes(Q, planes[t])
         for qi, code in enumerate(c):
-            qbuckets.setdefault(f"{t}:{int(code)}", []).append(qi)
+            qbuckets.setdefault((t << 32) | int(code), []).append(qi)
     qref = ray.put(qbuckets)
 
     class ProbeBucket:
@@ -165,7 +177,7 @@ def knn_lsh(
             self.k = k
 
         def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-            key = group["bucket"].iloc[0]
+            key = int(group["bucket"].iloc[0])
             probes = self.qbuckets.get(key)
             if not probes:
                 return pd.DataFrame(
@@ -266,9 +278,9 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy()
-            V = np.stack(
-                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-            )
+            from ..stages.codec import list_col_matrix
+
+            V = list_col_matrix(batch["embedding"])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(Vn @ self.C.T, axis=1)
             return pa.table(

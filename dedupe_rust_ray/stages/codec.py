@@ -94,6 +94,27 @@ def decode_sig_matrix(col, num_perm: int) -> np.ndarray:
     return np.frombuffer(blob, dtype="<u8").reshape(n, num_perm)
 
 
+def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float>-style column of FIXED-length rows -> (n, dim) matrix,
+    via the flattened child values buffer — no per-row Python lists.
+    Raises if row lengths vary (embeddings are fixed-dimension)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(flat, dtype=dtype).reshape(n, dim)
+    off = col.offsets.to_numpy()
+    lens = np.diff(off)
+    if not (lens == lens[0]).all():
+        raise ValueError("list column has varying row lengths")
+    flat = col.flatten().to_numpy(zero_copy_only=False)[off[0] : off[-1]]
+    return np.ascontiguousarray(flat, dtype=dtype).reshape(n, int(lens[0]))
+
+
 def decode_varlen_u64(col) -> tuple[np.ndarray, np.ndarray]:
     """binary column of variable k*8-byte rows -> (flat uint64, offsets)."""
     blob, off = binary_col_blob(col)
