@@ -100,3 +100,51 @@ def test_unionfind_matches_naive_components(pairs):
                 label[n] = m
                 changed = True
     assert got == label
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_encode_decode_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from dedupe_rust_ray.stages.multimodal import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    out = decode_png(encode_png(px))
+    assert out is not None and out.shape == (h, w)
+    assert (out.astype(np.uint8) == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 30),
+    st.integers(1, 30),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_encode_decode_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from dedupe_rust_ray.stages.multimodal import decode_gif, encode_gif
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    out = decode_gif(encode_gif(px))
+    assert out is not None and out.shape == (h, w)
+    assert np.allclose(out, px.astype(np.float32), atol=0.51)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_decoders_never_raise_on_garbage(data):
+    from dedupe_rust_ray.stages.dims import heic_dims, probe_dims, sniff_format
+    from dedupe_rust_ray.stages.multimodal import decode_bmp, decode_gif, decode_png
+
+    # warn-and-skip policy: arbitrary bytes may return None, never raise
+    for fn in (decode_png, decode_gif, decode_bmp, heic_dims):
+        fn(data)
+    fmt = sniff_format(data)
+    if fmt:
+        probe_dims(fmt, data)
