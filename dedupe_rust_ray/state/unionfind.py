@@ -104,8 +104,6 @@ def distributed_connected_components(
     (/root/reference/src/main.rs:630). Converges in O(log diameter)-ish
     rounds for typical duplicate-cluster graphs.
     """
-    import ray.data
-
     from ..functions.grouping import shard_of
 
     def directed_rows(batch: pa.Table) -> pa.Table:
