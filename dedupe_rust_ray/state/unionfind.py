@@ -99,55 +99,101 @@ def distributed_connected_components(
     Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
     fixpoint (a silently over-segmented result would look valid).
 
-    Labels are doc_id strings; the lexicographic minimum makes the final
-    ``cluster_id = min(doc_id)`` match the reference's canonicalization
-    (/root/reference/src/main.rs:630). Converges in O(log diameter)-ish
-    rounds for typical duplicate-cluster graphs.
+    The ROUNDS are fully numeric: nodes are 64-bit stable hashes of
+    doc_id, labels are min-hash-per-component — every per-round shuffle
+    moves fixed-width uint64 columns, never object strings. doc_id
+    strings appear only in one final canonicalization pass that joins
+    members to their component (co-located by node-hash shard) and takes
+    the LEXICOGRAPHIC min doc_id per component, so the final
+    ``cluster_id = min(doc_id)`` still matches the reference
+    (/root/reference/src/main.rs:630). Hash collisions between distinct
+    doc ids are detected in that pass and raise. Converges in
+    O(log diameter)-ish rounds for typical duplicate-cluster graphs.
     """
-    from ..functions.grouping import shard_of
+    from ..functions.hashing import stable_hash64
+    from ..stages.blocking import shard_of_u64
 
     def directed_rows(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        src = np.array(a + b, dtype=object)
-        dst = np.array(b + a, dtype=object)
+        ha = stable_hash64(batch["doc_a"].to_pylist())
+        hb = stable_hash64(batch["doc_b"].to_pylist())
+        src = np.concatenate([ha, hb])
+        dst = np.concatenate([hb, ha])
         return pa.table(
             {
-                "shard": pa.array(shard_of(src, n_shards), type=pa.int32()),
-                "key": pa.array(src, type=pa.string()),
-                "other": pa.array(dst, type=pa.string()),
+                "shard": pa.array(shard_of_u64(src, n_shards), type=pa.int32()),
+                "key": pa.array(src, type=pa.uint64()),
+                "other": pa.array(dst, type=pa.uint64()),
                 "kind": pa.array(
                     np.full(len(src), 1, dtype=np.int8), type=pa.int8()
                 ),
             }
         )
 
+    # (node-hash, doc_id) member rows — built ONCE, used only in the final
+    # canonicalization pass; the rounds never carry strings
+    def member_rows(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        h = np.concatenate([stable_hash64(a), stable_hash64(b)])
+        return pa.table(
+            {
+                "shard": pa.array(shard_of_u64(h, n_shards), type=pa.int32()),
+                "nid": pa.array(h, type=pa.uint64()),
+                "doc_id": pa.array(a + b, type=pa.string()),
+            }
+        )
+
+    def dedup_members(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["nid", "doc_id"])
+        per_nid = out.groupby("nid")["doc_id"].nunique()
+        if (per_nid > 1).any():
+            raise RuntimeError(
+                "64-bit doc_id hash collision in connected components"
+            )
+        return out[["nid", "doc_id"]]
+
+    members = (
+        edges_ds.map_batches(member_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dedup_members, batch_format="pandas")
+        .materialize()
+    )
+
     edges2 = (
         edges_ds.map_batches(directed_rows, batch_format="pyarrow").materialize()
     )
 
-    def init_in_shard(g: pd.DataFrame) -> pd.DataFrame:
-        lab = (
-            pd.DataFrame({"key": g["key"], "lab": np.minimum(g["key"], g["other"])})
-            .groupby("key", as_index=False)["lab"]
-            .min()
+    # all per-shard kernels below are pure numpy over arrow groups —
+    # uint64 keys/labels never pass through pandas, whose dtype promotion
+    # on mixed/empty frames upcasts uint64 to float64 and corrupts values
+    # past 2^53
+
+    def init_in_shard(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy().astype(np.uint64, copy=False)
+        other = g["other"].to_numpy().astype(np.uint64, copy=False)
+        lab = np.minimum(key, other)
+        order = np.argsort(key, kind="stable")
+        sk, sl = key[order], lab[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        mins = np.minimum.reduceat(sl, bounds)
+        return pa.table(
+            {
+                "doc_id": pa.array(sk[bounds], type=pa.uint64()),
+                "cluster_id": pa.array(mins, type=pa.uint64()),
+            }
         )
-        return lab.rename(columns={"key": "doc_id", "lab": "cluster_id"})
 
     labels = (
         edges2.groupby("shard")
-        .map_groups(
-            lambda g: init_in_shard(g.drop(columns=["shard"])),
-            batch_format="pandas",
-        )
+        .map_groups(init_in_shard, batch_format="pyarrow")
         .materialize()
     )
 
     def label_rows(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        keys = batch["doc_id"].to_numpy().astype(np.uint64, copy=False)
         return pa.table(
             {
-                "shard": pa.array(shard_of(keys, n_shards), type=pa.int32()),
+                "shard": pa.array(shard_of_u64(keys, n_shards), type=pa.int32()),
                 "key": batch["doc_id"],
                 "other": batch["cluster_id"],
                 "kind": pa.array(
@@ -156,61 +202,162 @@ def distributed_connected_components(
             }
         )
 
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
+    def gather(g: pa.Table) -> pa.Table:
         """One shard of labels + outgoing edges -> proposals (dst, label).
 
         Emitted rows keep ``kind``: the node's own current label travels as
         kind=0 (so scatter-min can compare old vs new), neighbor proposals
-        as kind=1."""
-        lab = g[g["kind"] == 0]
-        lab_map = dict(zip(lab["key"], lab["other"]))
-        e = g[g["kind"] == 1]
-        props = pd.DataFrame(
-            {
-                "doc_id": e["other"].to_numpy(),
-                "cluster_id": e["key"].map(lab_map).to_numpy(),
-            }
-        ).dropna()
-        props["kind"] = np.int8(1)
-        own = pd.DataFrame(
-            {"doc_id": lab["key"], "cluster_id": lab["other"]}
+        as kind=1. Every edge source's label lives in this same shard by
+        construction (both sharded on the source node hash)."""
+        kind = g["kind"].to_numpy()
+        key = g["key"].to_numpy().astype(np.uint64, copy=False)
+        other = g["other"].to_numpy().astype(np.uint64, copy=False)
+        labm = kind == 0
+        lk, lv = key[labm], other[labm]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        em = ~labm
+        pos = np.searchsorted(lk, key[em])
+        lab_of_src = lv[pos]
+        doc = np.concatenate([other[em], lk])
+        cl = np.concatenate([lab_of_src, lv])
+        kinds = np.concatenate(
+            [np.ones(int(em.sum()), np.int8), np.zeros(len(lk), np.int8)]
         )
-        own["kind"] = np.int8(0)
-        return pd.concat([props, own], ignore_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.uint64()),
+                "cluster_id": pa.array(cl, type=pa.uint64()),
+                "kind": pa.array(kinds, type=pa.int8()),
+            }
+        )
 
     def proposal_rows(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        keys = batch["doc_id"].to_numpy().astype(np.uint64, copy=False)
         return batch.append_column(
-            "shard", pa.array(shard_of(keys, n_shards), type=pa.int32())
+            "shard", pa.array(shard_of_u64(keys, n_shards), type=pa.int32())
         )
 
-    def scatter_min(g: pd.DataFrame) -> pd.DataFrame:
-        new = g.groupby("doc_id", as_index=False)["cluster_id"].min()
-        old = g[g["kind"] == 0][["doc_id", "cluster_id"]].rename(
-            columns={"cluster_id": "old"}
+    _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def scatter_min(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy().astype(np.uint64, copy=False)
+        cl = g["cluster_id"].to_numpy().astype(np.uint64, copy=False)
+        kind = g["kind"].to_numpy()
+        order = np.argsort(doc, kind="stable")
+        sd, sc, sk = doc[order], cl[order], kind[order]
+        bounds = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        mins = np.minimum.reduceat(sc, bounds)
+        old = np.full(len(bounds), _U64_MAX, dtype=np.uint64)
+        k0 = np.flatnonzero(sk == 0)
+        grp_of_k0 = np.searchsorted(bounds, k0, side="right") - 1
+        old[grp_of_k0] = sc[k0]
+        changed = (mins < old).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[bounds], type=pa.uint64()),
+                "cluster_id": pa.array(mins, type=pa.uint64()),
+                "changed": pa.array(changed, type=pa.int64()),
+            }
         )
-        m = new.merge(old, on="doc_id", how="left")
-        new["changed"] = (
-            m["old"].isna() | (m["cluster_id"] < m["old"])
-        ).to_numpy(dtype=np.int64)
-        return new
+
+    def finish(final_labels):
+        """Attach doc_id strings (co-located by nid shard) and
+        canonicalize: cluster_id = LEXICOGRAPHIC min doc_id per root."""
+
+        def lab_side(b: pa.Table) -> pa.Table:
+            nid = b["doc_id"].to_numpy().astype(np.uint64, copy=False)
+            n = b.num_rows
+            return pa.table(
+                {
+                    "shard": pa.array(
+                        shard_of_u64(nid, n_shards), type=pa.int32()
+                    ),
+                    "nid": pa.array(nid, type=pa.uint64()),
+                    "root": b["cluster_id"],
+                    # sentinel, NOT null: nullable uint64 becomes float64
+                    # through pandas blocks and loses precision past 2^53
+                    "doc_id": pa.array([""] * n, type=pa.string()),
+                    "kind": pa.array(np.zeros(n, np.int8), type=pa.int8()),
+                }
+            )
+
+        def mem_side(b: pa.Table) -> pa.Table:
+            nid = b["nid"].to_numpy().astype(np.uint64, copy=False)
+            n = b.num_rows
+            return pa.table(
+                {
+                    "shard": pa.array(
+                        shard_of_u64(nid, n_shards), type=pa.int32()
+                    ),
+                    "nid": pa.array(nid, type=pa.uint64()),
+                    "root": pa.array(np.zeros(n, np.uint64), type=pa.uint64()),
+                    "doc_id": b["doc_id"],
+                    "kind": pa.array(np.ones(n, np.int8), type=pa.int8()),
+                }
+            )
+
+        def attach_root(g: pa.Table) -> pa.Table:
+            kind = g["kind"].to_numpy()
+            nid = g["nid"].to_numpy().astype(np.uint64, copy=False)
+            root = g["root"].to_numpy().astype(np.uint64, copy=False)
+            labm = kind == 0
+            lk, lv = nid[labm], root[labm]
+            order = np.argsort(lk, kind="stable")
+            lk, lv = lk[order], lv[order]
+            mem_idx = np.flatnonzero(~labm)
+            pos = np.searchsorted(lk, nid[mem_idx])
+            doc_col = g["doc_id"]
+            if isinstance(doc_col, pa.ChunkedArray):
+                doc_col = doc_col.combine_chunks()
+            return pa.table(
+                {
+                    "root": pa.array(lv[pos], type=pa.uint64()),
+                    "doc_id": doc_col.take(pa.array(mem_idx)),
+                }
+            )
+
+        rooted = (
+            final_labels.map_batches(lab_side, batch_format="pyarrow")
+            .union(members.map_batches(mem_side, batch_format="pyarrow"))
+            .groupby("shard")
+            .map_groups(attach_root, batch_format="pyarrow")
+        )
+
+        def root_shard(b: pa.Table) -> pa.Table:
+            r = b["root"].to_numpy().astype(np.uint64, copy=False)
+            return b.append_column(
+                "shard", pa.array(shard_of_u64(r, n_shards), type=pa.int32())
+            )
+
+        def canonicalize(g: pd.DataFrame) -> pd.DataFrame:
+            mins = g.groupby("root")["doc_id"].transform("min")
+            return pd.DataFrame(
+                {"cluster_id": mins.to_numpy(), "doc_id": g["doc_id"].to_numpy()}
+            )
+
+        return (
+            rooted.map_batches(root_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: canonicalize(g.drop(columns=["shard"])),
+                batch_format="pandas",
+            )
+        )
 
     for _ in range(max_rounds):
         mixed = labels.map_batches(label_rows, batch_format="pyarrow").union(edges2)
         proposals = mixed.groupby("shard").map_groups(
-            lambda g: gather(g.drop(columns=["shard"])), batch_format="pandas"
+            gather, batch_format="pyarrow"
         )
         labels = (
             proposals.map_batches(proposal_rows, batch_format="pyarrow")
             .groupby("shard")
-            .map_groups(
-                lambda g: scatter_min(g.drop(columns=["shard"])),
-                batch_format="pandas",
-            )
+            .map_groups(scatter_min, batch_format="pyarrow")
             .materialize()
         )
         if labels.sum("changed") == 0:
-            return labels.drop_columns(["changed"])
+            return finish(labels.drop_columns(["changed"]))
     raise RuntimeError(
         f"distributed_connected_components did not converge within "
         f"{max_rounds} rounds — labels were still changing (long-diameter "
