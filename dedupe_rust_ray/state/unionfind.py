@@ -13,11 +13,13 @@ match edges need explicit connected components:
   fixpoint — the hash-partitioned edge-propagation scheme of BTS-style
   distributed CC (PAPERS.md: "BTS: Load-Balanced Distributed
   Union-Find", ICDE 2024).
-  Labels are doc_id strings; min is lexicographic, so the final
-  ``cluster_id = min(doc_id)`` matches the reference's canonicalization
-  (src/main.rs:630). Monotone decreasing labels guarantee convergence in
-  O(log diameter) rounds; fixpoint is ``sum(changed) == 0`` where each
-  scatter-min row flags whether its label decreased this round.
+  Rounds are fully numeric (uint64 node hashes, min-hash labels); the
+  final pass maps components back to doc_id strings and takes the
+  LEXICOGRAPHIC min per component, so ``cluster_id = min(doc_id)`` still
+  matches the reference's canonicalization (src/main.rs:630). Monotone
+  decreasing labels guarantee convergence in O(log diameter) rounds;
+  fixpoint is ``sum(changed) == 0`` where each scatter-min row flags
+  whether its label decreased this round.
 """
 
 from __future__ import annotations
