@@ -8,13 +8,14 @@ The sandbox has no image libraries (no Pillow/libheif), so:
   replacement for the reference's checked-in fixture generator
   (/root/reference/test_images/create_test_image.rs:4-41).
 - **MediaDecode** is the actor-pool decode stage with REAL Ray plumbing
-  (schema, batching, per-row error columns). BMP, PNG (8-bit gray/RGB,
-  all five filters) and GIF (LZW, global/local palettes) decode for real
-  — mirroring the reference's decoded-pixel phase
-  (/root/reference/src/main.rs:593-681); JPEG scan decode needs a codec
-  library the sandbox lacks and surfaces
-  ``err='decode_unsupported:jpeg'`` per row, never a task failure (the
-  warn-and-skip policy of /root/reference/src/main.rs:674-680).
+  (schema, batching, per-row error columns). All four formats decode for
+  real — BMP, PNG (8-bit gray/RGB, all five filters), GIF (LZW,
+  global/local palettes) and baseline JPEG (full T.81 scan decode, see
+  stages/jpeg.py) — mirroring the reference's decoded-pixel phase
+  (/root/reference/src/main.rs:593-681). Payloads outside those profiles
+  (progressive JPEG, interlaced PNG/GIF, unknown magic) surface
+  ``err='decode_*'`` per row, never a task failure (the warn-and-skip
+  policy of /root/reference/src/main.rs:674-680).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .dims import probe_dims, sniff_format
+from .jpeg import decode_jpeg, encode_jpeg
 
 # ---------------------------------------------------------------- encoders
 
@@ -316,8 +318,8 @@ _DIM_CHOICES = ((16, 16), (32, 32), (32, 16), (64, 64), (48, 32))
 def synth_media_batch(batch: pa.Table) -> pa.Table:
     """documents batch -> media rows (media_id, fmt, payload, n_bytes).
 
-    Format and dimensions derive deterministically from doc_id; PNG/BMP get
-    real pixel payloads (seeded), GIF/JPEG get header-only payloads."""
+    Format and dimensions derive deterministically from doc_id; every
+    format gets a real pixel payload (seeded) through its real encoder."""
     ids = batch["doc_id"].to_numpy()
     media_ids, fmts, payloads = [], [], []
     for d in ids:
@@ -332,7 +334,7 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
         elif fmt == "gif":
             data = encode_gif(rng.integers(0, 256, (h, w)).astype(np.uint8))
         else:
-            data = encode_jpeg_markers(w, h)
+            data = encode_jpeg(rng.integers(0, 256, (h, w)).astype(np.uint8))
         media_ids.append(f"m-{d:09d}")
         fmts.append(fmt)
         payloads.append(data)
@@ -379,9 +381,7 @@ class MediaDecode:
             "bmp": decode_bmp,
             "png": decode_png,
             "gif": decode_gif,
-            # jpeg: entropy-coded scan decode needs a codec library the
-            # sandbox lacks; rows flag decode_unsupported:jpeg per the
-            # warn-and-skip policy
+            "jpeg": decode_jpeg,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -453,7 +453,12 @@ class MediaResize:
 
     def __init__(self, edge: int = 16):
         self.edge = edge
-        self.decoders = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}
+        self.decoders = {
+            "bmp": decode_bmp,
+            "png": decode_png,
+            "gif": decode_gif,
+            "jpeg": decode_jpeg,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch["fmt"].to_pylist()

@@ -101,15 +101,36 @@ def test_media_features_decode_policy():
     from dedupe_rust_ray.pipelines.multimodal import media_features
 
     got = media_features(SF).to_pandas()
-    # BMP/PNG/GIF rows decode for real; JPEG is flagged, never a failure
+    # every synthesized format (BMP/PNG/GIF/baseline JPEG) decodes for real
     assert (got["ok"] == (got["err"] == "")).all()
-    decoded = got[got["ok"]]
-    assert set(decoded["fmt"]) == {"bmp", "png", "gif"}
-    assert (decoded["mean_brightness"] > 0).all()
-    assert (decoded["width"] > 0).all()
-    bad = got[~got["ok"]]
-    assert set(bad["fmt"]) == {"jpeg"}
-    assert bad["err"].str.startswith("decode_").all()
+    assert got["ok"].all()
+    assert set(got["fmt"]) == {"bmp", "png", "gif", "jpeg"}
+    assert (got["mean_brightness"] > 0).all()
+    assert (got["width"] > 0).all()
+
+
+def test_media_decode_flags_unsupported_payloads():
+    """Warn-and-skip policy: rows outside the supported decode profiles
+    carry err columns, never raise (/root/reference/src/main.rs:674-680)."""
+    import pyarrow as pa
+
+    from dedupe_rust_ray.stages.multimodal import MediaDecode
+
+    payloads = [
+        b"II*\x00....",            # TIFF magic: no decoder
+        b"\xff\xd8\xff\xd9",        # JPEG with no frame: decode fails
+        b"GIF87a\x00",              # truncated GIF
+    ]
+    batch = pa.table(
+        {
+            "media_id": ["a", "b", "c"],
+            "fmt": ["tiff", "jpeg", "gif"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    out = MediaDecode()(batch).to_pandas()
+    assert (~out["ok"]).all()
+    assert out["err"].str.startswith("decode_").all()
 
 
 def test_quality_filter_subset():
@@ -179,11 +200,10 @@ def test_media_thumbnails_and_frame_sample():
 
     th = media_thumbnails(SF).to_pandas()
     assert len(th) == 500
-    ok = th[th["err"] == ""]
-    # decodable formats produce a real PNG thumbnail payload
-    assert set(ok["fmt"]) == {"bmp", "png", "gif"}
-    assert (ok["thumb_bytes"] > 50).all()
-    assert (th[th["err"] != ""]["thumb_bytes"] == 0).all()
+    # every synthesized format decodes and produces a real PNG thumbnail
+    assert (th["err"] == "").all()
+    assert set(th["fmt"]) == {"bmp", "png", "gif", "jpeg"}
+    assert (th["thumb_bytes"] > 50).all()
 
     fr = video_frame_sample(SF).to_pandas()
     assert len(fr) > 0
