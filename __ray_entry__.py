@@ -31,6 +31,10 @@ Operator coverage map (SURVEY.md §2 -> query names):
   joins / sort / limit    -> top_customers; windowed agg -> events_hourly;
                              filtered agg -> q6_forecast_revenue;
                              dim census -> part_type_census
+  join variety            -> q4_order_priority (semi),
+                             customers_without_orders (anti),
+                             asof_purchase_view (as-of),
+                             window_topk_orders (windowed rank)
 """
 
 from __future__ import annotations
@@ -60,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         dedupe,
         filededupe,
+        joins,
         multimodal,
         sessions,
         similarity,
@@ -89,6 +94,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "sessionize": sessions.sessionize,
         "q3_shipping": sessions.q3_shipping,
+        # --- join variety (semi / anti / as-of / windowed rank) ---
+        "q4_order_priority": joins.q4_order_priority,
+        "customers_without_orders": joins.customers_without_orders,
+        "asof_purchase_view": joins.asof_purchase_view,
+        "window_topk_orders": joins.window_topk_orders,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,
         "bpe_token_stats": textpipe.bpe_token_stats,
@@ -226,6 +236,41 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "WHERE c_mktsegment = 'BUILDING' "
             "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "  WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "customers_without_orders": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "ROUND(SUM(c_acctbal), 2) AS sum_acctbal "
+            "FROM customer WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            " AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "asof_purchase_view": (
+            "WITH x AS (SELECT event_id, user_id, ts, event_type, "
+            " MAX(CASE WHEN event_type = 'view' THEN ts END) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id "
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts "
+            " FROM events WHERE event_type IN ('view', 'purchase')) "
+            "SELECT event_id, user_id, prev_view_ts, "
+            "DATE_DIFF('microsecond', prev_view_ts, ts) / 1000000.0 AS lag_s "
+            "FROM x WHERE event_type = 'purchase' ORDER BY event_id"
+        ),
+        "window_topk_orders": (
+            "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+            " ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "  ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) "
+            "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "

@@ -1,0 +1,216 @@
+"""Join-variety operators over the driver test tables (SURVEY.md §2.9
+extension surface): semi-join, anti-join, as-of join and windowed top-k
+per group — the relational shapes a reference user mixes with the dedup
+family, each expressed with the partitioning pattern that survives
+100 TB.
+
+Physical-plan notes per operator:
+
+- **semi / anti join** use ``Dataset.join(join_type="left_semi" /
+  "left_anti")`` — Ray Data's hash-partitioned shuffle join — with the
+  probe side reduced FIRST (filter + per-batch key dedup inside
+  ``map_batches``) so only 8-byte keys ride the exchange, never payload
+  columns.
+- **as-of join** has no Dataset-API primitive: it is the canonical
+  partition-by-key + in-partition ordered merge (same shard pattern as
+  sessions.py) — shuffle on ``user_id % n_shards``, then a vectorized
+  cummax-of-shifted-timestamps per shard. The partitioning assumption
+  (one user never spans shards) is the documented contract.
+- **windowed top-k per group** is shard-groupby + per-shard vectorized
+  rank (never a global sort): only k rows per group leave a shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .common import read
+
+_N_SHARDS = 32
+
+
+def _dedup_keys(name: str):
+    """Per-batch key dedup (combiner before the join shuffle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({name: batch[name].unique()})
+
+    return fn
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped semi-join: count 1996 orders per priority that
+    have at least one high-quantity lineitem (EXISTS semantics).
+
+    Plan: lineitem is filtered + per-batch-deduped down to bare
+    ``l_orderkey`` keys, then ``left_semi`` hash-join keeps matching
+    orders; the priority census is a tiny groupby after the join.
+    """
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    keys = (
+        read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["l_quantity"], pa.scalar(45.0))).select(
+                ["l_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(_dedup_keys("l_orderkey"), batch_format="pyarrow")
+    )
+    out = (
+        orders.join(
+            keys,
+            join_type="left_semi",
+            num_partitions=8,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+        .to_pandas()
+    )
+    return out[["o_orderpriority", "n_orders"]]
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers with NO order in 1997 (NOT EXISTS
+    semantics), summarized per market segment.
+
+    Plan: orders filtered to the window and reduced to per-batch-deduped
+    ``o_custkey`` keys, then ``left_anti`` hash-join drops matching
+    customers; segment census after."""
+    cust = read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    keys = (
+        read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(
+                        b["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))
+                    ),
+                    pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+                )
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(_dedup_keys("o_custkey"), batch_format="pyarrow")
+    )
+    out = (
+        cust.join(
+            keys,
+            join_type="left_anti",
+            num_partitions=8,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal")
+        )
+        .sort("c_mktsegment")
+        .to_pandas()
+    )
+    out["sum_acctbal"] = out["sum_acctbal"].round(2)
+    return out[["c_mktsegment", "n_customers", "sum_acctbal"]]
+
+
+def _asof_per_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """In-partition as-of kernel: one vectorized pass over a shard."""
+    g = g.sort_values(["user_id", "ts", "event_id"])
+    view_ts = g["ts"].where(g["event_type"].eq("view"))
+    # shift-then-ffill: row i sees the latest view at a strictly
+    # earlier row of the same user (rows are ts-sorted, so "latest
+    # seen" == "max"); cummax would re-emit NaT at gap positions
+    prev_view = view_ts.groupby(g["user_id"]).shift().groupby(g["user_id"]).ffill()
+    buy = g["event_type"].eq("purchase")
+    out = pd.DataFrame(
+        {
+            "event_id": g.loc[buy, "event_id"],
+            "user_id": g.loc[buy, "user_id"],
+            "prev_view_ts": prev_view[buy],
+        }
+    )
+    # exact float64 µs-count / 1e6 — bit-identical to the SQL oracle's
+    # DATE_DIFF('microsecond', ...)/1e6, no decimal rounding needed
+    lag_us = (g.loc[buy, "ts"] - out["prev_view_ts"]) / pd.Timedelta(microseconds=1)
+    out["lag_s"] = lag_us / 1e6
+    return out
+
+
+def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
+    """As-of join within the events log: for every ``purchase`` event,
+    the timestamp of the same user's most recent strictly-preceding
+    ``view`` event (ties broken by event_id, matching the SQL window
+    frame ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``), plus
+    the lag in seconds. Purchases with no prior view carry nulls.
+
+    Plan: prune to the two event types at the read, shuffle on
+    ``user_id % n_shards`` (a user never spans shards), then one
+    vectorized pass per shard: sort by (user, ts, event_id), take the
+    per-user cummax of the shifted view-timestamps.
+    """
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (batch["user_id"].to_numpy() % np.int64(_N_SHARDS)).astype("int32")
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    return (
+        read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+        .filter(expr="event_type == 'view' or event_type == 'purchase'")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: _asof_per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .sort("event_id")
+    )
+
+
+def window_topk_orders(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Windowed rank: each customer's top-``k`` orders by totalprice
+    (ROW_NUMBER() semantics, ties broken by orderkey).
+
+    Plan: shard on ``o_custkey % n_shards``, rank inside each shard with
+    one vectorized sort + cumcount — at most k rows per customer leave a
+    shard; no global sort of the fact table."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (batch["o_custkey"].to_numpy() % np.int64(_N_SHARDS)).astype("int32")
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        g["rnk"] = g.groupby("o_custkey").cumcount() + 1
+        return g[g["rnk"] <= k].astype({"rnk": "int64"})
+
+    return (
+        read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .sort(["o_custkey", "rnk"])
+    )

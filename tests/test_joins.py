@@ -1,0 +1,129 @@
+"""Join-variety pipeline tests (pipelines/joins.py): semi, anti, as-of,
+windowed top-k. Each query also has a driver SQL oracle at sf0.01; these
+tests pin the in-partition kernels' edge semantics at sf0.001 against an
+inline DuckDB recomputation plus hand-built corner cases.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def test_q4_semi_join_matches_exists():
+    from dedupe_rust_ray.pipelines.joins import q4_order_priority
+
+    got = q4_order_priority(SF).reset_index(drop=True)
+    want = _duck(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "  WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_anti_join_matches_not_exists():
+    from dedupe_rust_ray.pipelines.joins import customers_without_orders
+
+    got = customers_without_orders(SF).reset_index(drop=True)
+    want = _duck(
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "ROUND(SUM(c_acctbal), 2) AS sum_acctbal "
+        "FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        " AND o_orderdate >= TIMESTAMP '1997-01-01' "
+        " AND o_orderdate < TIMESTAMP '1998-01-01') "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    assert len(got) > 0  # window chosen so the anti side is non-trivial
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_asof_join_end_to_end():
+    from dedupe_rust_ray.pipelines.joins import asof_purchase_view
+
+    got = asof_purchase_view(SF).to_pandas()
+    want = _duck(
+        "WITH x AS (SELECT event_id, user_id, ts, event_type, "
+        " MAX(CASE WHEN event_type = 'view' THEN ts END) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id "
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts "
+        " FROM events WHERE event_type IN ('view', 'purchase')) "
+        "SELECT event_id, user_id, prev_view_ts "
+        "FROM x WHERE event_type = 'purchase' ORDER BY event_id"
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["prev_view_ts"], want["prev_view_ts"], check_index=False
+    )
+    # null lag exactly where there is no prior view
+    assert got["lag_s"].isna().equals(got["prev_view_ts"].isna())
+    ok = got.dropna(subset=["lag_s"])
+    assert (ok["lag_s"] > 0).all()
+
+
+def test_asof_kernel_corner_cases():
+    """No-prior-view -> null; same-timestamp tie broken by event_id (a
+    view sharing a purchase's ts counts only if its event_id is lower)."""
+    from dedupe_rust_ray.pipelines.joins import asof_purchase_view  # noqa: F401
+    # exercise the per-shard kernel directly through a module-level copy
+    import dedupe_rust_ray.pipelines.joins as joins
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    g = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 8, 9, 9],
+            "ts": [t0, t0, t0 + pd.Timedelta("1h"), t0, t0, t0],
+            "event_type": [
+                "view",      # u7: view at t0, id 1
+                "purchase",  # u7: purchase at the SAME ts, higher id -> matches
+                "purchase",  # u7: later purchase -> matches t0 view
+                "purchase",  # u8: no view at all -> null
+                "purchase",  # u9: purchase id 5 BEFORE view id 6 at same ts -> null
+                "view",
+            ],
+        }
+    )
+    # reuse the same in-partition logic by running the full pipeline on a
+    # one-shard frame via the module's per-shard closure shape
+    out = joins._asof_per_shard(g)
+    out = out.set_index("event_id")
+    assert out.loc[2, "prev_view_ts"] == t0
+    assert out.loc[3, "prev_view_ts"] == t0
+    assert pd.isna(out.loc[4, "prev_view_ts"])
+    assert pd.isna(out.loc[5, "prev_view_ts"])
+
+
+def test_window_topk_rank_semantics():
+    from dedupe_rust_ray.pipelines.joins import window_topk_orders
+
+    got = window_topk_orders(SF, k=3).to_pandas()
+    assert (got["rnk"] >= 1).all() and (got["rnk"] <= 3).all()
+    # per customer: ranks are 1..n without gaps, prices non-increasing
+    for _, grp in got.groupby("o_custkey"):
+        grp = grp.sort_values("rnk")
+        assert grp["rnk"].tolist() == list(range(1, len(grp) + 1))
+        assert (grp["o_totalprice"].diff().dropna() <= 0).all()
+    want = _duck(
+        "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+        " ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) "
+        "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk "
+        "FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk"
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
