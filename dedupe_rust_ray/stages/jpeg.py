@@ -103,44 +103,135 @@ def _canonical_codes(bits, vals):
     return out
 
 
+_LUT_CACHE: dict[tuple, tuple[bytes, bytes]] = {}
+
+
 def _decode_table(bits, vals):
-    """BITS/HUFFVAL -> {(length, code): symbol}."""
-    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+    """BITS/HUFFVAL -> flat 16-bit-prefix LUT ``(sym, len)`` as two bytes
+    objects: a peeked 16-bit window indexes both in O(1) (bytes indexing
+    is the fastest scalar lookup CPython offers). len 0 marks an invalid
+    code. Cached per table definition — real streams almost always carry
+    the Annex K tables, so the 64 KiB build cost is paid once."""
+    key = (bits, vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym_arr = np.zeros(1 << 16, np.uint8)
+    len_arr = np.zeros(1 << 16, np.uint8)
+    for s, (c, ln) in _canonical_codes(bits, vals).items():
+        start = c << (16 - ln)
+        sym_arr[start : start + (1 << (16 - ln))] = s
+        len_arr[start : start + (1 << (16 - ln))] = ln
+    if len(_LUT_CACHE) > 64:  # bound worker-process memory
+        _LUT_CACHE.clear()
+    out = (sym_arr.tobytes(), len_arr.tobytes())
+    _LUT_CACHE[key] = out
+    return out
 
 
-_ENC_DC = _canonical_codes(DC_BITS, DC_VALS)
-_ENC_AC = _canonical_codes(AC_BITS, AC_VALS)
+# Encoder-side flat code tables: symbol -> (code, length) as numpy arrays.
+_DC_CODE = np.zeros(12, np.uint32)
+_DC_CLEN = np.zeros(12, np.uint32)
+for _s, (_c, _l) in _canonical_codes(DC_BITS, DC_VALS).items():
+    _DC_CODE[_s], _DC_CLEN[_s] = _c, _l
+_AC_CODE = np.zeros(256, np.uint32)
+_AC_CLEN = np.zeros(256, np.uint32)
+for _s, (_c, _l) in _canonical_codes(AC_BITS, AC_VALS).items():
+    _AC_CODE[_s], _AC_CLEN[_s] = _c, _l
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def put(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.nbits -= 8
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
-                self.out.append(0x00)
-
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.put(0xFF, pad)  # 1-fill per spec
-        return bytes(self.out)
+def _size_bits(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized T.81 magnitude coding: value -> (category, appended
+    bits). Exact for |v| < 2^24 (frexp on float64)."""
+    s = np.where(v == 0, 0, np.frexp(np.abs(v).astype(np.float64))[1]).astype(np.int64)
+    bits = np.where(v > 0, v, v + (1 << s) - 1).astype(np.int64)
+    return s, bits
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    """value -> (category bit-length, appended bits)."""
-    if v == 0:
-        return 0, 0
-    s = int(abs(v)).bit_length()
-    return s, (v if v > 0 else v + (1 << s) - 1)
+def _entropy_encode(zz: np.ndarray) -> bytes:
+    """Vectorized baseline entropy coder: zigzagged blocks (nblk, 64) ->
+    stuffed scan bytes. Builds one flat (sortkey, code, length) entry
+    list with numpy (DC diffs, ZRL runs, AC symbols, extra bits, EOBs),
+    orders it, then bit-packs via a 16-wide bit matrix + packbits."""
+    nblk = zz.shape[0]
+    blocks = np.arange(nblk, dtype=np.int64)
+
+    def key(b, pos, rank):
+        return (b * 65 + pos) * 8 + rank
+
+    keys, codes, lens = [], [], []
+
+    # DC: differential magnitude + appended bits
+    dc = zz[:, 0]
+    diff = np.diff(dc, prepend=0)
+    s, bits = _size_bits(diff)
+    keys.append(key(blocks, 0, 0))
+    codes.append(_DC_CODE[s])
+    lens.append(_DC_CLEN[s])
+    has = s > 0  # zero-length appended bits are dropped by the mask later
+    keys.append(key(blocks[has], 0, 1))
+    codes.append(bits[has].astype(np.uint32))
+    lens.append(s[has].astype(np.uint32))
+
+    # AC: run lengths between nonzeros inside each block
+    pos = np.arange(1, 64, dtype=np.int64)
+    nz = zz[:, 1:] != 0
+    last_nz = np.where(nz, pos, 0).max(axis=1)  # 0 when block is AC-empty
+    incl = np.maximum.accumulate(np.where(nz, pos, 0), axis=1)
+    prev = np.concatenate(
+        [np.zeros((nblk, 1), np.int64), incl[:, :-1]], axis=1
+    )  # last nonzero strictly before each cell
+    bi, ki = np.nonzero(nz)
+    kpos = ki + 1
+    run = kpos - prev[bi, ki] - 1
+    v = zz[:, 1:][bi, ki]
+    s, bits = _size_bits(v)
+    nzrl = run >> 4
+    rem = run & 15
+    # ZRL entries (run >= 16): up to 3 per coefficient
+    rep = np.repeat(np.arange(len(bi)), nzrl)
+    if len(rep):
+        zk = np.repeat(np.arange(3)[None, :], len(bi), axis=0)[
+            np.arange(3)[None, :] < nzrl[:, None]
+        ]
+        keys.append(key(bi[rep], kpos[rep], zk))
+        codes.append(np.full(len(rep), _AC_CODE[0xF0], np.uint32))
+        lens.append(np.full(len(rep), _AC_CLEN[0xF0], np.uint32))
+    sym = (rem << 4) | s
+    keys.append(key(bi, kpos, 5))
+    codes.append(_AC_CODE[sym])
+    lens.append(_AC_CLEN[sym])
+    keys.append(key(bi, kpos, 6))
+    codes.append(bits.astype(np.uint32))
+    lens.append(s.astype(np.uint32))
+
+    # EOB for every block whose last nonzero is before position 63
+    eob = blocks[last_nz < 63]
+    keys.append(key(eob, 64, 0))
+    codes.append(np.full(len(eob), _AC_CODE[0x00], np.uint32))
+    lens.append(np.full(len(eob), _AC_CLEN[0x00], np.uint32))
+
+    k = np.concatenate(keys)
+    c = np.concatenate(codes)
+    ln = np.concatenate(lens)
+    order = np.argsort(k, kind="stable")
+    c, ln = c[order], ln[order]
+
+    # bit-pack: row i contributes its low `ln[i]` bits MSB-first
+    width = np.arange(16, dtype=np.int64)[None, :]
+    shift = ln[:, None].astype(np.int64) - 1 - width
+    mat = (c[:, None].astype(np.int64) >> np.maximum(shift, 0)) & 1
+    mask = width < ln[:, None]
+    flat = mat[mask].astype(np.uint8)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, np.uint8)])  # 1-fill
+    out = np.packbits(flat)
+    # byte stuffing (T.81 F.1.2.3): 0xFF -> 0xFF 0x00
+    ff = np.nonzero(out == 0xFF)[0]
+    if len(ff):
+        out = np.insert(out, ff + 1, 0)
+    return out.tobytes()
 
 
 def encode_jpeg(pixels: np.ndarray) -> bytes:
@@ -159,36 +250,7 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     q = np.round(coef / STD_LUMA_QUANT).astype(np.int64)
     zz = q.reshape(-1, 64)[:, ZIGZAG]
 
-    bw = _BitWriter()
-    prev_dc = 0
-    for blk in zz:
-        s, b = _magnitude(int(blk[0]) - prev_dc)
-        prev_dc = int(blk[0])
-        code, ln = _ENC_DC[s]
-        bw.put(code, ln)
-        if s:
-            bw.put(b, s)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = _ENC_AC[0xF0]  # ZRL
-                bw.put(code, ln)
-                run -= 16
-            s, b = _magnitude(v)
-            code, ln = _ENC_AC[(run << 4) | s]
-            bw.put(code, ln)
-            bw.put(b, s)
-            run = 0
-        if last < 63:
-            code, ln = _ENC_AC[0x00]  # EOB
-            bw.put(code, ln)
-    scan = bw.flush()
+    scan = _entropy_encode(zz)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -300,61 +362,82 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             break  # EOI or next segment
         scan.append(b)
         p += 1
-    bits = np.unpackbits(np.frombuffer(bytes(scan), np.uint8))
-    nbits = len(bits)
-    cursor = 0
-
-    def read_bits(n: int) -> int:
-        nonlocal cursor
-        if cursor + n > nbits:
-            raise IndexError
-        v = 0
-        for i in range(n):
-            v = (v << 1) | int(bits[cursor + i])
-        cursor += n
-        return v
-
-    def read_symbol(tbl) -> int:
-        nonlocal cursor
-        code = 0
-        for length in range(1, 17):
-            if cursor >= nbits:
-                raise IndexError
-            code = (code << 1) | int(bits[cursor])
-            cursor += 1
-            sym = tbl.get((length, code))
-            if sym is not None:
-                return sym
-        raise IndexError
-
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    # MSB-first bit cursor over the scan: an int accumulator refilled a
+    # byte at a time (never more than ~24 bits wide), with logical zero
+    # padding past the end; `used` counts consumed REAL bits so overruns
+    # into padding are detected after the block loop.
+    sdata = bytes(scan)
+    total_real = len(sdata) * 8
+    slen = len(sdata)
+    dc_sym, dc_len = dc_tbl
+    ac_sym, ac_len = ac_tbl
+    acc = 0
+    nacc = 0
+    pos = 0
+    used = 0
 
     by, bx = (h + 7) // 8, (w + 7) // 8
     zz = np.zeros((by * bx, 64), np.int64)
     prev_dc = 0
-    try:
-        for n in range(by * bx):
-            s = read_symbol(dc_tbl)
-            diff = extend(read_bits(s), s) if s else 0
-            prev_dc += diff
-            zz[n, 0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_tbl)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    return None
-                zz[n, k] = extend(read_bits(s), s)
-                k += 1
-    except IndexError:
-        return None
+    for n in range(by * bx):
+        # --- DC symbol (16-bit-prefix LUT) + magnitude bits
+        while nacc < 16:
+            acc = (acc << 8) | (sdata[pos] if pos < slen else 0)
+            pos += 1
+            nacc += 8
+        peek = (acc >> (nacc - 16)) & 0xFFFF
+        ln = dc_len[peek]
+        if ln == 0:
+            return None
+        s = dc_sym[peek]
+        nacc -= ln
+        used += ln
+        if s:
+            while nacc < s:
+                acc = (acc << 8) | (sdata[pos] if pos < slen else 0)
+                pos += 1
+                nacc += 8
+            v = (acc >> (nacc - s)) & ((1 << s) - 1)
+            nacc -= s
+            used += s
+            prev_dc += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        acc &= (1 << nacc) - 1
+        zz[n, 0] = prev_dc
+        # --- AC run-length symbols
+        k = 1
+        while k < 64:
+            while nacc < 16:
+                acc = (acc << 8) | (sdata[pos] if pos < slen else 0)
+                pos += 1
+                nacc += 8
+            peek = (acc >> (nacc - 16)) & 0xFFFF
+            ln = ac_len[peek]
+            if ln == 0:
+                return None
+            rs = ac_sym[peek]
+            nacc -= ln
+            used += ln
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                return None
+            while nacc < s:
+                acc = (acc << 8) | (sdata[pos] if pos < slen else 0)
+                pos += 1
+                nacc += 8
+            v = (acc >> (nacc - s)) & ((1 << s) - 1)
+            nacc -= s
+            used += s
+            zz[n, k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            acc &= (1 << nacc) - 1
+            k += 1
+    if used > total_real:
+        return None  # ran into padding: truncated stream
 
     q = np.zeros((by * bx, 64), np.int64)
     q[:, ZIGZAG] = zz
