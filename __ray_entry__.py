@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_first": analytics.exact_dedup_first,
         "dup_group_sizes": analytics.dup_group_sizes,
         "doc_len_stats": analytics.doc_len_stats,
+        "doc_len_quantiles": analytics.doc_len_quantiles,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
@@ -105,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textpipe.quality_scores,
         "quality_filter": textpipe.quality_filter,
         "lang_id_census": textpipe.lang_id_census,
+        "top_tokens": textpipe.top_tokens,
+        "distinct_texts_hll": textpipe.distinct_texts_hll,
         "fingerprint_dedup": textpipe.fingerprint_dedup,
         # --- dedup family ---
         "ngram_jaccard_dedup": dedupe.ngram_jaccard_dedup,
@@ -164,6 +167,19 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(n_chars), 4) AS avg_chars, "
             "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "doc_len_quantiles": (
+            "SELECT lang, "
+            "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50, "
+            "ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "top_tokens": (
+            "WITH t AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok "
+            "FROM documents) "
+            "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE tok <> '' "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
         ),
         "q6_forecast_revenue": (
             "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "

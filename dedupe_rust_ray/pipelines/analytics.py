@@ -13,6 +13,7 @@ fold/reduce (/root/reference/src/main.rs:393-412).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -155,6 +156,47 @@ def doc_len_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(round_avg, batch_format="pyarrow")
+
+
+def doc_len_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)) -> pd.DataFrame:
+    """Exact per-language length percentiles (PERCENTILE_CONT semantics)
+    computed by distributed histogram merge.
+
+    Scale pattern: the value domain of ``n_chars`` is bounded, so each
+    batch pre-aggregates to (lang, n_chars, count) partials, the global
+    groupby shuffles only the distinct-domain histogram (thousands of
+    rows regardless of corpus size), and the interpolated quantile is a
+    driver-side cumsum over that SMALL merged histogram — never a sort
+    or materialization of the raw column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return t.rename_columns(["lang", "n_chars", "cnt"])
+
+    hist = (
+        read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # merged histogram: distinct (lang, value) pairs only
+    )
+
+    rows = []
+    for lang, g in hist.sort_values(["lang", "n_chars"]).groupby("lang"):
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"lang": lang, "n": n}
+        for q in qs:
+            pos = q * (n - 1)
+            r = int(pos)
+            frac = pos - r
+            v1 = vals[np.searchsorted(cum, r + 1)]
+            v2 = vals[np.searchsorted(cum, min(r + 2, n))]
+            row[f"p{int(q * 100)}"] = round(v1 + frac * (v2 - v1), 4)
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    return out[["lang", *(f"p{int(q * 100)}" for q in qs), "n"]]
 
 
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:

@@ -7,7 +7,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Mean, Sum
+from ray.data.aggregate import Max, Mean, Sum
 
 from ..functions.textstats import (
     lang_id_batch,
@@ -171,3 +171,68 @@ def bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-``k`` most frequent whitespace tokens (the
+    canonical wordcount, heavy-hitter census shape).
+
+    Scale pattern: each batch pre-aggregates its token counts with one
+    ``np.unique`` (a combiner — one partial row per DISTINCT token per
+    batch rides the shuffle, never one row per occurrence), the global
+    groupby sums partials, and only the final k-row head is collected."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
+        if len(toks) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        u, c = np.unique(toks, return_counts=True)
+        return pd.DataFrame({"tok": u, "cnt": c.astype("int64")})
+
+    return (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+
+def distinct_texts_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-text count per language via a HyperLogLog
+    sketch (p=12, ~1.6% standard error) — the scale path for COUNT
+    DISTINCT over columns whose distinct domain does NOT fit anywhere.
+
+    Scale pattern: batches emit (lang, register, rho) partials already
+    maxed within the batch, the global merge is a groupby over at most
+    ``langs x 4096`` rows, and the driver folds registers into the
+    estimate. Exactness is oracled in pytest against true COUNT
+    DISTINCT at small scale (tolerance from the sketch's error bound)."""
+    from ..functions.hashing import stable_hash64
+    from ..functions.sketches import estimate_from_registers, registers_from_hashes
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        reg, rho = registers_from_hashes(stable_hash64(batch["text"].to_numpy()))
+        out = pd.DataFrame({"lang": batch["lang"], "reg": reg, "rho": rho})
+        return out.groupby(["lang", "reg"], as_index=False)["rho"].max()
+
+    merged = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    rows = [
+        {
+            "lang": lang,
+            "est_distinct": int(round(
+                estimate_from_registers(g["reg"].to_numpy(), g["rho"].to_numpy())
+            )),
+        }
+        for lang, g in merged.groupby("lang")
+    ]
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
