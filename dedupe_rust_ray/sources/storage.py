@@ -30,20 +30,60 @@ def read_table(path: str, *, columns: list[str] | None = None,
                **kwargs) -> ray.data.Dataset:
     """Read a table directory/file written by :func:`write_table`.
 
-    Column pruning is pushed to the reader — callers should always pass
-    ``columns`` when they do not need the full row (prune at the read).
+    Format dispatch by extension: ``.lance`` (when pylance is present),
+    ``.csv``, ``.json``/``.jsonl``, else Parquet. Column pruning is
+    pushed to the reader where the format supports a pushdown (Parquet,
+    Lance); row-oriented formats (CSV/JSONL) must read full rows, so the
+    prune is applied right after the scan — callers should always pass
+    ``columns`` when they do not need the full row.
     """
     if _HAVE_LANCE and (path.endswith(".lance") or _looks_lance(path)):
         return ray.data.read_lance(path, columns=columns, **kwargs)
+    if path.endswith(".csv") or _dir_of(path, ".csv"):
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith((".json", ".jsonl")) or _dir_of(path, (".json", ".jsonl")):
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
-    """Write a dataset as a directory of part files (resumable layout)."""
-    if _HAVE_LANCE and path.endswith(".lance"):
+def write_table(ds: ray.data.Dataset, path: str, *, fmt: str | None = None,
+                **kwargs) -> None:
+    """Write a dataset as a directory of part files (resumable layout).
+
+    ``fmt`` overrides the extension dispatch: 'parquet' (default),
+    'csv', 'json' (JSONL part files), 'lance' (when available)."""
+    fmt = fmt or _ext_fmt(path)
+    if fmt == "lance":
+        if not _HAVE_LANCE:
+            raise RuntimeError("pylance not available in this environment")
         ds.write_lance(path, **kwargs)
-        return
-    ds.write_parquet(path, **kwargs)
+    elif fmt == "csv":
+        ds.write_csv(path, **kwargs)
+    elif fmt == "json":
+        ds.write_json(path, **kwargs)
+    else:
+        ds.write_parquet(path, **kwargs)
+
+
+def _ext_fmt(path: str) -> str:
+    for fmt, exts in (
+        ("lance", (".lance",)),
+        ("csv", (".csv",)),
+        ("json", (".json", ".jsonl")),
+    ):
+        if path.endswith(exts):
+            return fmt
+    return "parquet"
+
+
+def _dir_of(path: str, exts) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        name.endswith(exts) for name in os.listdir(path)
+    )
 
 
 def _looks_lance(path: str) -> bool:

@@ -62,3 +62,27 @@ def test_storage_layer_roundtrip(tmp_path, ray_session):
     # column pruning pushed to the reader
     pruned = read_table(out, columns=["n"]).to_pandas()
     assert list(pruned.columns) == ["n"] and len(pruned) == 100
+
+
+def test_storage_csv_jsonl_roundtrip(tmp_path):
+    """Extension-dispatched CSV and JSONL read/write through the storage
+    layer; columns= prunes after the scan for row-oriented formats."""
+    import pandas as pd
+    import ray.data
+
+    df = pd.DataFrame({"k": [3, 1, 2], "s": ["c", "a", "b"], "v": [0.5, 1.5, 2.5]})
+    ds = ray.data.from_pandas(df)
+
+    csv_out = str(tmp_path / "t.csv")
+    write_table(ds, csv_out)
+    back = read_table(csv_out).to_pandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(back, df.sort_values("k", ignore_index=True))
+    pruned = read_table(csv_out, columns=["k"]).to_pandas()
+    assert list(pruned.columns) == ["k"]
+
+    js_out = str(tmp_path / "t.jsonl")
+    write_table(ds, js_out, fmt="json")
+    back = read_table(js_out).to_pandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        back[["k", "s", "v"]], df.sort_values("k", ignore_index=True)
+    )
