@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": joins.customers_without_orders,
         "asof_purchase_view": joins.asof_purchase_view,
         "window_topk_orders": joins.window_topk_orders,
+        "orders_by_quarter": joins.orders_by_quarter,
+        "running_total_orders": joins.running_total_orders,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,
         "bpe_token_stats": textpipe.bpe_token_stats,
@@ -287,6 +289,21 @@ def oracle_sql() -> dict[str, str]:
             "  ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) "
             "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk "
             "FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk"
+        ),
+        "orders_by_quarter": (
+            "WITH q AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', "
+            "TIMESTAMP '2001-07-01', INTERVAL 3 MONTH)) AS q_start) "
+            "SELECT q_start, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN q ON o_orderdate >= q_start "
+            "AND o_orderdate < q_start + INTERVAL 3 MONTH "
+            "GROUP BY q_start ORDER BY q_start"
+        ),
+        "running_total_orders": (
+            "SELECT o_custkey, o_orderkey, "
+            "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+            " ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+            "AS run_total FROM orders ORDER BY o_custkey, o_orderkey"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "

@@ -214,3 +214,76 @@ def window_topk_orders(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         )
         .sort(["o_custkey", "rnk"])
     )
+
+
+def orders_by_quarter(sf_dir: str) -> pd.DataFrame:
+    """Range join: orders binned into calendar quarters by
+    ``q_start <= o_orderdate < q_end`` interval containment.
+
+    Physical plan for a range join whose interval side is small: the
+    interval table is broadcast (here: closure-captured — dozens of
+    rows) and containment is one vectorized ``searchsorted`` against
+    the sorted interval starts per batch, followed by per-batch partial
+    aggregation. No shuffle touches the fact table until it is already
+    reduced to (quarter, partials)."""
+    edges = pd.date_range("1995-01-01", "2001-10-01", freq="QS")  # sorted starts
+    starts = edges.values.astype("datetime64[us]")  # match parquet unit
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy()  # datetime64
+        idx = np.searchsorted(starts, d, side="right") - 1
+        ok = idx >= 0  # all dates fall inside [first, last) here
+        t = pa.table(
+            {
+                "q_start": pa.array(starts[idx[ok]], type=pa.timestamp("us")),
+                "n": pa.array(np.ones(int(ok.sum()), np.int64)),
+                "rev": pa.array(batch["o_totalprice"].to_numpy()[ok]),
+            }
+        )
+        g = t.group_by("q_start").aggregate([("n", "sum"), ("rev", "sum")])
+        return g.rename_columns(["q_start", "n", "rev"])
+
+    out = (
+        read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("q_start")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("rev", alias_name="revenue"))
+        .sort("q_start")
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["q_start"] = out["q_start"].astype("datetime64[us]")
+    return out[["q_start", "n_orders", "revenue"]]
+
+
+def running_total_orders(sf_dir: str) -> ray.data.Dataset:
+    """Windowed running sum: per-customer cumulative order value in
+    (o_orderdate, o_orderkey) order — SUM() OVER (PARTITION BY ...
+    ORDER BY ... ROWS UNBOUNDED PRECEDING) semantics.
+
+    Plan: shard on ``o_custkey % n_shards``, one vectorized
+    sort + groupby-cumsum per shard; addition order matches the SQL
+    window frame exactly, so values are bit-comparable after rounding."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (batch["o_custkey"].to_numpy() % np.int64(_N_SHARDS)).astype("int32")
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        g["run_total"] = g.groupby("o_custkey")["o_totalprice"].cumsum().round(2)
+        return g[["o_custkey", "o_orderkey", "run_total"]]
+
+    return (
+        read(
+            sf_dir,
+            "orders",
+            columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .sort(["o_custkey", "o_orderkey"])
+    )

@@ -16,9 +16,15 @@ from .common import read
 
 
 def synth_media(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic binary media table derived from documents (streaming)."""
-    return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
-        synth_media_batch, batch_format="pyarrow"
+    """Deterministic binary media table derived from documents (streaming).
+
+    The doc_id column usually arrives as ONE tiny block; encoding real
+    pixel payloads is the expensive part, so fan the ids out first (a
+    trivial shuffle of int64s) and let every core encode."""
+    return (
+        read(sf_dir, "documents", columns=["doc_id"])
+        .repartition(32)
+        .map_batches(synth_media_batch, batch_format="pyarrow")
     )
 
 

@@ -171,28 +171,19 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     out.append(8)  # LZW min code size
     clear, eoi = 256, 257
-    acc = 0
-    nbits = 0
-    codes = bytearray()
-
-    def emit(code: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += 9
-        while nbits >= 8:
-            codes.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear)
-    flat = pixels.astype(np.uint8).ravel()
-    for i, v in enumerate(flat):
-        if i and i % 250 == 0:
-            emit(clear)  # keep decoder dict < 512 -> code width stays 9
-        emit(int(v))
-    emit(eoi)
-    if nbits:
-        codes.append(acc & 0xFF)
+    # all codes are fixed 9-bit (CLEAR keeps the dict small), packed
+    # LSB-first — fully vectorized: interleave a CLEAR before every
+    # 250-pixel run, append EOI, expand each code to 9 little-endian
+    # bits, packbits
+    flat = pixels.astype(np.uint16).ravel()
+    chunks: list[np.ndarray] = []
+    for s in range(0, len(flat), 250):
+        chunks.append(np.array([clear], np.uint16))
+        chunks.append(flat[s : s + 250])
+    chunks.append(np.array([eoi], np.uint16))
+    cod = np.concatenate(chunks)
+    bits = ((cod[:, None] >> np.arange(9)[None, :]) & 1).astype(np.uint8)
+    codes = np.packbits(bits.ravel(), bitorder="little").tobytes()
     for s in range(0, len(codes), 255):
         block = codes[s : s + 255]
         out.append(len(block))

@@ -127,3 +127,34 @@ def test_window_topk_rank_semantics():
         "FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk"
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_range_join_quarters():
+    from dedupe_rust_ray.pipelines.joins import orders_by_quarter
+
+    got = orders_by_quarter(SF).reset_index(drop=True)
+    want = _duck(
+        "WITH q AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', "
+        "TIMESTAMP '2001-07-01', INTERVAL 3 MONTH)) AS q_start) "
+        "SELECT q_start, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN q ON o_orderdate >= q_start "
+        "AND o_orderdate < q_start + INTERVAL 3 MONTH "
+        "GROUP BY q_start ORDER BY q_start"
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every order lands in exactly one interval
+    assert got["n_orders"].sum() == len(pd.read_parquet(f"{SF}/orders.parquet"))
+
+
+def test_running_total_window():
+    from dedupe_rust_ray.pipelines.joins import running_total_orders
+
+    got = running_total_orders(SF).to_pandas()
+    want = _duck(
+        "SELECT o_custkey, o_orderkey, "
+        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        " ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
+        "AS run_total FROM orders ORDER BY o_custkey, o_orderkey"
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
