@@ -81,8 +81,13 @@ def _ext_fmt(path: str) -> str:
 def _dir_of(path: str, exts) -> bool:
     import os
 
+    # Underscore/dot-prefixed files are sidecar metadata (e.g. the
+    # checkpoint layer's ``_manifest.json``), not data parts — a directory
+    # of parquet parts plus a manifest must still dispatch to parquet.
     return os.path.isdir(path) and any(
-        name.endswith(exts) for name in os.listdir(path)
+        name.endswith(exts)
+        for name in os.listdir(path)
+        if not name.startswith(("_", "."))
     )
 
 
