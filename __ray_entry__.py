@@ -78,6 +78,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return er_pipeline(corpus_from_flat_documents(sf_dir), ERConfig())
 
+    def er_incremental(sf_dir: str):
+        """Incremental mode: init on ~75% of the corpus, absorb the rest
+        as a delta update; returns the final clusters (must equal
+        er_clusters — pytest tests/test_incremental_er.py proves the
+        equivalence property at fixture scale)."""
+        import tempfile
+
+        import numpy as np
+        import ray.data
+
+        from dedupe_rust_ray.config import ERConfig
+        from dedupe_rust_ray.pipelines.incremental import (
+            incremental_er_update,
+            init_er_state,
+            read_state_clusters,
+        )
+        from dedupe_rust_ray.sources.corpus import corpus_from_flat_documents
+
+        docs = corpus_from_flat_documents(sf_dir)
+        from dedupe_rust_ray.functions.hashing import stable_hash64
+
+        def split(batch, keep_delta):
+            h = stable_hash64(batch["doc_id"].to_pylist()) % np.uint64(4)
+            mask = (h == 3) if keep_delta else (h != 3)
+            import pyarrow as _pa
+
+            return batch.filter(_pa.array(mask))
+
+        cfg = ERConfig()
+        with tempfile.TemporaryDirectory() as state_dir:
+            base = docs.map_batches(
+                lambda b: split(b, False), batch_format="pyarrow"
+            )
+            delta = docs.map_batches(
+                lambda b: split(b, True), batch_format="pyarrow"
+            )
+            init_er_state(base, cfg, state_dir)
+            incremental_er_update(delta, cfg, state_dir)
+            return read_state_clusters(state_dir).to_pandas()
+
     return {
         # --- analytics / operator-inventory analogs (SQL-checked) ---
         "census_by_lang": analytics.census_by_lang,
@@ -129,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_dedupe": filededupe.file_dedupe_query,
         # --- flagship ---
         "er_clusters": er_clusters,
+        "er_incremental": er_incremental,
     }
 
 
