@@ -373,6 +373,26 @@ def oracle_sql() -> dict[str, str]:
             "  AS BIGINT) AS punct_chars "
             "FROM documents ORDER BY doc_id"
         ),
+        # same float64 ops in the same order as quality_scores_batch, so
+        # the fused score is bit-identical and the >= 0.5 gate agrees
+        "quality_filter": (
+            "WITH t AS (SELECT doc_id, LENGTH(text) AS n_chars, "
+            " list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks, "
+            " LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS punct, "
+            " LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS uppr "
+            " FROM documents), "
+            "s AS (SELECT doc_id, "
+            " 0.4 * (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) "
+            " + 0.2 * (1.0 - LEAST(punct::DOUBLE / GREATEST(n_chars, 1), 1.0)) "
+            " + 0.2 * (1.0 - LEAST(uppr::DOUBLE * 2 / GREATEST(n_chars, 1), 1.0)) "
+            " + 0.2 * LEAST(len(list_filter(toks, x -> lower(x) IN "
+            "   ('the','and','of','to','a','in','is','it','you','that','he',"
+            "'was','for','on','are','with','as','i','his','they','be','at')"
+            "  ))::DOUBLE / GREATEST(len(toks), 1), 1.0) AS q "
+            " FROM t) "
+            "SELECT doc_id, FLOOR(q * 10000 + 0.5) / 10000 AS quality_score FROM s "
+            "WHERE q >= 0.5 ORDER BY doc_id"
+        ),
         "ngram_jaccard_dedup": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
             "tri AS (SELECT doc_id, "
@@ -412,7 +432,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE r <= 10 ORDER BY query_id, cos_sim DESC, neighbor_id"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, lang_id_census,
-        # fingerprint_dedup, quality_filter, media_*, er_clusters: sketch /
+        # fingerprint_dedup, media_*, er_clusters: sketch /
         # heuristic / binary-parsing operators with no faithful ANSI-SQL
         # equivalent -> rows-only driver check; their semantics are covered
         # by pytest oracles instead (tests/test_queries_oracle.py).

@@ -82,9 +82,10 @@ def quality_filter(sf_dir: str, min_score: float = 0.5) -> ray.data.Dataset:
 
     def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
         q = quality_scores_batch(batch["text"])
-        out = pd.DataFrame(
-            {"doc_id": batch["doc_id"], "quality_score": np.round(q["quality_score"], 4)}
-        )
+        # floor(x*1e4+0.5)/1e4: half-up rounding that DuckDB can reproduce
+        # bit-for-bit (np.round's half-to-even has no cheap SQL equivalent)
+        score = np.floor(q["quality_score"].to_numpy() * 1e4 + 0.5) / 1e4
+        out = pd.DataFrame({"doc_id": batch["doc_id"], "quality_score": score})
         return out[q["quality_score"].to_numpy() >= min_score]
 
     return (
