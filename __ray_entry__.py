@@ -28,6 +28,8 @@ Operator coverage map (SURVEY.md §2 -> query names):
                              knn_ivf (inverted-file)
   text analysis           -> token_counts_by_lang, quality_scores,
                              quality_filter, lang_id_census
+  corpus curation         -> hash_split, dup_ngram_spans, decontaminate,
+                             repetition_stats, pii_scrub, semdedup
   joins / sort / limit    -> top_customers; windowed agg -> events_hourly;
                              filtered agg -> q6_forecast_revenue;
                              dim census -> part_type_census
@@ -62,6 +64,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from dedupe_rust_ray.pipelines import (
         analytics,
+        curation,
         dedupe,
         filededupe,
         joins,
@@ -151,6 +154,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": textpipe.top_tokens,
         "distinct_texts_hll": textpipe.distinct_texts_hll,
         "fingerprint_dedup": textpipe.fingerprint_dedup,
+        # --- corpus curation (split / substring-dup / decontamination /
+        #     repetition / PII / embedding prune) ---
+        "hash_split": curation.hash_split,
+        "dup_ngram_spans": curation.dup_ngram_spans,
+        "decontaminate": curation.decontaminate,
+        "repetition_stats": curation.repetition_stats,
+        "pii_scrub": curation.pii_scrub,
+        "semdedup": curation.semdedup,
         # --- dedup family ---
         "ngram_jaccard_dedup": dedupe.ngram_jaccard_dedup,
         "minhash_lsh_dedup": dedupe.minhash_lsh_dedup,
@@ -393,6 +404,59 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, FLOOR(q * 10000 + 0.5) / 10000 AS quality_score FROM s "
             "WHERE q >= 0.5 ORDER BY doc_id"
         ),
+        "hash_split": (
+            "SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+            "ELSE 'test' END AS split, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+            " AS UBIGINT) % 100 AS b FROM documents) GROUP BY split ORDER BY split"
+        ),
+        # gram identity on the Ray side is a 64-bit rolling hash; distinct
+        # grams collide with p ~ 2^-64, far below the comparison's noise
+        "dup_ngram_spans": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+            " FROM toks, UNNEST(range(1, len(w)-6)) AS t(i)), "
+            "dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams "
+            "FROM grams JOIN dup USING(g) GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g "
+            " FROM toks, UNNEST(range(1, len(w)-3)) AS t(i)), "
+            "bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams "
+            "FROM grams JOIN bg USING(g) WHERE doc_id >= 10 "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "repetition_stats": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents), "
+            "bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g "
+            " FROM toks, UNNEST(range(1, len(w))) AS t(i)), "
+            "cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g), "
+            "agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, "
+            " MAX(c) AS top FROM cnt GROUP BY doc_id) "
+            "SELECT doc_id, n_bigrams, "
+            "FLOOR(top::DOUBLE / n_bigrams * 10000 + 0.5) / 10000 AS top_bigram_frac "
+            "FROM agg ORDER BY doc_id"
+        ),
+        # identical RE2-safe patterns, same order as curation.PII_PATTERNS
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            " '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text, '\\b\\d{7,}\\b')) AS BIGINT) AS n_longnums, "
+            "CAST(LENGTH(regexp_replace(regexp_replace(regexp_replace(text, "
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            " '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g'), "
+            " '\\b\\d{7,}\\b', '[NUM]', 'g')) AS BIGINT) AS clean_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
         "ngram_jaccard_dedup": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
             "tri AS (SELECT doc_id, "
@@ -432,7 +496,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE r <= 10 ORDER BY query_id, cos_sim DESC, neighbor_id"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, lang_id_census,
-        # fingerprint_dedup, media_*, er_clusters: sketch /
+        # fingerprint_dedup, semdedup, media_*, er_clusters: sketch /
         # heuristic / binary-parsing operators with no faithful ANSI-SQL
         # equivalent -> rows-only driver check; their semantics are covered
         # by pytest oracles instead (tests/test_queries_oracle.py).

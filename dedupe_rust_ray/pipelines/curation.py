@@ -1,0 +1,411 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+These are the selection / hygiene stages that sit between raw ingest and
+training-shard output — the generalization layer the reference's
+duplicate-finder (/root/reference/src/main.rs:452-648) belongs to, widened
+to the operations a 100-TB text corpus actually needs:
+
+- :func:`hash_split`        — deterministic train/val/test assignment;
+- :func:`dup_ngram_spans`   — duplicated word-n-gram detection (the
+  distributed shape of suffix-array exact substring dedup, Lee et al. 2021,
+  "Deduplicating Training Data Makes Language Models Better");
+- :func:`decontaminate`     — benchmark n-gram decontamination (GPT-3 /
+  PaLM style held-out overlap filtering);
+- :func:`repetition_stats`  — Gopher-style repetition quality signal
+  (top-bigram mass fraction, Rae et al. 2021);
+- :func:`pii_scrub`         — regex PII redaction census (emails / IPv4 /
+  long digit runs) with scrubbed lengths;
+- :func:`semdedup`          — SemDeDup-style embedding-space pruning
+  (Abbas et al. 2023): k-means cells, greedy cosine prune within a cell.
+
+Scale notes (100 TB): every per-doc pass is a vectorized ``map_batches``;
+the only shuffles are (a) one groupby on 8-byte gram hashes pre-deduped
+per document (``dup_ngram_spans``), (b) one groupby on int32 cell ids
+(``semdedup``), and (c) tiny census groupbys. Benchmark gram sets and
+k-means centroids are driver-bounded small sides shipped once via
+``ray.put``. Text never rides a shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.shingles import word_shingle_hashes
+from ..stages.blocking import shard_of_u64
+from ..stages.codec import list_col_matrix
+from .common import read
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    """Half-up 4-decimal rounding, bit-reproducible in SQL as
+    ``FLOOR(x * 10000 + 0.5) / 10000`` (np.round's half-to-even is not)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e4 + 0.5) / 1e4
+
+
+# --------------------------------------------------------------------------
+# hash split
+# --------------------------------------------------------------------------
+
+def hash_split(
+    sf_dir: str, train_pct: int = 90, val_pct: int = 5
+) -> ray.data.Dataset:
+    """Deterministic train/val/test census by content-independent key hash.
+
+    Bucket = first 8 hex digits of ``md5(doc_id)`` mod 100 — chosen because
+    DuckDB reproduces it bit-for-bit for the oracle. A production run on
+    int keys would use splitmix64 (``stages.blocking.shard_of_u64``)
+    instead of a per-row digest; the split semantics (stable, uniform,
+    content-independent) are identical.
+    """
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in batch["doc_id"]
+            ),
+            np.int64,
+            count=len(batch),
+        )
+        split = np.where(
+            buckets < train_pct,
+            "train",
+            np.where(buckets < train_pct + val_pct, "val", "test"),
+        )
+        return (
+            pd.DataFrame({"split": split})
+            .groupby("split", as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(per_batch, batch_format="pandas")
+        .groupby("split")
+        .aggregate(Sum("partial", alias_name="n_docs"))
+        .sort("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# duplicated n-gram spans (distributed exact substring dedup shape)
+# --------------------------------------------------------------------------
+
+def _doc_gram_pairs(batch: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Unique (gram_hash, doc_id) pairs per document in the batch."""
+    wh, off = word_shingle_hashes(batch["text"].fillna("").tolist(), n=n)
+    doc_of = np.repeat(batch["doc_id"].to_numpy(np.int64), np.diff(off))
+    return pd.DataFrame({"gram": wh, "doc_id": doc_of}).drop_duplicates()
+
+
+def dup_ngram_spans(
+    sf_dir: str, n: int = 8, n_shards: int = 32
+) -> ray.data.Dataset:
+    """Per-document count of distinct word-``n``-grams that also occur in
+    at least one OTHER document (docs with zero such grams are omitted).
+
+    The distributed analog of suffix-array substring dedup: each doc emits
+    its distinct gram hashes (8 bytes each — text never leaves the batch),
+    one hash-sharded groupby finds grams spanning >= 2 docs, and a small
+    doc_id groupby totals the per-shard partials. Gram identity is a
+    64-bit rolling hash over per-token SipHashes; distinct grams collide
+    with p ~ 2^-64, which the SQL-oracle comparison tolerates.
+    """
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _doc_gram_pairs(batch, n)
+        df["shard"] = shard_of_u64(df["gram"].to_numpy(np.uint64), n_shards)
+        return df
+
+    def dup_partials(group: pd.DataFrame) -> pd.DataFrame:
+        # (gram, doc_id) is globally unique, so within the shard a gram's
+        # row count == its distinct-doc count
+        dup = group["gram"].duplicated(keep=False)
+        hits = group[dup]
+        out = hits.groupby("doc_id", as_index=False).size()
+        return out.rename(columns={"size": "partial"})
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(grams, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(dup_partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("partial", alias_name="n_dup_grams"))
+        .sort("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    sf_dir: str, benchmark_max_id: int = 10, n: int = 5
+) -> ray.data.Dataset:
+    """Flag training docs sharing any word-``n``-gram with the benchmark
+    set (here: docs with ``doc_id < benchmark_max_id`` stand in for a
+    held-out eval set). Returns (doc_id, n_contaminated_grams) for
+    contaminated training docs, ordered by doc_id.
+
+    The benchmark side is small by construction: its distinct gram hashes
+    are gathered once on the driver and broadcast via ``ray.put``; each
+    training batch probes them with a sorted-array ``searchsorted`` —
+    no shuffle at all, the canonical broadcast-small-side plan.
+    """
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    bench_pd = (
+        docs.filter(
+            expr=f"doc_id < {benchmark_max_id}",
+        )
+        .map_batches(lambda b: _doc_gram_pairs(b, n), batch_format="pandas")
+        .to_pandas()
+    )
+    bench_grams = np.unique(bench_pd["gram"].to_numpy(np.uint64))
+    bref = ray.put(bench_grams)
+
+    class Probe:
+        def __init__(self, bref, max_id, n):
+            self.grams = ray.get(bref)  # sorted (np.unique)
+            self.max_id = max_id
+            self.n = n
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch["doc_id"] >= self.max_id]
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_contaminated_grams": pd.Series([], dtype="int64"),
+                    }
+                )
+            df = _doc_gram_pairs(batch, self.n)
+            g = df["gram"].to_numpy(np.uint64)
+            pos = np.searchsorted(self.grams, g)
+            pos[pos == len(self.grams)] = 0
+            hit = self.grams[pos] == g if len(self.grams) else np.zeros(len(g), bool)
+            out = df[hit].groupby("doc_id", as_index=False).size()
+            return out.rename(columns={"size": "n_contaminated_grams"}).astype(
+                {"n_contaminated_grams": "int64"}
+            )
+
+        def __repr__(self):
+            return "DecontaminationProbe"
+
+    return (
+        docs.map_batches(
+            Probe,
+            fn_constructor_args=(bref, benchmark_max_id, n),
+            batch_format="pandas",
+            concurrency=(1, 8),
+        ).sort("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition statistics (Gopher quality signal)
+# --------------------------------------------------------------------------
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document top-bigram mass: the fraction of word-bigram windows
+    taken by the single most frequent bigram (Gopher's "fraction of
+    characters in most common n-gram" family). High values mark looping /
+    boilerplate text. Docs with fewer than 2 words are omitted.
+    """
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        wh, off = word_shingle_hashes(batch["text"].fillna("").tolist(), n=2)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        doc_ids, n_bi, top = [], [], []
+        for i in range(len(ids)):
+            seg = wh[off[i] : off[i + 1]]
+            if not len(seg):
+                continue
+            _, counts = np.unique(seg, return_counts=True)
+            doc_ids.append(ids[i])
+            n_bi.append(len(seg))
+            top.append(int(counts.max()))
+        n_arr = np.asarray(n_bi, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "n_bigrams": n_arr,
+                "top_bigram_frac": _round4(
+                    np.asarray(top, np.float64) / np.maximum(n_arr, 1)
+                ),
+            }
+        )
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(per_batch, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround/backrefs) so DuckDB applies the IDENTICAL
+# patterns in the oracle; applied and counted in this order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("n_ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
+    ("n_longnums", r"\b\d{7,}\b", "[NUM]"),
+]
+
+
+def pii_scrub_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized PII census + sequential redaction over one text batch."""
+    filled = texts.fillna("")
+    out: dict[str, object] = {}
+    scrubbed = filled
+    for name, pat, token in PII_PATTERNS:
+        out[name] = filled.str.count(pat).astype("int64")
+        scrubbed = scrubbed.str.replace(pat, token, regex=True)
+    out["clean_chars"] = scrubbed.str.len().astype("int64")
+    return pd.DataFrame(out, index=texts.index)
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """Per-document PII match census (emails / IPv4 / 7+-digit runs, counted
+    on the raw text) plus the post-redaction character count."""
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        feats = pii_scrub_batch(batch["text"])
+        feats.insert(0, "doc_id", batch["doc_id"].to_numpy(np.int64))
+        return feats
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(per_batch, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (embedding-space pruning)
+# --------------------------------------------------------------------------
+
+def fit_spherical_centroids(
+    sf_dir: str,
+    n_cells: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 4096,
+    seed: int = 11,
+) -> np.ndarray:
+    """Spherical k-means centroids from a driver-bounded sample (the
+    knn_ivf training recipe, factored out so tests can re-derive the
+    exact assignment)."""
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    frac = min(1.0, sample_max / max(n_total, 1))
+    sample = ds.random_sample(frac, seed=seed).take(sample_max)
+    S = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(S))
+    C = S[rng.choice(len(S), n_cells, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(n_cells):
+            members = S[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def greedy_prune_cell(
+    ids: np.ndarray, Vn: np.ndarray, tau: float
+) -> pd.DataFrame:
+    """Greedy SemDeDup prune of one cell, in ascending-id order: a vector
+    is removed when its cosine to an already-kept vector is >= ``tau``;
+    the keeper is the most-similar kept vector. Deterministic."""
+    order = np.argsort(ids, kind="stable")
+    ids, Vn = ids[order], Vn[order]
+    S = Vn @ Vn.T  # cells are n/k-sized; quadratic only within a cell
+    kept: list[int] = []
+    removed, keeper, cos = [], [], []
+    for i in range(len(ids)):
+        if kept:
+            sims = S[i, kept]
+            j = int(np.argmax(sims))
+            if sims[j] >= tau:
+                removed.append(ids[i])
+                keeper.append(ids[kept[j]])
+                cos.append(sims[j])
+                continue
+        kept.append(i)
+    return pd.DataFrame(
+        {
+            "removed_id": np.asarray(removed, dtype=np.int64),
+            "keeper_id": np.asarray(keeper, dtype=np.int64),
+            "cos_sim": _round4(np.asarray(cos, dtype=np.float64)),
+        }
+    )
+
+
+def semdedup(
+    sf_dir: str,
+    tau: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): partition embeddings into k-means
+    cells, then greedily drop vectors whose cosine to an already-kept
+    vector in the SAME cell is >= ``tau``. Returns
+    (removed_id, keeper_id, cos_sim) ordered by removed_id.
+
+    Scale plan: centroids are trained on a bounded sample and broadcast
+    once; assignment is one matmul per batch; the only shuffle is a
+    groupby on int32 cell ids carrying (id, packed vector) rows; the
+    quadratic greedy pass is confined to one cell (n/k rows). Cross-cell
+    near-dups are missed by construction — that is SemDeDup's documented
+    recall trade-off (same contract as knn_ivf's n_probe).
+    """
+    C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed)
+    cref = ray.put(C)
+
+    class AssignCell:
+        def __init__(self, cref):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            V = list_col_matrix(batch["embedding"])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Vn @ self.C.T, axis=1)
+            return pa.table(
+                {
+                    "cell": pa.array(cell.astype(np.int32), type=pa.int32()),
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "emb": pa.array(
+                        [row.astype("<f8").tobytes() for row in Vn],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy(np.int64)
+        Vn = np.stack([np.frombuffer(b, dtype="<f8") for b in group["emb"]])
+        return greedy_prune_cell(ids, Vn, tau)
+
+    return (
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(AssignCell, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("cell")
+        .map_groups(prune, batch_format="pandas")
+        .sort("removed_id")
+    )

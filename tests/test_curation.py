@@ -1,0 +1,154 @@
+"""Corpus-curation operator semantics (pipelines/curation.py) against
+brute-force single-node references on crafted corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedupe_rust_ray.pipelines import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts: list[str]) -> str:
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_hash_split_partitions_everything():
+    out = curation.hash_split(SF).to_pandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    n_docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert out["n_docs"].sum() == len(n_docs)
+    # deterministic across runs
+    again = curation.hash_split(SF).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+    # ~90/5/5: at 500 docs each bucket within a loose binomial band
+    train = int(out.set_index("split").loc["train", "n_docs"])
+    assert 0.8 * len(n_docs) < train < 0.97 * len(n_docs)
+
+
+def test_dup_ngram_spans_crafted(tmp_path):
+    shared = "a b c d e f g h"  # one 8-gram, shared by docs 0 and 1
+    texts = [
+        shared + " tail0 x0 y0 z0",
+        "head1 " + shared + " tail1",
+        "u v w p q r s t entirely unique words here",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = curation.dup_ngram_spans(sf).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_dup_grams"]))
+    assert set(got) == {0, 1}  # doc 2 shares nothing
+    # brute force: count distinct 8-grams of each doc present in another doc
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+    gs = [grams(t) for t in texts]
+    for d in (0, 1):
+        other = set().union(*(g for i, g in enumerate(gs) if i != d))
+        assert got[d] == len(gs[d] & other)
+
+
+def test_decontaminate_crafted(tmp_path):
+    bench = "alpha beta gamma delta epsilon zeta"
+    texts = [bench] + ["filler"] * 9
+    # doc 10 contains benchmark 5-grams, doc 11 clean
+    texts += [
+        "x " + bench + " y",
+        "totally clean words with no overlap at all here",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = curation.decontaminate(sf, benchmark_max_id=10, n=5).to_pandas()
+    assert out["doc_id"].tolist() == [10]
+    # doc 10's distinct 5-grams hitting the benchmark set
+    def grams5(t):
+        w = t.split()
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+    hits = grams5(texts[10]) & (grams5(texts[0]) | grams5(texts[1]))
+    assert int(out["n_contaminated_grams"].iloc[0]) == len(hits)
+
+
+def test_repetition_stats_crafted(tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        ["x y x y x y", "all distinct words in this one", "solo"],
+    )
+    out = curation.repetition_stats(sf).to_pandas().set_index("doc_id")
+    # "x y x y x y": bigrams (x y)*3 + (y x)*2 -> top 3 of 5
+    assert int(out.loc[0, "n_bigrams"]) == 5
+    assert out.loc[0, "top_bigram_frac"] == 0.6
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(1 / 5, abs=1e-4)
+    assert 2 not in out.index  # single word -> no bigrams -> omitted
+
+
+def test_pii_scrub_crafted(tmp_path):
+    texts = [
+        "contact bob@example.com or alice@dev.example.org now",
+        "server at 10.0.0.1 and 192.168.1.255, call 12345678 ref 999",
+        "no pii here",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = curation.pii_scrub(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_ipv4"] == 0
+    assert out.loc[1, "n_ipv4"] == 2 and out.loc[1, "n_longnums"] == 1
+    assert out.loc[2, ["n_emails", "n_ipv4", "n_longnums"]].sum() == 0
+    assert out.loc[2, "clean_chars"] == len(texts[2])
+    scrubbed0 = "contact [EMAIL] or [EMAIL] now"
+    assert out.loc[0, "clean_chars"] == len(scrubbed0)
+    scrubbed1 = "server at [IP] and [IP], call [NUM] ref 999"
+    assert out.loc[1, "clean_chars"] == len(scrubbed1)
+
+
+def _local_semdedup(sf: str, tau: float, n_cells: int) -> pd.DataFrame:
+    """Single-node reference: same centroids, same assignment, same greedy."""
+    C = curation.fit_spherical_centroids(sf, n_cells=n_cells)
+    df = pd.read_parquet(f"{sf}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(Vn @ C.T, axis=1)
+    ids = df["vec_id"].to_numpy(np.int64)
+    parts = [
+        curation.greedy_prune_cell(ids[cells == c], Vn[cells == c], tau)
+        for c in np.unique(cells)
+    ]
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values("removed_id", ignore_index=True)
+    )
+
+
+def test_semdedup_matches_local_reference():
+    got = curation.semdedup(SF, tau=0.4).to_pandas()
+    want = _local_semdedup(SF, tau=0.4, n_cells=16)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_semdedup_removes_planted_exact_duplicates(tmp_path):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # plant exact copies of vectors 0..4 as ids 40..44
+    V = np.vstack([base, base[:5]])
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(len(V), dtype=np.int64),
+            "embedding": [row for row in V],
+            "label": np.int32(0),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = curation.semdedup(str(tmp_path), tau=0.999, n_cells=4).to_pandas()
+    # identical vectors always share a cell, so every copy is pruned
+    assert set(out["removed_id"]) == {40, 41, 42, 43, 44}
+    assert (out.set_index("removed_id")["keeper_id"] == [0, 1, 2, 3, 4]).all()
+    assert (out["cos_sim"] >= 0.999).all()
