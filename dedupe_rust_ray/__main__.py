@@ -31,7 +31,15 @@ def _ensure_ray() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # inside `ray job submit` the runtime sets RAY_ADDRESS to the
+        # cluster; standalone (and in this sandbox) it resolves to "local"
+        import os
+
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
         _OWNS_RAY = True
     from ray.data import DataContext
 
