@@ -187,8 +187,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _WS_TOKENS = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replica of functions.textstats.lang_id_batch: CJK script
+    ratio -> 'zh', else first language (dict order) with the maximum
+    stopword-hit count, 'und' when no list matches. Stopword lists are
+    inlined from the SAME source dict so the two sides cannot drift."""
+    from dedupe_rust_ray.functions.textstats import _LANG_STOPWORDS
+
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        return f"len(list_filter(toks, x -> x IN ({words}))) AS h_{lang}"
+
+    return (
+        "WITH t AS (SELECT regexp_extract_all(lower(text), '\\w+') AS toks, "
+        " LENGTH(text) AS n_chars, "
+        " LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk "
+        " FROM documents), "
+        f"h AS (SELECT cjk, n_chars, {hits('en')}, {hits('fr')}, "
+        f" {hits('es')}, {hits('de')} FROM t), "
+        "p AS (SELECT CASE "
+        " WHEN n_chars > 0 AND cjk::DOUBLE / GREATEST(n_chars, 1) > 0.2 THEN 'zh' "
+        " WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'und' "
+        " WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en' "
+        " WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr' "
+        " WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS pred_lang FROM h) "
+        "SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+        "GROUP BY pred_lang ORDER BY pred_lang"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id_census": _lang_id_sql(),
         "census_by_lang": (
             "SELECT lang, COUNT(*) AS n FROM documents "
             "GROUP BY lang ORDER BY n DESC, lang"
@@ -495,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, ROUND(s, 4) AS cos_sim "
             "FROM ranked WHERE r <= 10 ORDER BY query_id, cos_sim DESC, neighbor_id"
         ),
-        # minhash_lsh_dedup, simhash_near_dups, knn_lsh, lang_id_census,
+        # minhash_lsh_dedup, simhash_near_dups, knn_lsh,
         # fingerprint_dedup, semdedup, media_*, er_clusters: sketch /
         # heuristic / binary-parsing operators with no faithful ANSI-SQL
         # equivalent -> rows-only driver check; their semantics are covered

@@ -47,3 +47,36 @@ def test_winnow_fingerprints():
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
     assert sel[0] == sel[1]
+
+
+def test_lang_id_sql_oracle_parity_multilingual():
+    """The DuckDB replica in __ray_entry__._lang_id_sql must agree with
+    lang_id_batch on every branch: each language, CJK, tie-breaks, und."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _lang_id_sql
+
+    texts = [
+        "the cat and the dog are in the house",
+        "le chat est dans la maison avec le chien",
+        "el gato y el perro en la casa",
+        "der Hund ist in dem Haus und die Katze",
+        "这是一个中文句子用于测试语言识别",
+        "xyzzy plugh qwerty",            # no stopwords -> und
+        "",                               # empty -> und
+        "the le el der",                  # 4-way tie -> en (dict order)
+        "le el der",                      # 3-way tie among fr/es/de -> fr
+        "el der",                         # es/de tie -> es
+        "short 中文 mix with enough the and of cjk below threshold",
+    ]
+    py = lang_id_batch(pd.Series(texts)).value_counts().sort_index()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    odf = con.execute(_lang_id_sql()).fetchdf()
+    sql = dict(zip(odf["pred_lang"], odf["n"].astype(int)))
+    assert dict(py) == sql
