@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": curation.repetition_stats,
         "pii_scrub": curation.pii_scrub,
         "semdedup": curation.semdedup,
+        "pack_token_shards": curation.pack_token_shards,
+        "stratified_sample": curation.stratified_sample,
         # --- dedup family ---
         "ngram_jaccard_dedup": dedupe.ngram_jaccard_dedup,
         "minhash_lsh_dedup": dedupe.minhash_lsh_dedup,
@@ -486,6 +488,23 @@ def oracle_sql() -> dict[str, str]:
             " '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g'), "
             " '\\b\\d{7,}\\b', '[NUM]', 'g')) AS BIGINT) AS clean_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "pack_token_shards": (
+            "WITH t AS (SELECT doc_id, source, len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, SUM(n_tokens) OVER "
+            " (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+            " AS cum FROM t) "
+            "SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST((cum - n_tokens) // 1024 AS BIGINT) AS shard_idx "
+            "FROM c ORDER BY source, doc_id"
+        ),
+        "stratified_sample": (
+            "SELECT stratum, doc_id FROM (SELECT source AS stratum, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents) WHERE rk <= 20 ORDER BY stratum, doc_id"
         ),
         "ngram_jaccard_dedup": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "

@@ -409,3 +409,124 @@ def semdedup(
         .map_groups(prune, batch_format="pandas")
         .sort("removed_id")
     )
+
+
+# --------------------------------------------------------------------------
+# training-shard packing (distributed prefix sum)
+# --------------------------------------------------------------------------
+
+def pack_token_shards(
+    sf_dir: str, shard_tokens: int = 1024, bucket_span: int = 256
+) -> ray.data.Dataset:
+    """Assign docs to fixed-token-budget training shards: within each
+    source, docs are packed in doc_id order and a doc starts shard
+    ``floor(tokens_before_it / shard_tokens)``.
+
+    The running token count is a distributed prefix sum — the naive plan
+    (one group per source) would put a whole source's docs in ONE task,
+    which at 100 TB is a straggler. Instead: (1) a per-(source, bucket)
+    token-sum aggregate (bucket = doc_id // bucket_span) produces a table
+    ~n_docs/bucket_span rows small; (2) the driver turns it into exact
+    per-bucket prefix OFFSETS and broadcasts them; (3) a groupby on
+    (source, bucket) — groups bounded by bucket_span docs — adds a local
+    cumsum to the bucket's offset. Every count is exact, no task ever
+    sees more than ``bucket_span`` rows, and the bucket table is the only
+    driver-side state (tune bucket_span so n_docs/span stays driver-sized).
+    """
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textstats import token_count_batch
+
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": batch["source"],
+                "n_tokens": token_count_batch(batch["text"]),
+                "bucket": batch["doc_id"].to_numpy(np.int64) // bucket_span,
+            }
+        )
+
+    ds = read(
+        sf_dir, "documents", columns=["doc_id", "source", "text"]
+    ).map_batches(per_doc, batch_format="pandas")
+
+    sums = (
+        ds.groupby(["source", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()  # ~n_docs / bucket_span rows: driver-bounded by design
+        .sort_values(["source", "bucket"])
+    )
+    sums["offset"] = sums.groupby("source")["bucket_tokens"].cumsum() - sums[
+        "bucket_tokens"
+    ]
+    offsets = {
+        (s, int(b)): int(o)
+        for s, b, o in zip(sums["source"], sums["bucket"], sums["offset"])
+    }
+    oref = ray.put(offsets)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("doc_id")
+        off = ray.get(oref)[(group["source"].iloc[0], int(group["bucket"].iloc[0]))]
+        before = off + group["n_tokens"].cumsum() - group["n_tokens"]
+        return pd.DataFrame(
+            {
+                "source": group["source"],
+                "doc_id": group["doc_id"],
+                "n_tokens": group["n_tokens"].astype("int64"),
+                "shard_idx": (before // shard_tokens).astype("int64"),
+            }
+        )
+
+    return (
+        ds.groupby(["source", "bucket"])
+        .map_groups(assign, batch_format="pandas")
+        .sort(["source", "doc_id"])
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified sampling
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    sf_dir: str, k: int = 20, stratum: str = "source"
+) -> ray.data.Dataset:
+    """Deterministic k-per-stratum sample: the k docs with the smallest
+    ``(md5(doc_id), doc_id)`` rank inside each stratum — a content-
+    independent pseudo-random draw any engine reproduces exactly.
+
+    Local-top-k pattern (same as knn_topk): each batch keeps at most k
+    candidates per stratum, so the final per-stratum merge sees
+    k x n_batches rows, never the corpus.
+    """
+
+    def _keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "stratum": batch[stratum],
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "h": [
+                    hashlib.md5(str(i).encode()).hexdigest()
+                    for i in batch["doc_id"]
+                ],
+            }
+        )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["h", "doc_id"]).groupby("stratum").head(k)
+        )
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(["h", "doc_id"]).head(k)
+        return out[["stratum", "doc_id"]]
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id", stratum])
+        .map_batches(_keyed, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pandas")
+        .groupby("stratum")
+        .map_groups(merge_topk, batch_format="pandas")
+        .sort(["stratum", "doc_id"])
+    )

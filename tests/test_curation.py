@@ -152,3 +152,66 @@ def test_semdedup_removes_planted_exact_duplicates(tmp_path):
     assert set(out["removed_id"]) == {40, 41, 42, 43, 44}
     assert (out.set_index("removed_id")["keeper_id"] == [0, 1, 2, 3, 4]).all()
     assert (out["cos_sim"] >= 0.999).all()
+
+
+def test_pack_token_shards_crafted_cross_bucket(tmp_path):
+    # 10 docs x 5 tokens, one source; bucket_span=4 forces the prefix sum
+    # across 3 buckets; shard_tokens=12 puts boundaries mid-bucket
+    texts = [f"w{i} a b c d" for i in range(10)]
+    sf = _write_docs(tmp_path, texts)
+    out = curation.pack_token_shards(
+        sf, shard_tokens=12, bucket_span=4
+    ).to_pandas()
+    # tokens before doc i = 5i -> shard = (5i) // 12
+    assert out["doc_id"].tolist() == list(range(10))
+    assert out["shard_idx"].tolist() == [(5 * i) // 12 for i in range(10)]
+    assert (out["n_tokens"] == 5).all()
+
+
+def test_pack_token_shards_multi_source(tmp_path):
+    texts = ["one two three", "a b", "c d e f", "ten"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": ["s0", "s1", "s0", "s1"],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = curation.pack_token_shards(
+        str(tmp_path), shard_tokens=4, bucket_span=1
+    ).to_pandas()
+    got = {(r.source, r.doc_id): r.shard_idx for r in out.itertuples()}
+    # s0: doc0 starts at 0 -> shard 0; doc2 starts at 3 -> shard 0
+    # s1: doc1 starts at 0 -> shard 0; doc3 starts at 2 -> shard 0
+    assert got == {("s0", 0): 0, ("s0", 2): 0, ("s1", 1): 0, ("s1", 3): 0}
+    out2 = curation.pack_token_shards(
+        str(tmp_path), shard_tokens=3, bucket_span=1
+    ).to_pandas()
+    got2 = {(r.source, r.doc_id): r.shard_idx for r in out2.itertuples()}
+    assert got2[("s0", 2)] == 1  # 3 tokens before -> second shard
+
+
+def test_stratified_sample_deterministic_and_bounded():
+    out = curation.stratified_sample(SF, k=7).to_pandas()
+    sizes = out.groupby("stratum").size()
+    assert (sizes <= 7).all()
+    again = curation.stratified_sample(SF, k=7).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+    # brute-force reference on the flat table
+    import hashlib as _h
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    docs["h"] = [
+        _h.md5(str(i).encode()).hexdigest() for i in docs["doc_id"]
+    ]
+    want = (
+        docs.sort_values(["h", "doc_id"])
+        .groupby("source")
+        .head(7)[["source", "doc_id"]]
+        .rename(columns={"source": "stratum"})
+        .sort_values(["stratum", "doc_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
