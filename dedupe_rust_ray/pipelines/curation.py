@@ -308,9 +308,38 @@ def fit_spherical_centroids(
     knn_ivf training recipe, factored out so tests can re-derive the
     exact assignment)."""
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    n_total = ds.count()
-    frac = min(1.0, sample_max / max(n_total, 1))
-    sample = ds.random_sample(frac, seed=seed).take(sample_max)
+
+    # deterministic pseudo-random sample: the sample_max vectors with the
+    # smallest splitmix64(vec_id ^ seed) rank — unlike random_sample, the
+    # result is independent of block layout, so any run (any cluster size,
+    # any batch split) trains identical centroids. Each batch pre-prunes to
+    # its local top-k, so the sort+limit sees k rows per batch, not the
+    # corpus.
+    from ..functions.shingles import splitmix64
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.uint64)
+        key = splitmix64(ids ^ np.uint64(seed))
+        keep = (
+            np.argsort(key)[:sample_max]
+            if len(key) > sample_max
+            else np.arange(len(key))
+        )
+        return pa.table(
+            {
+                "key": pa.array(key[keep], type=pa.uint64()),
+                "embedding": batch["embedding"].take(
+                    pa.array(keep, type=pa.int64())
+                ),
+            }
+        )
+
+    sample = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort("key")
+        .limit(sample_max)
+        .take_all()
+    )
     S = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
     S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
