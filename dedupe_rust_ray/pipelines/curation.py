@@ -223,24 +223,38 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     """
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized: lexsort the batch's (doc, bigram-hash) stream,
+        # run-length encode, then a per-doc reduceat max — no per-doc loop
         wh, off = word_shingle_hashes(batch["text"].fillna("").tolist(), n=2)
         ids = batch["doc_id"].to_numpy(np.int64)
-        doc_ids, n_bi, top = [], [], []
-        for i in range(len(ids)):
-            seg = wh[off[i] : off[i + 1]]
-            if not len(seg):
-                continue
-            _, counts = np.unique(seg, return_counts=True)
-            doc_ids.append(ids[i])
-            n_bi.append(len(seg))
-            top.append(int(counts.max()))
-        n_arr = np.asarray(n_bi, dtype=np.int64)
+        nwin = np.diff(off)
+        if not len(wh):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_bigrams": pd.Series([], dtype="int64"),
+                    "top_bigram_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        doc_of = np.repeat(np.arange(len(ids)), nwin)
+        order = np.lexsort((wh, doc_of))
+        sh, sd = wh[order], doc_of[order]
+        new_run = np.ones(len(sh), dtype=bool)
+        new_run[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_start, len(sh)))
+        run_doc = sd[run_start]
+        first_run = np.ones(len(run_doc), dtype=bool)
+        first_run[1:] = run_doc[1:] != run_doc[:-1]
+        doc_idx = run_doc[first_run]  # docs with >=1 bigram, ascending
+        top = np.maximum.reduceat(run_len, np.flatnonzero(first_run))
+        n_arr = nwin[doc_idx]
         return pd.DataFrame(
             {
-                "doc_id": np.asarray(doc_ids, dtype=np.int64),
-                "n_bigrams": n_arr,
+                "doc_id": ids[doc_idx],
+                "n_bigrams": n_arr.astype(np.int64),
                 "top_bigram_frac": _round4(
-                    np.asarray(top, np.float64) / np.maximum(n_arr, 1)
+                    top.astype(np.float64) / np.maximum(n_arr, 1)
                 ),
             }
         )
@@ -453,51 +467,75 @@ def pack_token_shards(
 
     The running token count is a distributed prefix sum — the naive plan
     (one group per source) would put a whole source's docs in ONE task,
-    which at 100 TB is a straggler. Instead: (1) a per-(source, bucket)
-    token-sum aggregate (bucket = doc_id // bucket_span) produces a table
-    ~n_docs/bucket_span rows small; (2) the driver turns it into exact
-    per-bucket prefix OFFSETS and broadcasts them; (3) a groupby on
-    (source, bucket) — groups bounded by bucket_span docs — adds a local
-    cumsum to the bucket's offset. Every count is exact, no task ever
-    sees more than ``bucket_span`` rows, and the bucket table is the only
-    driver-side state (tune bucket_span so n_docs/span stays driver-sized).
+    which at 100 TB is a straggler. Instead: (1) per-batch partial token
+    sums per (source, bucket = doc_id // bucket_span) are combined on the
+    driver into exact per-bucket prefix OFFSETS (a table ~n_docs /
+    bucket_span rows — tune bucket_span so it stays driver-sized) and
+    broadcast; (2) one COARSE groupby on ``hash(source, bucket) %
+    n_shards`` co-locates each bucket whole, and inside the shard a
+    vectorized pandas cumsum per (source, bucket) adds the local running
+    count to the bucket's offset. Every count is exact; no task holds
+    more than its shard of buckets; per-group Python overhead is paid 64
+    times, not once per bucket. The tokenize pass runs once: the compact
+    (doc_id, source, n_tokens, bucket) projection — text already dropped —
+    is materialized and reused by both passes (at 10^12 docs prefer
+    recomputation or a checkpoint write over a full object-store pin).
     """
+    from ..functions.hashing import stable_hash64
+    from ..functions.shingles import splitmix64
+
+    n_shards = 64
 
     def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.textstats import token_count_batch
 
+        ids = batch["doc_id"].to_numpy(np.int64)
+        bucket = ids // bucket_span
+        shard = (
+            splitmix64(
+                stable_hash64(batch["source"]) ^ bucket.astype(np.uint64)
+            )
+            % np.uint64(n_shards)
+        ).astype(np.int32)
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "doc_id": ids,
                 "source": batch["source"],
                 "n_tokens": token_count_batch(batch["text"]),
-                "bucket": batch["doc_id"].to_numpy(np.int64) // bucket_span,
+                "bucket": bucket,
+                "shard": shard,
             }
         )
 
-    ds = read(
-        sf_dir, "documents", columns=["doc_id", "source", "text"]
-    ).map_batches(per_doc, batch_format="pandas")
+    ds = (
+        read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .materialize()
+    )
 
+    partials = ds.map_batches(
+        lambda b: b.groupby(["source", "bucket"], as_index=False)[
+            "n_tokens"
+        ].sum(),
+        batch_format="pandas",
+    ).to_pandas()  # ~n_docs / bucket_span rows: driver-bounded by design
     sums = (
-        ds.groupby(["source", "bucket"])
-        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
-        .to_pandas()  # ~n_docs / bucket_span rows: driver-bounded by design
+        partials.groupby(["source", "bucket"], as_index=False)["n_tokens"]
+        .sum()
         .sort_values(["source", "bucket"])
     )
-    sums["offset"] = sums.groupby("source")["bucket_tokens"].cumsum() - sums[
-        "bucket_tokens"
-    ]
-    offsets = {
-        (s, int(b)): int(o)
-        for s, b, o in zip(sums["source"], sums["bucket"], sums["offset"])
-    }
-    oref = ray.put(offsets)
+    sums["offset"] = (
+        sums.groupby("source")["n_tokens"].cumsum() - sums["n_tokens"]
+    )
+    oref = ray.put(sums[["source", "bucket", "offset"]])
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("doc_id")
-        off = ray.get(oref)[(group["source"].iloc[0], int(group["bucket"].iloc[0]))]
-        before = off + group["n_tokens"].cumsum() - group["n_tokens"]
+        group = group.sort_values(["source", "bucket", "doc_id"])
+        local = group.groupby(["source", "bucket"])["n_tokens"].cumsum()
+        group = group.merge(ray.get(oref), on=["source", "bucket"], how="left")
+        before = group["offset"].to_numpy(np.int64) + (
+            local.to_numpy(np.int64) - group["n_tokens"].to_numpy(np.int64)
+        )
         return pd.DataFrame(
             {
                 "source": group["source"],
@@ -508,7 +546,7 @@ def pack_token_shards(
         )
 
     return (
-        ds.groupby(["source", "bucket"])
+        ds.groupby("shard")
         .map_groups(assign, batch_format="pandas")
         .sort(["source", "doc_id"])
     )
