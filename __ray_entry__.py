@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_thumbnails": multimodal.media_thumbnails,
         "video_frame_sample": multimodal.video_frame_sample,
+        "audio_features": multimodal.audio_features,
         # --- reference-parity file pipeline (S1-S5, H1, H4, G1-G6) ---
         "file_dedupe": filededupe.file_dedupe_query,
         # --- flagship ---
@@ -488,6 +489,17 @@ def oracle_sql() -> dict[str, str]:
             " '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g'), "
             " '\\b\\d{7,}\\b', '[NUM]', 'g')) AS BIGINT) AS clean_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        # closed-form oracle for a MEASURED quantity: the synthesized tone
+        # sits on an exact rFFT bin, so the pipeline's decoded-FFT peak must
+        # equal the planted frequency (stages/audio.planted_tone_params)
+        "audio_features": (
+            "SELECT doc_id AS media_id, "
+            "CAST(2000 + (doc_id % 2) * 2000 AS BIGINT) AS n_samples, "
+            "CAST((2000 + (doc_id % 2) * 2000) * 1000 // 8000 AS BIGINT) "
+            " AS duration_ms, "
+            "CAST(100 + (doc_id % 40) * 20 AS BIGINT) AS dom_freq_hz "
+            "FROM documents ORDER BY media_id"
         ),
         "pack_token_shards": (
             "WITH t AS (SELECT doc_id, source, len(list_filter("

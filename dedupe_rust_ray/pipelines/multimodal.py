@@ -140,3 +140,36 @@ def video_frame_sample(sf_dir: str, every_n: int = 10) -> ray.data.Dataset:
     return frames.map_batches(summarize, batch_format="pyarrow").sort(
         ["media_id", "frame_idx"]
     )
+
+
+def synth_audio(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic WAV payload table derived from documents (same
+    fan-out-then-encode shape as :func:`synth_media`)."""
+    from ..stages.audio import synth_audio_batch
+
+    return (
+        read(sf_dir, "documents", columns=["doc_id"])
+        .repartition(32)
+        .map_batches(synth_audio_batch, batch_format="pyarrow")
+    )
+
+
+def audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Decode WAV payloads (actor pool) and measure duration + dominant
+    frequency from the samples. The synthesis plants an exact-bin tone, so
+    the MEASURED FFT peak must reproduce the closed-form planted value —
+    the SQL oracle checks the whole synth -> RIFF encode -> parse -> FFT
+    path end-to-end. rms / zcr (not closed-form) are covered by pytest."""
+    from ..stages.audio import AudioFeatures
+
+    return (
+        synth_audio(sf_dir)
+        .map_batches(
+            AudioFeatures,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+        )
+        .select_columns(["media_id", "n_samples", "duration_ms", "dom_freq_hz"])
+        .sort("media_id")
+    )
