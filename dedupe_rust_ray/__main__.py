@@ -97,6 +97,20 @@ def _cmd_er(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from .pipelines.curation import curate_corpus
+
+    _ensure_ray()
+    summary = curate_corpus(
+        args.sf_dir,
+        args.out,
+        min_quality=args.min_quality,
+        resume=args.resume,
+    )
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dedupe_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -128,6 +142,18 @@ def main(argv: list[str] | None = None) -> int:
     er.add_argument("--resume", action="store_true")
     er.add_argument("--batch-size", type=int, default=1024)
     er.set_defaults(fn=_cmd_er)
+
+    cu = sub.add_parser(
+        "curate",
+        help="resumable corpus curation: quality gate + exact dedup + "
+        "split assignment -> split-partitioned parquet with lineage "
+        "manifests",
+    )
+    cu.add_argument("--sf-dir", required=True, help="directory with documents.parquet")
+    cu.add_argument("--out", required=True, help="output/checkpoint directory")
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--resume", action="store_true")
+    cu.set_defaults(fn=_cmd_curate)
 
     args = p.parse_args(argv)
     code = args.fn(args)

@@ -597,3 +597,107 @@ def stratified_sample(
         .map_groups(merge_topk, batch_format="pandas")
         .sort(["stratum", "doc_id"])
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end resumable curation job
+# --------------------------------------------------------------------------
+
+def curate_corpus(
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    resume: bool = False,
+) -> dict:
+    """The full curation job a training run consumes: quality gate ->
+    exact-dedup keep-set -> deterministic split assignment -> parquet
+    output PARTITIONED BY SPLIT, each stage behind a lineage-manifest
+    checkpoint (``state/checkpoint.py``) so a killed run re-executes only
+    incomplete stages on ``resume=True``.
+
+    Plan shape at scale: the keep-set is (doc_id) only — 8 bytes/doc
+    through its groupby; survivors re-attach full rows with a left-semi
+    ``Dataset.join`` (hash join, never a driver materialization); output
+    is one directory per split with one part file per block, so a resumed
+    run skips whole completed splits and downstream readers prune by
+    partition directory. Returns the job summary (also written as
+    ``_summary.json``) with per-stage counters.
+    """
+    import json as _json
+    import os as _os
+
+    from ..functions.hashing import stable_hash64
+    from ..state.checkpoint import read_manifest, stage_checkpoint
+    from ray.data.aggregate import Min
+
+    cfg_hash = f"curate:q{min_quality}:v1"
+    docs = read(sf_dir, "documents")
+
+    def make_keep():
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.textstats import quality_scores_batch
+
+            q = quality_scores_batch(batch["text"])["quality_score"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(np.int64),
+                    "h": stable_hash64(batch["text"].fillna("").tolist()),
+                }
+            )
+            return out[q >= min_quality]
+
+        return (
+            docs.map_batches(score, batch_format="pandas")
+            .groupby("h")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"])
+        )
+
+    keep = stage_checkpoint(
+        make_keep, "keep_set", out_dir, cfg_hash, resume=resume
+    )
+
+    def add_split(batch: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in batch["doc_id"]
+            ),
+            np.int64,
+            count=len(batch),
+        )
+        batch = batch.copy()
+        batch["split"] = np.where(
+            buckets < 90, "train", np.where(buckets < 95, "val", "test")
+        )
+        return batch
+
+    n_in = docs.count()
+    kept_rows = docs.join(
+        keep, join_type="left_semi", on=("doc_id",), num_partitions=16
+    ).map_batches(add_split, batch_format="pandas")
+
+    per_split: dict[str, int] = {}
+    for split in ("train", "val", "test"):
+        stage = f"output/split={split}"
+        part = stage_checkpoint(
+            lambda s=split: kept_rows.filter(expr=f"split == '{s}'"),
+            stage,
+            out_dir,
+            cfg_hash,
+            resume=resume,
+        )
+        per_split[split] = read_manifest(out_dir, stage)["num_rows"]
+
+    n_out = sum(per_split.values())
+    summary = {
+        "rows_in": int(n_in),
+        "rows_out": int(n_out),
+        "rows_dropped": int(n_in - n_out),
+        "per_split": per_split,
+        "min_quality": min_quality,
+        "config_hash": cfg_hash,
+    }
+    with open(_os.path.join(out_dir, "_summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary

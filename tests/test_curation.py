@@ -215,3 +215,74 @@ def test_stratified_sample_deterministic_and_bounded():
         .sort_values(["stratum", "doc_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
+
+
+def test_curate_corpus_end_to_end_and_resume(tmp_path):
+    import hashlib as _h
+    import json
+    import os
+
+    from dedupe_rust_ray.functions.textstats import quality_scores_batch
+
+    # dup pair (1 kept), one low-quality doc (!!! spam fails punct+length)
+    texts = [
+        "the quick brown fox jumps over the lazy dog and it was good",
+        "a different document with the usual words that it was for on are",
+        "the quick brown fox jumps over the lazy dog and it was good",
+        "!!!",
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = tmp_path / "out"
+    s = curation.curate_corpus(str(tmp_path), str(out))
+
+    # brute-force expectation: quality gate then keep min doc_id per text
+    q = quality_scores_batch(df["text"])["quality_score"].to_numpy()
+    passed = df[q >= 0.5]
+    expect_kept = set(passed.groupby("text")["doc_id"].min())
+    assert s["rows_in"] == 4
+    assert s["rows_out"] == len(expect_kept)
+    assert sum(s["per_split"].values()) == s["rows_out"]
+
+    # output rows live under split=... dirs and carry the full row
+    got_ids = set()
+    for split in ("train", "val", "test"):
+        d = out / "output" / f"split={split}"
+        assert (d / "_manifest.json").exists()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                part = pd.read_parquet(d / f)
+                got_ids.update(part["doc_id"].tolist())
+                assert {"doc_id", "text", "split"} <= set(part.columns)
+    assert got_ids == expect_kept
+
+    # resume: everything valid -> no stage re-runs (manifests untouched)
+    mt = {
+        p: os.path.getmtime(out / p / "_manifest.json")
+        for p in ("keep_set", "output/split=train")
+    }
+    s2 = curation.curate_corpus(str(tmp_path), str(out), resume=True)
+    assert s2 == s
+    assert mt == {
+        p: os.path.getmtime(out / p / "_manifest.json")
+        for p in ("keep_set", "output/split=train")
+    }
+
+    # corrupt one split's manifest -> only that stage re-runs
+    bad = out / "output" / "split=train" / "_manifest.json"
+    m = json.loads(bad.read_text())
+    m["complete"] = False
+    bad.write_text(json.dumps(m))
+    keep_mtime = os.path.getmtime(out / "keep_set" / "_manifest.json")
+    s3 = curation.curate_corpus(str(tmp_path), str(out), resume=True)
+    assert s3 == s
+    assert os.path.getmtime(out / "keep_set" / "_manifest.json") == keep_mtime
+    assert json.loads(bad.read_text())["complete"] is True
