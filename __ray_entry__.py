@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": textpipe.quality_filter,
         "lang_id_census": textpipe.lang_id_census,
         "top_tokens": textpipe.top_tokens,
+        "heavy_hitter_tokens": textpipe.heavy_hitter_tokens,
         "distinct_texts_hll": textpipe.distinct_texts_hll,
         "fingerprint_dedup": textpipe.fingerprint_dedup,
         # --- corpus curation (split / substring-dup / decontamination /
@@ -489,6 +490,15 @@ def oracle_sql() -> dict[str, str]:
             " '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g'), "
             " '\\b\\d{7,}\\b', '[NUM]', 'g')) AS BIGINT) AS clean_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "heavy_hitter_tokens": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "tot AS (SELECT COUNT(*) AS total FROM toks) "
+            "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok "
+            "HAVING COUNT(*) > (SELECT total FROM tot) / 100.0 "
+            "ORDER BY n DESC, tok"
         ),
         # closed-form oracle for a MEASURED quantity: the synthesized tone
         # sits on an exact rFFT bin, so the pipeline's decoded-FFT peak must

@@ -237,3 +237,76 @@ def distinct_texts_hll(sf_dir: str) -> pd.DataFrame:
         for lang, g in merged.groupby("lang")
     ]
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Tokens whose corpus frequency EXCEEDS ``N / k`` (N = total tokens)
+    — exact, via the two-pass heavy-hitter plan rather than a full-domain
+    groupby.
+
+    Pass 1 (candidates): each batch emits only the tokens exceeding the
+    LOCAL threshold ``batch_tokens / k`` — by pigeonhole, every global
+    heavy hitter exceeds the local threshold in at least one batch, so
+    the union (a few k-sized sets) is a guaranteed superset. Pass 2
+    (verify): the candidate set is broadcast and exact counts are summed
+    for candidates only — the shuffle carries O(candidates) rows instead
+    of one row per distinct token, which at 100 TB is the difference
+    between a bounded exchange and a full-vocabulary shuffle.
+    Unlike classic Misra-Gries, the output is exact and deterministic
+    (batch-order-independent), so it hash-matches an ANSI-SQL oracle.
+    """
+    import ray
+
+    from .common import read as _read
+
+    def local_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
+        n = len(toks)
+        if n == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                 "total": pd.Series([], dtype="int64")})
+        u, c = np.unique(toks, return_counts=True)
+        cand = u[c > n / k]
+        out = pd.DataFrame({"tok": cand, "total": np.int64(0)})
+        # one sentinel row per batch carries the batch's token total so N
+        # needs no second aggregate pass
+        return pd.concat(
+            [out, pd.DataFrame({"tok": [""], "total": [np.int64(n)]})],
+            ignore_index=True,
+        )
+
+    docs = read(sf_dir, "documents", columns=["text"])
+    cand_pd = docs.map_batches(local_candidates, batch_format="pandas").to_pandas()
+    n_total = int(cand_pd["total"].sum())
+    candidates = np.unique(cand_pd.loc[cand_pd["tok"] != "", "tok"].to_numpy(str))
+    cref = ray.put(candidates)
+
+    class CountCandidates:
+        def __init__(self, cref):
+            self.cand = ray.get(cref)  # sorted
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
+            if len(toks) == 0 or len(self.cand) == 0:
+                return pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                     "cnt": pd.Series([], dtype="int64")})
+            toks = toks.astype(str)
+            pos = np.searchsorted(self.cand, toks)
+            pos[pos == len(self.cand)] = 0
+            hit = self.cand[pos] == toks
+            u, c = np.unique(toks[hit], return_counts=True)
+            return pd.DataFrame({"tok": u, "cnt": c.astype("int64")})
+
+    out = (
+        docs.map_batches(
+            CountCandidates,
+            fn_constructor_args=(cref,),
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+        .groupby("tok")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    out = out[out["n"] > n_total / k]
+    return out.sort_values(["n", "tok"], ascending=[False, True], ignore_index=True)

@@ -80,3 +80,19 @@ def test_lang_id_sql_oracle_parity_multilingual():
     odf = con.execute(_lang_id_sql()).fetchdf()
     sql = dict(zip(odf["pred_lang"], odf["n"].astype(int)))
     assert dict(py) == sql
+
+
+def test_heavy_hitter_tokens_matches_bruteforce():
+    import numpy as np
+
+    from dedupe_rust_ray.pipelines.textpipe import heavy_hitter_tokens
+
+    SF = "/root/testdata/sf0.001"
+    k = 100
+    out = heavy_hitter_tokens(SF, k=k)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    toks = np.concatenate([t.split() for t in docs["text"]])
+    u, c = np.unique(toks, return_counts=True)
+    heavy = {t: int(n) for t, n in zip(u, c) if n > len(toks) / k}
+    assert dict(zip(out["tok"], out["n"])) == heavy
+    assert (out["n"].to_numpy()[:-1] >= out["n"].to_numpy()[1:]).all()
