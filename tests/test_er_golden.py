@@ -123,3 +123,51 @@ def test_semijoin_candidate_broadcast_path_matches(corpus, clusters):
     a = set(map(tuple, clusters[["cluster_id", "doc_id"]].values))
     b = set(map(tuple, got[["cluster_id", "doc_id"]].values))
     assert a == b
+
+
+def test_empty_corpus_yields_empty_clusters():
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            (
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("kind", pa.string()),
+                            ("text", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("offset", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.string()), "spans": pa.array([], schema.field("spans").type)}
+    )
+    out = er_pipeline(ray.data.from_arrow(empty), ERConfig()).to_pandas()
+    assert len(out) == 0
+
+
+def test_64_byte_identical_docs_one_cluster():
+    """Pathological full-skew corpus: every doc byte-identical. The exact
+    fast path must produce ONE cluster without a candidate-pair blow-up."""
+    import pyarrow as pa
+
+    spans = [
+        [{"kind": "text", "text": "same text every time", "media_ref": "", "offset": 0}]
+    ] * 64
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:03d}" for i in range(64)]),
+            "spans": spans,
+        }
+    )
+    out = er_pipeline(ray.data.from_arrow(docs), ERConfig()).to_pandas()
+    assert len(out) == 64
+    assert out["cluster_id"].nunique() == 1
+    assert out["cluster_id"].iloc[0] == "d000"
