@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": curation.semdedup,
         "pack_token_shards": curation.pack_token_shards,
         "stratified_sample": curation.stratified_sample,
+        "embedding_clusters": curation.embedding_clusters,
+        "unigram_logprob": textpipe.unigram_logprob,
         # --- dedup family ---
         "ngram_jaccard_dedup": dedupe.ngram_jaccard_dedup,
         "minhash_lsh_dedup": dedupe.minhash_lsh_dedup,
@@ -566,8 +568,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, ROUND(s, 4) AS cos_sim "
             "FROM ranked WHERE r <= 10 ORDER BY query_id, cos_sim DESC, neighbor_id"
         ),
-        # minhash_lsh_dedup, simhash_near_dups, knn_lsh,
-        # fingerprint_dedup, semdedup, media_*, er_clusters: sketch /
+        # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
+        # semdedup, embedding_clusters (iterative k-means), unigram_logprob
+        # (cross-engine float SUM order), media_*, er_clusters: sketch /
         # heuristic / binary-parsing operators with no faithful ANSI-SQL
         # equivalent -> rows-only driver check; their semantics are covered
         # by pytest oracles instead (tests/test_queries_oracle.py).

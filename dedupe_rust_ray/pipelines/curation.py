@@ -701,3 +701,43 @@ def curate_corpus(
     with open(_os.path.join(out_dir, "_summary.json"), "w") as f:
         _json.dump(summary, f, indent=2)
     return summary
+
+
+def embedding_clusters(
+    sf_dir: str, n_cells: int = 16, seed: int = 11
+) -> ray.data.Dataset:
+    """Document clustering over the embedding column: spherical k-means
+    cell id per vector (the IVF/SemDeDup assignment surfaced as a
+    first-class operator — the shape of cluster-balanced data mixing).
+    Deterministic: centroids come from the block-layout-independent
+    sample (:func:`fit_spherical_centroids`). Returns (vec_id, cell,
+    cos_to_centroid) ordered by vec_id; no SQL oracle (iterative
+    training), semantics pinned by pytest against a local replica."""
+    C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self, cref):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            V = list_col_matrix(batch["embedding"])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ self.C.T
+            cell = np.argmax(sims, axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "cell": pa.array(cell.astype(np.int32), type=pa.int32()),
+                    "cos_to_centroid": pa.array(
+                        _round4(sims[np.arange(len(ids)), cell])
+                    ),
+                }
+            )
+
+    return (
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(Assign, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8))
+        .sort("vec_id")
+    )

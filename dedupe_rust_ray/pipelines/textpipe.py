@@ -310,3 +310,91 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
     out = out[out["n"] > n_total / k]
     return out.sort_values(["n", "tok"], ascending=[False, True], ignore_index=True)
+
+
+def unigram_logprob(sf_dir: str, vocab_size: int = 1000) -> ray.data.Dataset:
+    """Per-document average negative log-probability under a unigram LM
+    trained on the corpus itself — the CCNet/KenLM-style fluency signal,
+    reduced to the distributed shape: (1) train = token census (per-batch
+    ``np.unique`` combiner -> groupby sum -> top-``vocab_size`` by count),
+    (2) broadcast the tiny (token, logp) model once, (3) score = one
+    vectorized ``searchsorted`` pass per batch. OOV tokens get the 1/N
+    floor. No SQL oracle (cross-engine float SUM order is unspecified, so
+    a hash compare would be flaky); the exact formula is pinned by a
+    brute-force pytest."""
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
+        if len(toks) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        u, c = np.unique(toks, return_counts=True)
+        return pd.DataFrame({"tok": u, "cnt": c.astype("int64")})
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    census = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .materialize()  # (token, count) rows only — reused by N and top-V
+    )
+    n_total = int(census.sum("n"))
+    vocab_pd = (
+        census.sort(["n", "tok"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    order = np.argsort(vocab_pd["tok"].to_numpy(str), kind="stable")
+    vocab = vocab_pd["tok"].to_numpy(str)[order]
+    logp = np.log(vocab_pd["n"].to_numpy(np.float64)[order] / n_total)
+    oov_logp = float(np.log(1.0 / n_total))
+    mref = ray.put((vocab, logp, oov_logp))
+
+    class Score:
+        def __init__(self, mref):
+            self.vocab, self.logp, self.oov = ray.get(mref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            token_lists = [t.split() for t in batch["text"].fillna("")]
+            lens = np.fromiter((len(w) for w in token_lists), np.int64,
+                               count=len(token_lists))
+            flat = np.asarray(
+                [w for ws in token_lists for w in ws], dtype=str
+            )
+            if len(flat):
+                pos = np.searchsorted(self.vocab, flat)
+                pos[pos == len(self.vocab)] = 0
+                hit = (
+                    self.vocab[pos] == flat
+                    if len(self.vocab)
+                    else np.zeros(len(flat), bool)
+                )
+                lp = np.where(hit, self.logp[pos], self.oov)
+            else:
+                lp = np.empty(0, np.float64)
+            off = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            if len(lp):
+                idx = np.minimum(off[:-1], len(lp) - 1)  # reduceat needs idx < len
+                sums = np.add.reduceat(lp, idx)
+            else:
+                sums = np.zeros(len(lens))
+            sums[lens == 0] = 0.0
+            avg = -sums / np.maximum(lens, 1)
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(np.int64),
+                    "n_tokens": lens,
+                    "avg_neg_logprob": np.floor(avg * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    return (
+        docs.map_batches(
+            Score,
+            fn_constructor_args=(mref,),
+            batch_format="pandas",
+            concurrency=(1, 8),
+        ).sort("doc_id")
+    )

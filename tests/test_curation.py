@@ -286,3 +286,26 @@ def test_curate_corpus_end_to_end_and_resume(tmp_path):
     assert s3 == s
     assert os.path.getmtime(out / "keep_set" / "_manifest.json") == keep_mtime
     assert json.loads(bad.read_text())["complete"] is True
+
+
+def test_embedding_clusters_matches_local_assignment():
+    out = curation.embedding_clusters(SF, n_cells=8).to_pandas()
+    C = curation.fit_spherical_centroids(SF, n_cells=8)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = Vn @ C.T
+    cells = np.argmax(sims, axis=1)
+    ref = pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "cell": cells.astype(np.int32),
+            "cos_to_centroid": np.floor(
+                sims[np.arange(len(cells)), cells] * 1e4 + 0.5
+            )
+            / 1e4,
+        }
+    ).sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), ref, check_dtype=False)
+    # every vector appears exactly once
+    assert out["vec_id"].is_unique and len(out) == len(df)

@@ -96,3 +96,29 @@ def test_heavy_hitter_tokens_matches_bruteforce():
     heavy = {t: int(n) for t, n in zip(u, c) if n > len(toks) / k}
     assert dict(zip(out["tok"], out["n"])) == heavy
     assert (out["n"].to_numpy()[:-1] >= out["n"].to_numpy()[1:]).all()
+
+
+def test_unigram_logprob_matches_bruteforce():
+    import numpy as np
+
+    from dedupe_rust_ray.pipelines.textpipe import unigram_logprob
+
+    SF = "/root/testdata/sf0.001"
+    V = 30  # force real OOV traffic
+    out = unigram_logprob(SF, vocab_size=V).to_pandas()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = np.concatenate([t.split() for t in docs["text"]])
+    u, c = np.unique(toks, return_counts=True)
+    n_total = len(toks)
+    order = np.lexsort((u, -c))[:V]
+    model = {u[i]: np.log(c[i] / n_total) for i in order}
+    oov = np.log(1.0 / n_total)
+
+    for _, row in docs.iterrows():
+        ws = row["text"].split()
+        lp = np.array([model.get(w, oov) for w in ws])
+        want = np.floor((-lp.sum() / max(len(ws), 1)) * 1e4 + 0.5) / 1e4
+        got = float(out.loc[out["doc_id"] == row["doc_id"], "avg_neg_logprob"].iloc[0])
+        assert got == want, (row["doc_id"], got, want)
+    assert (out["n_tokens"] > 0).all()
