@@ -29,7 +29,13 @@ Operator coverage map (SURVEY.md §2 -> query names):
   text analysis           -> token_counts_by_lang, quality_scores,
                              quality_filter, lang_id_census
   corpus curation         -> hash_split, dup_ngram_spans, decontaminate,
-                             repetition_stats, pii_scrub, semdedup
+                             repetition_stats, pii_scrub, semdedup,
+                             pack_token_shards, stratified_sample,
+                             embedding_clusters, unigram_logprob,
+                             heavy_hitter_tokens (+ curate_corpus job via
+                             the `curate` CLI)
+  audio (multimodal)      -> audio_features (WAV codec + FFT peak with a
+                             closed-form spectral oracle)
   joins / sort / limit    -> top_customers; windowed agg -> events_hourly;
                              filtered agg -> q6_forecast_revenue;
                              dim census -> part_type_census
