@@ -118,26 +118,57 @@ def dup_ngram_spans(
     doc_id groupby totals the per-shard partials. Gram identity is a
     64-bit rolling hash over per-token SipHashes; distinct grams collide
     with p ~ 2^-64, which the SQL-oracle comparison tolerates.
+
+    Every stage emits ARROW blocks with pure numpy kernels — pandas
+    blocks would push the groupbys onto Ray's per-group fallback path
+    (~20x slower; see ``common.as_arrow``).
     """
 
-    def grams(batch: pd.DataFrame) -> pd.DataFrame:
-        df = _doc_gram_pairs(batch, n)
-        df["shard"] = shard_of_u64(df["gram"].to_numpy(np.uint64), n_shards)
-        return df
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        wh, off = word_shingle_hashes([t or "" for t in texts], n=n)
+        doc_of = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(off),
+        )
+        order = np.lexsort((wh, doc_of))
+        w, d = wh[order], doc_of[order]
+        keep = np.ones(len(w), dtype=bool)
+        keep[1:] = (w[1:] != w[:-1]) | (d[1:] != d[:-1])
+        w, d = w[keep], d[keep]
+        return pa.table(
+            {
+                "gram": pa.array(w, type=pa.uint64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "shard": pa.array(shard_of_u64(w, n_shards), type=pa.int32()),
+            }
+        )
 
-    def dup_partials(group: pd.DataFrame) -> pd.DataFrame:
+    def dup_partials(group: pa.Table) -> pa.Table:
         # (gram, doc_id) is globally unique, so within the shard a gram's
-        # row count == its distinct-doc count
-        dup = group["gram"].duplicated(keep=False)
-        hits = group[dup]
-        out = hits.groupby("doc_id", as_index=False).size()
-        return out.rename(columns={"size": "partial"})
+        # occurrence count == its distinct-doc count
+        g = group["gram"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        same_prev = np.zeros(len(gs), dtype=bool)
+        same_prev[1:] = gs[1:] == gs[:-1]
+        same_next = np.zeros(len(gs), dtype=bool)
+        same_next[:-1] = same_prev[1:]
+        dd = d[order][same_prev | same_next]
+        u, c = np.unique(dd, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, type=pa.int64()),
+                "partial": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
 
     return (
         read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(grams, batch_format="pandas")
+        .map_batches(grams, batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(dup_partials, batch_format="pandas")
+        .map_groups(dup_partials, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("partial", alias_name="n_dup_grams"))
         .sort("doc_id")
@@ -497,13 +528,17 @@ def pack_token_shards(
             )
             % np.uint64(n_shards)
         ).astype(np.int32)
-        return pd.DataFrame(
+        # Arrow out so the shard groupby takes the vectorized path
+        # (common.as_arrow rationale)
+        return pa.table(
             {
-                "doc_id": ids,
-                "source": batch["source"],
-                "n_tokens": token_count_batch(batch["text"]),
-                "bucket": bucket,
-                "shard": shard,
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "source": pa.array(batch["source"].to_numpy(str)),
+                "n_tokens": pa.array(
+                    token_count_batch(batch["text"]).to_numpy(np.int64)
+                ),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "shard": pa.array(shard, type=pa.int32()),
             }
         )
 

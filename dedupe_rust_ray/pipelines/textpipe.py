@@ -123,9 +123,16 @@ def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
     min(doc_id) per fingerprint group."""
     from ray.data.aggregate import Min
 
-    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+    def per_doc(batch: pd.DataFrame) -> pa.Table:
         _, fp = winnow_fingerprints(batch["text"].fillna("").tolist())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
+        # Arrow out: the fp key domain is ~n_docs groups — pandas blocks
+        # would hit the slow per-group aggregate path (common.as_arrow)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(), type=pa.int64()),
+                "fp": pa.array(fp, type=pa.uint64()),
+            }
+        )
 
     return (
         read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -183,13 +190,14 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     batch rides the shuffle, never one row per occurrence), the global
     groupby sums partials, and only the final k-row head is collected."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
         if len(toks) == 0:
-            return pd.DataFrame({"tok": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype="int64")})
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
         u, c = np.unique(toks, return_counts=True)
-        return pd.DataFrame({"tok": u, "cnt": c.astype("int64")})
+        # Arrow out: token-domain groupby (see common.as_arrow)
+        return pa.table({"tok": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
 
     return (
         read(sf_dir, "documents", columns=["text"])
@@ -288,14 +296,14 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
             if len(toks) == 0 or len(self.cand) == 0:
-                return pd.DataFrame({"tok": pd.Series([], dtype=str),
-                                     "cnt": pd.Series([], dtype="int64")})
+                return pa.table({"tok": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
             toks = toks.astype(str)
             pos = np.searchsorted(self.cand, toks)
             pos[pos == len(self.cand)] = 0
             hit = self.cand[pos] == toks
             u, c = np.unique(toks[hit], return_counts=True)
-            return pd.DataFrame({"tok": u, "cnt": c.astype("int64")})
+            return pa.table({"tok": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
 
     out = (
         docs.map_batches(
@@ -324,13 +332,13 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1000) -> ray.data.Dataset:
     brute-force pytest."""
     import ray
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
         if len(toks) == 0:
-            return pd.DataFrame({"tok": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype="int64")})
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
         u, c = np.unique(toks, return_counts=True)
-        return pd.DataFrame({"tok": u, "cnt": c.astype("int64")})
+        return pa.table({"tok": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
 
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     census = (
