@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         filededupe,
         joins,
         multimodal,
+        reshape,
         sessions,
         similarity,
         textpipe,
@@ -151,6 +152,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk_orders": joins.window_topk_orders,
         "orders_by_quarter": joins.orders_by_quarter,
         "running_total_orders": joins.running_total_orders,
+        # --- reshape / statistical aggregates ---
+        "pivot_lang_by_source": reshape.pivot_lang_by_source,
+        "rollup_census": reshape.rollup_census,
+        "corr_quantity_price": reshape.corr_quantity_price,
+        "supplier_directory": reshape.supplier_directory,
+        "event_value_histogram": reshape.event_value_histogram,
+        "tfidf_top_terms": textpipe.tfidf_top_terms,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,
         "bpe_token_stats": textpipe.bpe_token_stats,
@@ -398,6 +406,60 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
             " ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) "
             "AS run_total FROM orders ORDER BY o_custkey, o_orderkey"
+        ),
+        "pivot_lang_by_source": (
+            "SELECT source, "
+            "CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS n_de, "
+            "CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en, "
+            "CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS n_es, "
+            "CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr, "
+            "CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "rollup_census": (
+            "SELECT COALESCE(lang, '(all)') AS lang, "
+            "COALESCE(source, '(all)') AS source, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY ROLLUP(lang, source) "
+            "ORDER BY lang, source"
+        ),
+        # sample corr == population corr (the n/(n-1) factors cancel), so
+        # DuckDB's corr() matches the moment-formula Pearson directly
+        "corr_quantity_price": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "FLOOR(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) / 1e6 "
+            " AS corr_qp, "
+            "FLOOR(covar_pop(l_quantity, l_extendedprice) * 100 + 0.5) / 100 "
+            " AS covar_pop_qp "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "supplier_directory": (
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "string_agg(s_name, ',' ORDER BY s_name) AS suppliers, "
+            "FLOOR(SUM(s_acctbal) * 100 + 0.5) / 100 AS sum_acctbal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "event_value_histogram": (
+            "SELECT FLOOR(value / 25.0) * 25.0 AS bin_lo, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS sum_value "
+            "FROM events GROUP BY bin_lo ORDER BY bin_lo"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, lang, unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok "
+            " FROM documents), "
+            "cnt AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok), "
+            "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+            "n AS (SELECT COUNT(*) AS nd FROM documents), "
+            "s AS (SELECT lang, tok, c * ln(nd::DOUBLE / df) AS raw "
+            " FROM cnt JOIN df USING (tok) CROSS JOIN n), "
+            "r AS (SELECT lang, tok, raw, ROW_NUMBER() OVER "
+            " (PARTITION BY lang ORDER BY raw DESC, tok) AS rk FROM s) "
+            "SELECT lang, tok, FLOOR(raw * 10000 + 0.5) / 10000 AS tfidf "
+            "FROM r WHERE rk <= 10 ORDER BY lang, rk"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "

@@ -52,6 +52,7 @@ def _run_queries() -> dict:
     from dedupe_rust_ray.pipelines.er import er_pipeline
     from dedupe_rust_ray.sources.corpus import synth_corpus_distributed
 
+    load_at_start = round(os.getloadavg()[0], 1)
     timings: dict[str, float] = {}
     repeats_detail: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
@@ -113,6 +114,8 @@ def _run_queries() -> dict:
             "repeats": repeats_detail,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
+            "loadavg_before": load_at_start,
+            "loadavg_after": round(os.getloadavg()[0], 1),
             **extra,
         }
 
@@ -133,6 +136,10 @@ def _run_queries() -> dict:
         "repeats": repeats_detail,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # co-tenant load on this host swings wall times up to 10x (see
+        # BENCH/BASELINE.md); the loadavg pair marks which runs are quiet
+        "loadavg_before": load_at_start,
+        "loadavg_after": round(os.getloadavg()[0], 1),
         **extra,
     }
 

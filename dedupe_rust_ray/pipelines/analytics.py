@@ -25,6 +25,16 @@ from ..functions.hashing import stable_hash64
 from .common import read
 
 
+def _h64_as_i64(batch: pa.Table) -> np.ndarray:
+    """64-bit text hash, bit-cast uint64 -> int64 (bijective group key).
+
+    Ray's groupby combine rebuilds blocks from Python ints with an
+    inferred int64 type; uint64 keys above 2^63 overflow there and the
+    block silently degrades to pickled objects (slow path). Keeping the
+    key in int64 range preserves Arrow blocks end to end."""
+    return np.asarray(stable_hash64(batch["text"].to_pylist()), dtype=np.uint64).view(np.int64)
+
+
 def census_by_lang(sf_dir: str) -> ray.data.Dataset:
     """Per-language document counts, count desc then lang asc
     (reference extension census + its sort, src/main.rs:165-182)."""
@@ -63,7 +73,7 @@ def summary_stats(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", columns=["text"])
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        return pa.table({"h": pa.array(stable_hash64(batch["text"].to_pylist()), type=pa.uint64())})
+        return pa.table({"h": pa.array(_h64_as_i64(batch))})
 
     sizes = (
         ds.map_batches(hash_batch, batch_format="pyarrow")
@@ -99,9 +109,7 @@ def exact_dedup_first(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "h": pa.array(
-                    stable_hash64(batch["text"].to_pylist()), type=pa.uint64()
-                ),
+                "h": pa.array(_h64_as_i64(batch)),
             }
         )
 
@@ -121,7 +129,7 @@ def dup_group_sizes(sf_dir: str) -> ray.data.Dataset:
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"h": pa.array(stable_hash64(batch["text"].to_pylist()), type=pa.uint64())}
+            {"h": pa.array(_h64_as_i64(batch))}
         )
 
     return (

@@ -1,0 +1,259 @@
+"""Reshape / statistical-aggregate operators over the driver test tables.
+
+Extends the engine's relational surface (SURVEY.md §2.9) with the
+aggregate shapes a reference user reaches for next: pivot (conditional
+aggregation), rollup (multi-level census), distributed correlation /
+covariance moments, per-group ordered string aggregation, and
+fixed-width histogram binning. Every operator is SQL-oracled.
+
+Scale pattern notes:
+
+- **pivot** is a per-batch conditional-count combiner followed by one
+  groupby over the row key — the column domain (languages) is small and
+  fixed, so the pivot never shuffles more than one partial row per
+  (batch, source).
+- **rollup** aggregates ONCE at the finest level; the coarser levels are
+  derived from those (tiny) partials, never from a second pass over the
+  input.
+- **corr** ships six float64 moment partials per (batch, group) —
+  ``n, Σx, Σy, Σx², Σy², Σxy`` — and finishes with the closed-form
+  Pearson/covariance formulas on the merged sums. Nothing but the
+  moments ride the shuffle.
+- **string_agg** needs the group's members in one place by definition;
+  groups here are nations (bounded domain), so ``map_groups`` with an
+  in-group sort is the honest plan. For unbounded group domains the
+  right tool is the histogram/top-k family, not string_agg.
+- **histogram** bins with exact float ops (divide by a power-of-two-
+  exact constant, floor) so Ray and any SQL engine agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from .common import read
+
+# the documents table's closed language domain (sources/corpus generator)
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_lang_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: one row per source, one count column per language.
+
+    Per-batch conditional counts (the combiner) then a groupby-sum over
+    ``source`` — the classic wide-to-columns pivot as a two-step
+    aggregate, no per-row work after tokenize."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "lang": batch["lang"].to_pandas(),
+            }
+        )
+        g = df.groupby("source")
+        out = {"source": pa.array(list(g.groups.keys()), type=pa.string())}
+        for lang in _LANGS:
+            out[f"n_{lang}"] = pa.array(
+                g["lang"].agg(lambda s, L=lang: int((s == L).sum())).to_numpy(),
+                type=pa.int64(),
+            )
+        out["n_total"] = pa.array(g.size().to_numpy(), type=pa.int64())
+        return pa.table(out)
+
+    agg = [Sum(f"n_{lang}", alias_name=f"n_{lang}") for lang in _LANGS]
+    agg.append(Sum("n_total", alias_name="n_total"))
+    return (
+        read(sf_dir, "documents", columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*agg)
+        .sort("source")
+    )
+
+
+def rollup_census(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(lang, source): counts at (lang, source), (lang, *) and
+    (*, *) levels, upper levels marked ``(all)``.
+
+    One shuffle at the finest granularity; the coarser levels re-reduce
+    the finest partials (|langs| x |sources| rows — driver-tiny at any
+    input scale, so finishing on the driver is sound)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return t.rename_columns(["lang", "source", "partial"])
+
+    finest = (
+        read(sf_dir, "documents", columns=["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()
+    )
+    by_lang = finest.groupby("lang", as_index=False)["n"].sum()
+    by_lang["source"] = "(all)"
+    total = pd.DataFrame(
+        {"lang": ["(all)"], "source": ["(all)"], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat([finest, by_lang, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["lang", "source", "n"]]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+
+
+def corr_quantity_price(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag Pearson correlation + population covariance of
+    (l_quantity, l_extendedprice), from distributed moment partials.
+
+    Each batch contributes one six-moment row per flag; the groupby
+    merges sums and the driver applies the closed-form formulas to the
+    (three-row) result."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "flag": batch["l_returnflag"].to_pandas(),
+                "x": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "y": batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("flag")
+        return pa.table(
+            {
+                "l_returnflag": pa.array(list(g.groups.keys()), type=pa.string()),
+                "n": pa.array(g.size().to_numpy(), type=pa.int64()),
+                "sx": pa.array(g["x"].sum().to_numpy()),
+                "sy": pa.array(g["y"].sum().to_numpy()),
+                "sxx": pa.array(g["x"].agg(lambda s: float((s**2).sum())).to_numpy()),
+                "syy": pa.array(g["y"].agg(lambda s: float((s**2).sum())).to_numpy()),
+                "sxy": pa.array(g.apply(lambda d: float((d["x"] * d["y"]).sum()), include_groups=False).to_numpy()),
+            }
+        )
+
+    merged = (
+        read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    n = merged["n"].to_numpy(np.float64)
+    sx, sy = merged["sx"].to_numpy(), merged["sy"].to_numpy()
+    sxx, syy, sxy = merged["sxx"].to_numpy(), merged["syy"].to_numpy(), merged["sxy"].to_numpy()
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame(
+        {
+            "l_returnflag": merged["l_returnflag"],
+            "n_rows": merged["n"].astype("int64"),
+            # 6dp for the unit-scale corr, 2dp for the large-scale
+            # covariance: keeps both far from half-up boundaries under
+            # cross-engine float-sum-order differences
+            "corr_qp": np.floor(corr * 1e6 + 0.5) / 1e6,
+            "covar_pop_qp": np.floor(cov * 1e2 + 0.5) / 1e2,
+        }
+    )
+
+
+def supplier_directory(sf_dir: str) -> pd.DataFrame:
+    """Per-nation supplier roster: count, comma-joined sorted names, and
+    total account balance (string_agg / collect_list coverage).
+
+    The nation dimension (25 keys) is broadcast as a plain dict; the
+    group concat runs in ``map_groups`` with an in-group sort — sound
+    because the group domain is the bounded dimension table."""
+    import ray
+
+    nations = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nations["n_nationkey"], nations["n_name"])))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        names = [nmap[k] for k in batch["s_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "s_name": batch["s_name"],
+                "s_acctbal": batch["s_acctbal"],
+            }
+        )
+
+    def concat_group(group: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(group["s_name"])
+        return pd.DataFrame(
+            {
+                "n_name": [group["n_name"].iloc[0]],
+                "n_suppliers": np.array([len(names)], dtype=np.int64),
+                "suppliers": [",".join(names)],
+                "sum_acctbal": [
+                    float(np.floor(group["s_acctbal"].sum() * 100 + 0.5) / 100)
+                ],
+            }
+        )
+
+    out = (
+        read(sf_dir, "supplier", columns=["s_nationkey", "s_name", "s_acctbal"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(concat_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def event_value_histogram(sf_dir: str, width: float = 25.0) -> ray.data.Dataset:
+    """Fixed-width histogram of the events ``value`` column: per-bin row
+    count and value sum. Bin = floor(value / width); the division and
+    floor are exact float ops, so any engine bins identically."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / width).astype(np.int64)
+        df = pd.DataFrame({"bin": b, "v": v})
+        g = df.groupby("bin", as_index=False).agg(n=("v", "size"), sv=("v", "sum"))
+        return pa.table(
+            {
+                "bin": pa.array(g["bin"].to_numpy(), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+                "sv": pa.array(g["sv"].to_numpy()),
+            }
+        )
+
+    ds = (
+        read(sf_dir, "events", columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("sv", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bins = batch["bin"].to_numpy(zero_copy_only=False)
+        sv = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin_lo": pa.array(bins * width),
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(np.floor(sv * 1e4 + 0.5) / 1e4),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow").sort("bin_lo")

@@ -126,11 +126,15 @@ def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
     def per_doc(batch: pd.DataFrame) -> pa.Table:
         _, fp = winnow_fingerprints(batch["text"].fillna("").tolist())
         # Arrow out: the fp key domain is ~n_docs groups — pandas blocks
-        # would hit the slow per-group aggregate path (common.as_arrow)
+        # would hit the slow per-group aggregate path (common.as_arrow).
+        # The fp is bit-cast uint64 -> int64 (bijective): Ray's groupby
+        # shuffle rebuilds blocks from Python ints with an inferred int64
+        # type, so uint64 keys above 2^63 overflow there and silently
+        # fall back to PICKLED object blocks (observed with the fp key).
         return pa.table(
             {
                 "doc_id": pa.array(batch["doc_id"].to_numpy(), type=pa.int64()),
-                "fp": pa.array(fp, type=pa.uint64()),
+                "fp": pa.array(np.asarray(fp, dtype=np.uint64).view(np.int64)),
             }
         )
 
@@ -406,3 +410,86 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1000) -> ray.data.Dataset:
             concurrency=(1, 8),
         ).sort("doc_id")
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-language top-``k`` terms by corpus TF-IDF:
+    ``score(lang, tok) = count(lang, tok) * ln(N_docs / df(tok))``.
+
+    Scale pattern: one pass emits per-batch (lang, tok) partials for BOTH
+    the occurrence count and the distinct-doc count (docs never span
+    batches, so per-doc dedup is local); a vocab-domain groupby merges
+    them, a second tiny groupby folds per-lang doc counts into global
+    ``df``, and a hash join ships ``df`` back onto the (lang, tok) rows.
+    Only the k-row head per language is collected — the vocab itself
+    never lands on the driver."""
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        token_lists = [t.split() for t in batch["text"].fillna("")]
+        lens = np.fromiter((len(t) for t in token_lists), np.int64, len(token_lists))
+        langs = batch["lang"].to_numpy()
+        if lens.sum() == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        occ = pd.DataFrame(
+            {"lang": np.repeat(langs, lens), "tok": np.concatenate(token_lists)}
+        )
+        c = occ.groupby(["lang", "tok"], as_index=False).size()
+        uniq_lists = [np.unique(np.asarray(t, dtype=object)) for t in token_lists]
+        ulens = np.fromiter((len(u) for u in uniq_lists), np.int64, len(uniq_lists))
+        dd = pd.DataFrame(
+            {"lang": np.repeat(langs, ulens), "tok": np.concatenate(uniq_lists)}
+        )
+        d = dd.groupby(["lang", "tok"], as_index=False).size()
+        m = c.merge(d, on=["lang", "tok"], suffixes=("_c", "_d"))
+        return pa.table(
+            {
+                "lang": pa.array(m["lang"], pa.string()),
+                "tok": pa.array(m["tok"], pa.string()),
+                "c": pa.array(m["size_c"].to_numpy(np.int64)),
+                "d": pa.array(m["size_d"].to_numpy(np.int64)),
+            }
+        )
+
+    n_docs = read(sf_dir, "documents", columns=["doc_id"]).count()
+    cnt = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("c", alias_name="c"), Sum("d", alias_name="d"))
+    )
+    # each doc has exactly one lang, so global df(tok) = sum over langs
+    df_tok = cnt.groupby("tok").aggregate(Sum("d", alias_name="df"))
+    joined = cnt.join(df_tok, join_type="inner", num_partitions=8, on=("tok",))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_ = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = c * np.log(float(n_docs) / df_)
+        t = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "tok": batch["tok"].to_pandas(),
+                "tfidf_raw": score,
+            }
+        )
+        # local combiner: only k candidate rows per lang leave the batch
+        t = (
+            t.sort_values(["lang", "tfidf_raw", "tok"],
+                          ascending=[True, False, True])
+            .groupby("lang", as_index=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    cand = joined.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    top = (
+        cand.sort_values(["lang", "tfidf_raw", "tok"], ascending=[True, False, True])
+        .groupby("lang", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["tfidf"] = np.floor(top["tfidf_raw"].to_numpy() * 1e4 + 0.5) / 1e4
+    return top[["lang", "tok", "tfidf"]]
