@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedupe,
         filededupe,
+        graph,
         joins,
         multimodal,
         reshape,
@@ -159,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_directory": reshape.supplier_directory,
         "event_value_histogram": reshape.event_value_histogram,
         "tfidf_top_terms": textpipe.tfidf_top_terms,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "events_sliding_window": analytics.events_sliding_window,
+        "decontaminate_bloom": curation.decontaminate_bloom,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,
         "bpe_token_stats": textpipe.bpe_token_stats,
@@ -198,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": multimodal.audio_features,
         # --- reference-parity file pipeline (S1-S5, H1, H4, G1-G6) ---
         "file_dedupe": filededupe.file_dedupe_query,
+        # --- graph (the flagship's union-find, SQL-oracled standalone) ---
+        "graph_components": graph.graph_components,
         # --- flagship ---
         "er_clusters": er_clusters,
         "er_incremental": er_incremental,
@@ -446,6 +452,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS sum_value "
             "FROM events GROUP BY bin_lo ORDER BY bin_lo"
+        ),
+        "q14_promo_revenue": (
+            "SELECT FLOOR(100.0 * "
+            "SUM(CASE WHEN p_type = 'PROMO' "
+            "  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+            "SUM(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 "
+            " AS promo_revenue_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-07-01'"
+        ),
+        "events_sliding_window": (
+            "WITH x AS (SELECT event_type, value, "
+            " time_bucket(INTERVAL '15 minutes', ts) AS t15 FROM events), "
+            "o AS (SELECT event_type, value, "
+            " t15 - k * INTERVAL 15 MINUTE AS win_start "
+            " FROM x, UNNEST([0, 1, 2, 3]) AS t(k)) "
+            "SELECT event_type, win_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS sum_value "
+            "FROM o GROUP BY event_type, win_start "
+            "ORDER BY event_type, win_start"
+        ),
+        # same exact semantics as `decontaminate`: the Bloom filter is
+        # only a pre-filter, the verification join removes false positives
+        "decontaminate_bloom": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g "
+            " FROM toks, UNNEST(range(1, len(w)-3)) AS t(i)), "
+            "bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams "
+            "FROM grams JOIN bg USING(g) WHERE doc_id >= 10 "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # recursive-CTE label propagation reproduces the distributed
+        # union-find exactly (the quantity filter keeps components small
+        # enough for the SQL side's quadratic reachability enumeration)
+        "graph_components": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT l_orderkey * 2 AS a, "
+            " l_suppkey * 2 + 1 AS b FROM lineitem WHERE l_quantity = 50), "
+            "ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "nn AS (SELECT DISTINCT a AS node FROM ee), "
+            "lp AS (SELECT node, node AS label FROM nn "
+            " UNION "
+            " SELECT ee.b, lp.label FROM lp JOIN ee ON lp.node = ee.a) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(MIN(label) AS BIGINT) AS comp "
+            "FROM lp GROUP BY node ORDER BY node"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, lang, unnest(list_filter("

@@ -521,3 +521,108 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values(
         ["revenue", "n_name"], ascending=[False, True], ignore_index=True
     )
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: percentage of 1996-H1
+    lineitem revenue from PROMO-type parts.
+
+    Plan: the part dimension reduces to a broadcast promo-flag dict (one
+    ``ray.put``, read per task — never re-shipped per batch); lineitem
+    streams through a filtered per-batch partial (promo revenue, total
+    revenue) and one global sum finishes."""
+    parts = read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(set(parts.loc[parts["p_type"] == "PROMO", "p_partkey"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        lo = np.datetime64("1996-01-01")
+        hi = np.datetime64("1996-07-01")
+        keep = (d >= lo) & (d < hi)
+        if not keep.any():
+            return pa.table({"promo": pa.array([0.0]), "total": pa.array([0.0])})
+        promo_keys = ray.get(promo_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        )
+        is_promo = np.isin(pk, np.fromiter(promo_keys, dtype=np.int64))
+        return pa.table(
+            {
+                "promo": pa.array([float(rev[is_promo].sum())]),
+                "total": pa.array([float(rev.sum())]),
+            }
+        )
+
+    agg = (
+        read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .sum(["promo", "total"])
+    )
+    share = 100.0 * agg["sum(promo)"] / agg["sum(total)"]
+    return pd.DataFrame(
+        {"promo_revenue_pct": [float(np.floor(share * 1e4 + 0.5) / 1e4)]}
+    )
+
+
+def events_sliding_window(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: per event_type, event count and value sum
+    in 1-hour windows advancing every 15 minutes (each event lands in the
+    4 windows covering it). Windows with zero events are not emitted.
+
+    Plan: the x4 window expansion happens INSIDE the per-batch combiner
+    (one partial row per (type, window) per batch rides the shuffle, not
+    4 rows per event), then one groupby sums partials."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        t15 = batch["ts"].dt.floor("15min")
+        frames = []
+        for k in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": batch["event_type"],
+                        "win_start": t15 - pd.Timedelta(minutes=15 * k),
+                        "value": batch["value"],
+                    }
+                )
+            )
+        x = pd.concat(frames, ignore_index=True)
+        g = x.groupby(["event_type", "win_start"], as_index=False).agg(
+            n=("value", "size"), sv=("value", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "win_start": pa.array(g["win_start"]),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "sv": pa.array(g["sv"].to_numpy()),
+            }
+        )
+
+    ds = (
+        read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("sv", alias_name="sv"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sv = batch["sv"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "win_start": batch["win_start"],
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(np.floor(sv * 1e4 + 0.5) / 1e4),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow").sort(
+        ["event_type", "win_start"]
+    )

@@ -81,7 +81,8 @@ def driver_connected_components(edges: pd.DataFrame) -> pd.DataFrame:
 
 
 def distributed_connected_components(
-    edges_ds, max_rounds: int = 50, n_shards: int = 64
+    edges_ds, max_rounds: int = 50, n_shards: int = 64,
+    pointer_jumping: bool = True,
 ):
     """Edges dataset (doc_a, doc_b) -> labels dataset (doc_id, cluster_id).
 
@@ -347,8 +348,37 @@ def distributed_connected_components(
             )
         )
 
+    def jump_rows(batch: pa.Table) -> pa.Table:
+        """Pointer-jumping requests: dereference each node's label.
+
+        A row (key=L(u), other=u, kind=2) lands in L(u)'s gather shard and
+        — through the SAME edge-lookup path — emits the proposal
+        (u, L(L(u))). Plain min-label propagation moves the component
+        minimum ONE hop per round (O(diameter) rounds); label-of-label
+        shortcutting halves remaining distances, so long-diameter
+        components (chains from neighbor-chained mega blocks, sparse
+        relational graphs) converge in O(log diameter) rounds. Labels are
+        always real node ids (inits and proposals only ever propagate
+        node hashes), so the dereference target always holds a label row."""
+        labs = batch["cluster_id"].to_numpy().astype(np.uint64, copy=False)
+        return pa.table(
+            {
+                "shard": pa.array(shard_of_u64(labs, n_shards), type=pa.int32()),
+                "key": batch["cluster_id"],
+                "other": batch["doc_id"],
+                "kind": pa.array(
+                    np.full(batch.num_rows, 2, dtype=np.int8), type=pa.int8()
+                ),
+            }
+        )
+
     for _ in range(max_rounds):
-        mixed = labels.map_batches(label_rows, batch_format="pyarrow").union(edges2)
+        mixed = labels.map_batches(label_rows, batch_format="pyarrow")
+        if pointer_jumping:
+            mixed = mixed.union(
+                labels.map_batches(jump_rows, batch_format="pyarrow")
+            )
+        mixed = mixed.union(edges2)
         proposals = mixed.groupby("shard").map_groups(
             gather, batch_format="pyarrow"
         )
@@ -358,6 +388,13 @@ def distributed_connected_components(
             .map_groups(scatter_min, batch_format="pyarrow")
             .materialize()
         )
+        # Ray's sort emits one block per INPUT block, and each round's
+        # union (labels + jumps + edges) feeds the sort — left unchecked
+        # the label block count compounds per round and the round-sort's
+        # driver-side planning blows up (observed: 2^rounds blocks).
+        # Re-pack to n_shards blocks whenever it drifts.
+        if labels.num_blocks() > 2 * n_shards:
+            labels = labels.repartition(n_shards).materialize()
         if labels.sum("changed") == 0:
             return finish(labels.drop_columns(["changed"]))
     raise RuntimeError(

@@ -19,6 +19,10 @@ NEW_QUERIES = [
     "supplier_directory",
     "event_value_histogram",
     "tfidf_top_terms",
+    "q14_promo_revenue",
+    "events_sliding_window",
+    "decontaminate_bloom",
+    "graph_components",
 ]
 
 
