@@ -173,3 +173,22 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
         .select_columns(["media_id", "n_samples", "duration_ms", "dom_freq_hz"])
         .sort("media_id")
     )
+
+
+def media_phash(sf_dir: str) -> ray.data.Dataset:
+    """Per-media 64-bit perceptual hash (decode -> block-mean resize ->
+    DCT pHash in an actor pool) — the feature column every image-dedup
+    blocking scheme (ER flagship, multi-index Hamming) keys on.
+    Returns (media_id, fmt, ok, err, phash) sorted by media_id."""
+    from ..stages.multimodal import MediaPhash
+
+    return (
+        synth_media(sf_dir)
+        .map_batches(
+            MediaPhash,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+        )
+        .sort("media_id")
+    )

@@ -525,3 +525,73 @@ class VideoFrameSample:
                 "decoder": pa.array(out_dec, type=pa.string()),
             }
         )
+
+
+class MediaPhash:
+    """Actor-pool perceptual-hash stage: decode -> area resize to the
+    DCT grid -> 64-bit pHash (functions/imagehash.phash_batch).
+
+    The hash is computed from DECODED PIXELS, so pixel-identical images
+    reach the same hash regardless of container format (the property the
+    reference's deep-hash phase relies on, /root/reference/src/main.rs:
+    593-681); tests/test_queries_oracle.py pins it by encoding one pixel
+    array through PNG and BMP. Per-row error policy as MediaDecode."""
+
+    def __init__(self, grid: int = 32):
+        from ..functions.imagehash import dct_matrix
+
+        self.grid = grid
+        self._dct = dct_matrix(grid)
+        self.decoders = {
+            "bmp": decode_bmp,
+            "png": decode_png,
+            "gif": decode_gif,
+            "jpeg": decode_jpeg,
+        }
+
+    def _fit(self, img: np.ndarray) -> np.ndarray:
+        """Resample to the DCT grid. Block-mean for downsampling; images
+        SMALLER than the grid take nearest-neighbor replication instead —
+        block-mean with out > in yields zero-width blocks (0/0 = NaN) and
+        the NaN hashes of every small image collapse together."""
+        g = self.grid
+        if img.shape[0] < g or img.shape[1] < g:
+            ry = np.arange(g) * img.shape[0] // g
+            rx = np.arange(g) * img.shape[1] // g
+            return img[np.ix_(ry, rx)].astype(np.float32)
+        return resize_block_mean(img, g, g)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagehash import phash_batch
+
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        oks, errs, imgs = [], [], []
+        for f, p in zip(fmts, payloads):
+            sniffed = sniff_format(p) or f
+            dec = self.decoders.get(sniffed)
+            img = dec(p) if dec else None
+            if img is None:
+                oks.append(False)
+                errs.append(
+                    f"decode_unsupported:{sniffed}" if dec is None
+                    else "decode_failed"
+                )
+                imgs.append(np.zeros((self.grid, self.grid), np.float32))
+            else:
+                oks.append(True)
+                errs.append("")
+                imgs.append(self._fit(img))
+        ph = phash_batch(np.stack(imgs), basis=self._dct)
+        ph = np.where(oks, ph, np.uint64(0))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(oks, type=pa.bool_()),
+                "err": pa.array(errs, type=pa.string()),
+                # bit-cast to int64: uint64 keys above 2^63 degrade Ray's
+                # groupby combine to pickled blocks (see analytics._h64_as_i64)
+                "phash": pa.array(np.asarray(ph, np.uint64).view(np.int64)),
+            }
+        )

@@ -230,3 +230,46 @@ def test_knn_ivf_recall_vs_brute_force():
     for q, n, s in approx.itertuples(index=False):
         if (q, n) in em:
             assert abs(em[(q, n)] - s) < 1e-6
+
+
+def test_media_phash_cross_format_invariance():
+    """Pixel-identical images must hash identically through different
+    container formats (PNG vs BMP), and a single flipped region must
+    change the hash — the property image-dedup blocking keys on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedupe_rust_ray.stages.multimodal import (
+        MediaPhash,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    other = px.copy()
+    other[:24, :32] = 255 - other[:24, :32]
+    batch = pa.table(
+        {
+            "media_id": pa.array(["a-png", "a-bmp", "b-png"]),
+            "fmt": pa.array(["png", "bmp", "png"]),
+            "payload": pa.array(
+                [encode_png(px), encode_bmp(px), encode_png(other)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = MediaPhash()(batch).to_pandas()
+    assert out["ok"].all()
+    assert out.loc[0, "phash"] == out.loc[1, "phash"]
+    assert out.loc[0, "phash"] != out.loc[2, "phash"]
+
+
+def test_media_phash_query_rows_and_determinism():
+    from dedupe_rust_ray.pipelines.multimodal import media_phash
+
+    a = media_phash("/root/testdata/sf0.001").to_pandas()
+    b = media_phash("/root/testdata/sf0.001").to_pandas()
+    assert len(a) == 500 and a["ok"].all()
+    assert a["phash"].nunique() > 400  # noise payloads: hashes spread out
+    assert a.equals(b)
