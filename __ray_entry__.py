@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textpipe.tfidf_top_terms,
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "events_sliding_window": analytics.events_sliding_window,
+        "value_quantiles_dd": reshape.value_quantiles_dd,
         "decontaminate_bloom": curation.decontaminate_bloom,
         # --- text analysis ---
         "token_counts_by_lang": textpipe.token_counts_by_lang,

@@ -257,3 +257,62 @@ def event_value_histogram(sf_dir: str, width: float = 25.0) -> ray.data.Dataset:
         )
 
     return ds.map_batches(finish, batch_format="pyarrow").sort("bin_lo")
+
+
+def value_quantiles_dd(
+    sf_dir: str,
+    alpha: float = 0.005,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> pd.DataFrame:
+    """Per-event-type approximate quantiles via a DDSketch-style
+    log-binned histogram (Masson et al. 2019): bin = floor(ln(v)/ln(gamma))
+    with gamma = (1+alpha)/(1-alpha), giving a RELATIVE-error guarantee
+    of alpha at every quantile — the right sketch for positive float
+    domains spanning magnitudes, where fixed-width bins (see
+    event_value_histogram) waste resolution.
+
+    Scale pattern: per-batch (type, bin) count partials ride the shuffle
+    (bin domain ~ log(range)/alpha, a few thousand per type at any input
+    size); the quantile walk over cumulative counts runs on the merged
+    census. Mergeability is trivial: bins are value-independent, so
+    partial histograms sum. tests/test_reshape.py pins the alpha bound
+    against exact numpy quantiles."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        pos = v > 0  # DDSketch bins are defined on positive values
+        b = np.floor(np.log(v[pos]) / lg).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)[pos]
+        g = pd.DataFrame({"event_type": et, "bin": b}).groupby(
+            ["event_type", "bin"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    merged = (
+        read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, grp in merged.groupby("event_type"):
+        grp = grp.sort_values("bin")
+        cum = grp["n"].cumsum().to_numpy()
+        total = cum[-1]
+        bins = grp["bin"].to_numpy()
+        for q in quantiles:
+            idx = np.searchsorted(cum, q * total, side="left")
+            idx = min(idx, len(bins) - 1)
+            est = 2.0 * gamma ** bins[idx] * gamma / (gamma + 1.0)
+            rows.append((et, q, est))
+    out = pd.DataFrame(rows, columns=["event_type", "q", "value_est"])
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)

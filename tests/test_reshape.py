@@ -132,3 +132,26 @@ def test_tfidf_scores_match_brute_force():
             n_docs / df_cnt[row["tok"]]
         )
         np.testing.assert_allclose(row["tfidf"], want, atol=1e-3)
+
+
+def test_ddsketch_quantiles_within_alpha():
+    """DDSketch quantile estimates must be within the configured relative
+    error of exact numpy quantiles for every (event_type, q)."""
+    from dedupe_rust_ray.pipelines.reshape import value_quantiles_dd
+
+    alpha = 0.005
+    got = value_quantiles_dd(SF, alpha=alpha)
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    df = df[df["value"] > 0]
+    for _, row in got.iterrows():
+        # inverted_cdf = the actual order statistic: DDSketch's guarantee
+        # is relative to the rank-q SAMPLE, not numpy's default
+        # interpolation between order stats (which diverges in sparse
+        # tails at small n)
+        exact = np.quantile(
+            df.loc[df["event_type"] == row["event_type"], "value"].to_numpy(),
+            row["q"],
+            method="inverted_cdf",
+        )
+        rel = abs(row["value_est"] - exact) / exact
+        assert rel <= 1.5 * alpha, (row.tolist(), exact, rel)
