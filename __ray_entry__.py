@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk_orders": joins.window_topk_orders,
         "orders_by_quarter": joins.orders_by_quarter,
         "running_total_orders": joins.running_total_orders,
+        "q10_returned_items": joins.q10_returned_items,
         # --- reshape / statistical aggregates ---
         "pivot_lang_by_source": reshape.pivot_lang_by_source,
         "rollup_census": reshape.rollup_census,
@@ -454,6 +455,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "FLOOR(SUM(value) * 10000 + 0.5) / 10000 AS sum_value "
             "FROM events GROUP BY bin_lo ORDER BY bin_lo"
+        ),
+        "q10_returned_items": (
+            "WITH rev AS (SELECT o_custkey, "
+            " FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 "
+            "  AS revenue "
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            " WHERE l_returnflag = 'R' "
+            " AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            " AND o_orderdate < TIMESTAMP '1996-07-01' "
+            " GROUP BY o_custkey), "
+            "r AS (SELECT o_custkey, revenue, ROW_NUMBER() OVER "
+            " (ORDER BY revenue DESC, o_custkey) AS rk FROM rev) "
+            "SELECT c_custkey, c_name, c_mktsegment, revenue "
+            "FROM r JOIN customer ON o_custkey = c_custkey "
+            "WHERE rk <= 20 ORDER BY revenue DESC, c_custkey"
         ),
         "q14_promo_revenue": (
             "SELECT FLOOR(100.0 * "

@@ -287,3 +287,89 @@ def running_total_orders(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["o_custkey", "o_orderkey"])
     )
+
+
+def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10-shaped: top-``k`` customers by revenue from RETURNED
+    lineitems in 1996-H1, with customer attributes attached.
+
+    Scale plan: the revenue aggregate runs FIRST over bare 8-byte keys
+    (filtered lineitem joined to the order->customer key map), the top-k
+    is taken on the aggregate, and customer attribute columns are joined
+    onto only the k winning rows — attributes never ride the wide
+    exchange. The order->customer map is itself reduced to two int
+    columns before the join."""
+    import pyarrow.compute as pc
+
+    lineitem = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["l_returnflag"], pa.scalar("R"))),
+        batch_format="pyarrow",
+    )
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))
+                ),
+                pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1996-07-01"))),
+            )
+        )
+        .select(["o_orderkey", "o_custkey"])
+        # Ray's hash join keys both sides on the same column name
+        .rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = lineitem.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        df = pd.DataFrame(
+            {"c": batch["o_custkey"].to_numpy(zero_copy_only=False), "r": rev}
+        )
+        g = df.groupby("c", as_index=False)["r"].sum()
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["c"].to_numpy(np.int64)),
+                "partial": pa.array(g["r"].to_numpy()),
+            }
+        )
+
+    top = (
+        joined.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("partial", alias_name="revenue"))
+        .sort("revenue", descending=True)
+        .limit(k * 2)  # revenue ties broken by custkey below
+        .to_pandas()
+    )
+    top["revenue"] = np.floor(top["revenue"].to_numpy() * 100 + 0.5) / 100
+    top = (
+        top.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cust = read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(
+        lambda b, keys=set(top["o_custkey"]): b.filter(
+            pa.array([int(v) in keys for v in b["c_custkey"].to_pylist()])
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return (
+        out[["c_custkey", "c_name", "c_mktsegment", "revenue"]]
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

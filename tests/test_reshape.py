@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "events_sliding_window",
     "decontaminate_bloom",
     "graph_components",
+    "q10_returned_items",
 ]
 
 
