@@ -25,3 +25,16 @@ def as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(
         lambda t: t, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def join_partitions() -> int:
+    """Partition count for hash joins: scale with the cluster's CPUs
+    (a fixed count under-parallelizes big clusters and over-schedules
+    small ones), bounded to keep aggregator actors cheap at test scale."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    return max(4, min(16, cpus))

@@ -40,7 +40,7 @@ from ray.data.aggregate import Sum
 from ..functions.shingles import word_shingle_hashes
 from ..stages.blocking import shard_of_u64
 from ..stages.codec import list_col_matrix
-from .common import read
+from .common import join_partitions, read
 
 
 def _round4(x: np.ndarray) -> np.ndarray:
@@ -866,7 +866,7 @@ def decontaminate_bloom(
         concurrency=(1, 8),
     )
     verified = candidates.join(
-        truth_ds, join_type="inner", num_partitions=8, on=("gram",)
+        truth_ds, join_type="inner", num_partitions=join_partitions(), on=("gram",)
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .common import read
+from .common import join_partitions, read
 
 _N_SHARDS = 32
 
@@ -76,7 +76,7 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
         orders.join(
             keys,
             join_type="left_semi",
-            num_partitions=8,
+            num_partitions=join_partitions(),
             on=("o_orderkey",),
             right_on=("l_orderkey",),
         )
@@ -117,7 +117,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         cust.join(
             keys,
             join_type="left_anti",
-            num_partitions=8,
+            num_partitions=join_partitions(),
             on=("c_custkey",),
             right_on=("o_custkey",),
         )
@@ -326,7 +326,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     joined = lineitem.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",)
+        orders, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",)
     )
 
     def rev_partial(batch: pa.Table) -> pa.Table:

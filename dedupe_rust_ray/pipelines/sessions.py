@@ -14,7 +14,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .common import read
+from .common import join_partitions, read
 
 _GAP = pd.Timedelta(minutes=30)
 _N_SHARDS = 32
@@ -108,7 +108,7 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataF
     joined = orders.join(
         li_partial,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(),
         on=("o_orderkey",),
         right_on=("l_orderkey",),
     )

@@ -15,7 +15,7 @@ from ..functions.textstats import (
     token_count_batch,
     winnow_fingerprints,
 )
-from .common import read
+from .common import join_partitions, read
 
 
 def token_counts_by_lang(sf_dir: str) -> ray.data.Dataset:
@@ -269,7 +269,7 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """
     import ray
 
-    from .common import read as _read
+    from .common import join_partitions, read as _read
 
     def local_candidates(batch: pd.DataFrame) -> pd.DataFrame:
         toks = np.concatenate([t.split() for t in batch["text"]] or [[]])
@@ -462,7 +462,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
     # each doc has exactly one lang, so global df(tok) = sum over langs
     df_tok = cnt.groupby("tok").aggregate(Sum("d", alias_name="df"))
-    joined = cnt.join(df_tok, join_type="inner", num_partitions=8, on=("tok",))
+    joined = cnt.join(df_tok, join_type="inner", num_partitions=join_partitions(), on=("tok",))
 
     def score_topk(batch: pa.Table) -> pa.Table:
         c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
