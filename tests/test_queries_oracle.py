@@ -273,3 +273,32 @@ def test_media_phash_query_rows_and_determinism():
     assert len(a) == 500 and a["ok"].all()
     assert a["phash"].nunique() > 400  # noise payloads: hashes spread out
     assert a.equals(b)
+
+
+def test_simhash_blocking_complete_at_low_hamming(docs_df):
+    """Pigeonhole EXACTNESS: with 4 disjoint 16-bit chunks, any pair at
+    Hamming distance <= 3 differs in at most 3 chunks, so at least one
+    chunk matches and the pair MUST be nominated. Brute-force all pairs
+    and assert the query returns every pair with hd <= 3 (completeness —
+    the existing test checks soundness only)."""
+    import numpy as np
+
+    from dedupe_rust_ray.functions.simhash import simhash_signatures
+    from dedupe_rust_ray.pipelines.dedupe import simhash_near_dups
+
+    got = simhash_near_dups(SF, max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    sh = simhash_signatures(docs_df["text"].tolist(), shingle_k=3, mode="word")
+    ids = docs_df["doc_id"].to_numpy()
+    xor = sh[:, None] ^ sh[None, :]
+    hd = np.zeros(xor.shape, dtype=np.int64)
+    v = xor.copy()
+    while v.any():
+        hd += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    ai, bi = np.nonzero(np.triu(hd <= 3, k=1))
+    want_pairs = {
+        (min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(ai, bi)
+    }
+    assert want_pairs <= got_pairs, want_pairs - got_pairs
+    assert all(r.hamming <= 3 for r in got.itertuples())
