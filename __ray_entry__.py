@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_thumbnails": multimodal.media_thumbnails,
         "media_phash": multimodal.media_phash,
+        "media_decode_summary": multimodal.media_decode_summary,
         "video_frame_sample": multimodal.video_frame_sample,
         "audio_features": multimodal.audio_features,
         # --- reference-parity file pipeline (S1-S5, H1, H4, G1-G6) ---
