@@ -509,6 +509,14 @@ def oracle_sql() -> dict[str, str]:
         # recursive-CTE label propagation reproduces the distributed
         # union-find exactly (the quantity filter keeps components small
         # enough for the SQL side's quadratic reachability enumeration)
+        # the expected census derives from the deterministic doc_id->fmt
+        # mapping with outcome='ok' everywhere: the oracle asserts that
+        # every synthesized payload round-trips through its real codec
+        "media_decode_summary": (
+            "SELECT ['png','bmp','gif','jpeg'][CAST(doc_id % 4 AS INTEGER) + 1] "
+            " AS fmt, 'ok' AS outcome, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY fmt ORDER BY fmt, outcome"
+        ),
         "graph_components": (
             "WITH RECURSIVE e AS (SELECT DISTINCT l_orderkey * 2 AS a, "
             " l_suppkey * 2 + 1 AS b FROM lineitem WHERE l_quantity = 50), "

@@ -7,6 +7,7 @@ headers, never trusted from metadata."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -57,27 +58,32 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_decode_summary(sf_dir: str) -> ray.data.Dataset:
-    """Per-format decode outcome census (ok/err counts + mean brightness)."""
+    """Per-(format, outcome) decode census. All four synthesized formats
+    decode for real (stages/multimodal + stages/jpeg), so the SQL oracle
+    — which derives the expected (fmt, 'ok', n) census from the
+    deterministic doc_id -> fmt mapping — value-checks the entire
+    synth -> encode -> sniff -> decode path for every codec."""
     feats = synth_media(sf_dir).map_batches(
         MediaDecode, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        df = batch.select(["err", "ok", "mean_brightness"]).to_pandas()
-        df["fmt_err"] = df["err"].where(df["err"] != "", "ok")
-        g = df.groupby("fmt_err", as_index=False).agg(
-            n=("ok", "size"), sum_brightness=("mean_brightness", "sum")
+        df = batch.select(["fmt", "err"]).to_pandas()
+        df["outcome"] = df["err"].where(df["err"] != "", "ok")
+        g = df.groupby(["fmt", "outcome"], as_index=False).size()
+        return pa.table(
+            {
+                "fmt": pa.array(g["fmt"], type=pa.string()),
+                "outcome": pa.array(g["outcome"], type=pa.string()),
+                "partial": pa.array(g["size"].to_numpy(np.int64)),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
         feats.map_batches(per_batch, batch_format="pyarrow")
-        .groupby("fmt_err")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_brightness", alias_name="sum_brightness"),
-        )
-        .sort("fmt_err")
+        .groupby(["fmt", "outcome"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .sort(["fmt", "outcome"])
     )
 
 
