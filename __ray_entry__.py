@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_census": analytics.part_type_census,
         "top_customers": analytics.top_customers,
         "events_hourly": analytics.events_hourly,
+        "props_k_stats": analytics.props_k_stats,
         "sessionize": sessions.sessionize,
         "q3_shipping": sessions.q3_shipping,
         # --- join variety (semi / anti / as-of / windowed rank) ---
@@ -542,6 +543,14 @@ def oracle_sql() -> dict[str, str]:
             " (PARTITION BY lang ORDER BY raw DESC, tok) AS rk FROM s) "
             "SELECT lang, tok, FLOOR(raw * 10000 + 0.5) / 10000 AS tfidf "
             "FROM r WHERE rk <= 10 ORDER BY lang, rk"
+        ),
+        "props_k_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+            " AS sum_k, "
+            "FLOOR(AVG(CAST(json_extract(props, '$.k') AS BIGINT)) * 10000 "
+            " + 0.5) / 10000 AS avg_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, "

@@ -626,3 +626,52 @@ def events_sliding_window(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(finish, batch_format="pyarrow").sort(
         ["event_type", "win_start"]
     )
+
+
+def props_k_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: parse the JSON ``props`` payload column
+    and aggregate the extracted field per event_type.
+
+    Extraction is a vectorized regex over the string column (pandas
+    ``str.extract`` — C regex, no per-row json.loads loop); per-batch
+    moment partials ride the shuffle. The SQL oracle uses DuckDB's
+    json_extract on the same column, cross-checking the parse."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        k = (
+            batch["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        df = pd.DataFrame({"event_type": batch["event_type"], "k": k})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "sum_k": pa.array(g["sum_k"].to_numpy()),
+            }
+        )
+
+    ds = (
+        read(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = batch["sum_k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": batch["n"],
+                "sum_k": pa.array(sk.astype(np.int64)),
+                "avg_k": pa.array(np.floor(sk / n * 1e4 + 0.5) / 1e4),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow").sort("event_type")

@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "decontaminate_bloom",
     "graph_components",
     "q10_returned_items",
+    "props_k_stats",
 ]
 
 
