@@ -89,3 +89,35 @@ def test_distributed_cc_raises_on_nonconvergence(ray_session):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         distributed_connected_components(ray.data.from_pandas(df), max_rounds=1)
+
+
+def test_vectorized_driver_cc_matches_classic_dsu():
+    """driver_connected_components (numpy min-label + pointer jump) must
+    equal the classic DSU on random graphs of varied density."""
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_rust_ray.state.unionfind import (
+        UnionFind,
+        driver_connected_components,
+    )
+
+    rng = np.random.default_rng(11)
+    for n_nodes, n_edges in [(10, 5), (50, 30), (200, 150), (500, 2000)]:
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        edges = pd.DataFrame(
+            {
+                "doc_a": [f"d{v:05d}" for v in a],
+                "doc_b": [f"d{v:05d}" for v in b],
+            }
+        )
+        got = driver_connected_components(edges)
+        uf = UnionFind()
+        for x, y in zip(edges["doc_a"], edges["doc_b"]):
+            uf.union(x, y)
+        lab = uf.labels()
+        want = pd.DataFrame(
+            {"doc_id": list(lab.keys()), "cluster_id": list(lab.values())}
+        ).sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
