@@ -431,16 +431,20 @@ def part_type_census(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+def q5_local_supplier_volume(
+    sf_dir: str, broadcast_max_rows: int = 5_000_000
+) -> pd.DataFrame:
     """TPC-H Q5-style six-table join: revenue per ASIA nation where the
     supplier and customer share the nation, for orders in 1996.
 
     Physical plan: the one genuinely large-x-large join
-    (lineitem x date-filtered orders) is a hash `Dataset.join`; every
-    dimension side (region, nation, customer, supplier) is a broadcast
-    lookup applied inside `map_batches` — at warehouse scale those sides
-    stay millions of rows while the fact tables are billions, so this is
-    the broadcast-small-sides shape, not a six-way shuffle. Revenue is
+    (lineitem x date-filtered orders) is a hash `Dataset.join`. The
+    customer/supplier sides are shipped as SORTED int64 numpy key/value
+    arrays via one ``ray.put`` and probed with ``np.searchsorted`` per
+    batch (no Python dicts, no per-row ``.map`` loop); each side falls
+    back to a hash ``Dataset.join`` when it exceeds ``broadcast_max_rows``
+    — customer scales with SF, so at warehouse scale the join leg takes
+    over while the bounded nation/region dims stay broadcast. Revenue is
     pre-aggregated per batch so the final groupby moves one row per
     (batch, nation)."""
     import pyarrow.parquet as pq
@@ -449,22 +453,24 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     asia_keys = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
     asia_nations = nation[nation["n_regionkey"].isin(asia_keys)]
-    nation_name = dict(zip(asia_nations["n_nationkey"], asia_nations["n_name"]))
+    nation_keys = asia_nations["n_nationkey"].to_numpy(np.int64)
+    order_n = np.argsort(nation_keys)
+    nation_keys = nation_keys[order_n]
+    nation_names = asia_nations["n_name"].to_numpy(dtype=object)[order_n]
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(nation_name)]
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    supp = supp[supp["s_nationkey"].isin(nation_name)]
-    ref = ray.put(
-        (
-            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
-            dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
-            nation_name,
-        )
+    def _sorted_side(path: str, key: str, val: str) -> tuple:
+        t = pq.read_table(path, columns=[key, val]).to_pandas()
+        keep = np.isin(t[val].to_numpy(np.int64), nation_keys)
+        k = t[key].to_numpy(np.int64)[keep]
+        v = t[val].to_numpy(np.int64)[keep]
+        o = np.argsort(k, kind="stable")
+        return k[o], v[o]
+
+    ckeys, cvals = _sorted_side(
+        f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey"
+    )
+    skeys, svals = _sorted_side(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey"
     )
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
@@ -487,25 +493,76 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         cpus = 8
+    n_parts = max(4, min(16, cpus))
     joined = lineitem.join(
         orders_f,
         join_type="inner",
-        num_partitions=max(4, min(16, cpus)),
+        num_partitions=n_parts,
         on=("l_orderkey",),
     )
 
+    # ladder: broadcast sorted arrays below the ceiling, hash join above
+    cust_bcast = len(ckeys) <= broadcast_max_rows
+    supp_bcast = len(skeys) <= broadcast_max_rows
+    ref = ray.put(
+        (
+            (ckeys, cvals) if cust_bcast else None,
+            (skeys, svals) if supp_bcast else None,
+            (nation_keys, nation_names),
+        )
+    )
+    if not cust_bcast:
+        cds = ray.data.from_arrow(
+            pa.table({"o_custkey": ckeys, "c_nationkey": cvals})
+        )
+        joined = joined.join(
+            cds, join_type="inner", num_partitions=n_parts, on=("o_custkey",)
+        )
+    if not supp_bcast:
+        sds = ray.data.from_arrow(
+            pa.table({"l_suppkey": skeys, "s_nationkey": svals})
+        )
+        joined = joined.join(
+            sds, join_type="inner", num_partitions=n_parts, on=("l_suppkey",)
+        )
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+        """Vectorized sorted-array lookup: (values, found_mask)."""
+        pos = np.searchsorted(keys, probe)
+        pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos * 0
+        found = (
+            (keys[pos_c] == probe) if len(keys) else np.zeros(len(probe), bool)
+        )
+        out = vals[pos_c] if len(keys) else np.zeros(len(probe), np.int64)
+        return out, found
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap, smap, nname = ray.get(ref)
-        cn = batch["o_custkey"].map(cmap)
-        sn = batch["l_suppkey"].map(smap)
-        keep = cn.notna() & sn.notna() & (cn == sn)
+        cside, sside, (nkeys, nnames) = ray.get(ref)
+        if cside is not None:
+            cn, cfound = _lookup(
+                cside[0], cside[1], batch["o_custkey"].to_numpy(np.int64)
+            )
+        else:
+            cn = batch["c_nationkey"].to_numpy(np.int64)
+            cfound = np.ones(len(cn), bool)
+        if sside is not None:
+            sn, sfound = _lookup(
+                sside[0], sside[1], batch["l_suppkey"].to_numpy(np.int64)
+            )
+        else:
+            sn = batch["s_nationkey"].to_numpy(np.int64)
+            sfound = np.ones(len(sn), bool)
+        keep = cfound & sfound & (cn == sn)
         if not keep.any():
             return pd.DataFrame({"n_name": pd.Series(dtype=object),
                                  "partial": pd.Series(dtype=float)})
-        b = batch[keep]
-        rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        rev = (
+            batch["l_extendedprice"].to_numpy(np.float64)[keep]
+            * (1.0 - batch["l_discount"].to_numpy(np.float64)[keep])
+        )
+        names, _ = _lookup(nkeys, nnames, cn[keep])
         out = (
-            pd.DataFrame({"n_name": cn[keep].map(nname), "rev": rev})
+            pd.DataFrame({"n_name": names, "rev": rev})
             .groupby("n_name", as_index=False)["rev"]
             .sum()
         )
@@ -527,12 +584,16 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q14-shaped promo-revenue share: percentage of 1996-H1
     lineitem revenue from PROMO-type parts.
 
-    Plan: the part dimension reduces to a broadcast promo-flag dict (one
-    ``ray.put``, read per task — never re-shipped per batch); lineitem
-    streams through a filtered per-batch partial (promo revenue, total
-    revenue) and one global sum finishes."""
+    Plan: the part dimension reduces to a broadcast SORTED int64 array of
+    promo part keys (one ``ray.put``, read per task — never re-shipped or
+    re-converted per batch); lineitem streams through a filtered per-batch
+    partial (promo revenue, total revenue) and one global sum finishes."""
     parts = read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
-    promo_ref = ray.put(set(parts.loc[parts["p_type"] == "PROMO", "p_partkey"]))
+    promo_ref = ray.put(
+        np.sort(
+            parts.loc[parts["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
+        )
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
@@ -541,13 +602,19 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         keep = (d >= lo) & (d < hi)
         if not keep.any():
             return pa.table({"promo": pa.array([0.0]), "total": pa.array([0.0])})
-        promo_keys = ray.get(promo_ref)
+        promo_keys = ray.get(promo_ref)  # sorted int64 array, zero-copy
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
         rev = (
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
             * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
         )
-        is_promo = np.isin(pk, np.fromiter(promo_keys, dtype=np.int64))
+        pos = np.searchsorted(promo_keys, pk)
+        pos_c = np.minimum(pos, max(len(promo_keys) - 1, 0))
+        is_promo = (
+            promo_keys[pos_c] == pk
+            if len(promo_keys)
+            else np.zeros(len(pk), bool)
+        )
         return pa.table(
             {
                 "promo": pa.array([float(rev[is_promo].sum())]),
@@ -644,13 +711,17 @@ def props_k_stats(sf_dir: str) -> ray.data.Dataset:
             .astype("float64")
         )
         df = pd.DataFrame({"event_type": batch["event_type"], "k": k})
+        # n counts all rows; n_k counts rows where extraction succeeded —
+        # avg_k divides by n_k so the semantics match SQL AVG (NULLs
+        # ignored) even if the events generator ever emits malformed props
         g = df.groupby("event_type", as_index=False).agg(
-            n=("k", "size"), sum_k=("k", "sum")
+            n=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum")
         )
         return pa.table(
             {
                 "event_type": pa.array(g["event_type"], type=pa.string()),
                 "n": pa.array(g["n"].to_numpy(np.int64)),
+                "n_k": pa.array(g["n_k"].to_numpy(np.int64)),
                 "sum_k": pa.array(g["sum_k"].to_numpy()),
             }
         )
@@ -659,18 +730,24 @@ def props_k_stats(sf_dir: str) -> ray.data.Dataset:
         read(sf_dir, "events", columns=["event_type", "props"])
         .map_batches(partial, batch_format="pandas")
         .groupby("event_type")
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_k", alias_name="n_k"),
+            Sum("sum_k", alias_name="sum_k"),
+        )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_k = batch["n_k"].to_numpy(zero_copy_only=False).astype(np.float64)
         sk = batch["sum_k"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_type": batch["event_type"],
                 "n": batch["n"],
                 "sum_k": pa.array(sk.astype(np.int64)),
-                "avg_k": pa.array(np.floor(sk / n * 1e4 + 0.5) / 1e4),
+                "avg_k": pa.array(
+                    np.floor(sk / np.maximum(n_k, 1.0) * 1e4 + 0.5) / 1e4
+                ),
             }
         )
 

@@ -435,6 +435,7 @@ def semdedup(
     tau: float = 0.4,
     n_cells: int = 16,
     seed: int = 11,
+    max_cell_rows: int = 8192,
 ) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023): partition embeddings into k-means
     cells, then greedily drop vectors whose cosine to an already-kept
@@ -444,9 +445,15 @@ def semdedup(
     Scale plan: centroids are trained on a bounded sample and broadcast
     once; assignment is one matmul per batch; the only shuffle is a
     groupby on int32 cell ids carrying (id, packed vector) rows; the
-    quadratic greedy pass is confined to one cell (n/k rows). Cross-cell
-    near-dups are missed by construction — that is SemDeDup's documented
-    recall trade-off (same contract as knn_ivf's n_probe).
+    quadratic greedy pass is confined to one cell (n/k rows). Cells
+    larger than ``max_cell_rows`` are deterministically sub-split by
+    ``vec_id % n_sub`` and pruned per sub-cell, bounding the per-task
+    matrix at O(max_cell_rows**2) regardless of corpus size or centroid
+    skew (the hot-cell straggler guard; tests/test_curation.py pins the
+    bound and the unchanged-output property below the cap). Cross-cell —
+    and, for oversized cells, cross-sub-cell — near-dups are missed by
+    construction: that is SemDeDup's documented recall trade-off (same
+    contract as knn_ivf's n_probe).
     """
     C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed)
     cref = ray.put(C)
@@ -456,25 +463,43 @@ def semdedup(
             self.C = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.codec import _binary_from_parts
+
             ids = batch["vec_id"].to_numpy()
             V = list_col_matrix(batch["embedding"])
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            Vn = np.ascontiguousarray(
+                V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12),
+                dtype="<f8",
+            )
             cell = np.argmax(Vn @ self.C.T, axis=1)
+            n, dim = Vn.shape
+            emb = _binary_from_parts(
+                Vn.tobytes(), np.arange(n + 1, dtype=np.int64) * (dim * 8)
+            )
             return pa.table(
                 {
                     "cell": pa.array(cell.astype(np.int32), type=pa.int32()),
                     "vec_id": pa.array(ids, type=pa.int64()),
-                    "emb": pa.array(
-                        [row.astype("<f8").tobytes() for row in Vn],
-                        type=pa.binary(),
-                    ),
+                    "emb": emb,
                 }
             )
 
     def prune(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["vec_id"].to_numpy(np.int64)
-        Vn = np.stack([np.frombuffer(b, dtype="<f8") for b in group["emb"]])
-        return greedy_prune_cell(ids, Vn, tau)
+        Vn = np.frombuffer(b"".join(group["emb"]), dtype="<f8").reshape(
+            len(ids), -1
+        )
+        if len(ids) <= max_cell_rows:
+            return greedy_prune_cell(ids, Vn, tau)
+        # hot-cell guard: deterministic sub-split, independent of block
+        # layout (keyed on vec_id alone)
+        n_sub = -(-len(ids) // max_cell_rows)
+        sub = ids % n_sub
+        parts = [
+            greedy_prune_cell(ids[sub == s], Vn[sub == s], tau)
+            for s in range(n_sub)
+        ]
+        return pd.concat(parts, ignore_index=True)
 
     return (
         read(sf_dir, "embeddings", columns=["vec_id", "embedding"])

@@ -9,7 +9,7 @@ DuckDB computes the identical components with a recursive-CTE label
 propagation, so the driver hash-checks the whole gather/scatter-min
 machinery end to end.
 
-Graph: nodes are 1996+ high-quantity order/supplier pairs from lineitem
+Graph: nodes are high-quantity order/supplier pairs from lineitem
 (``l_quantity = 50`` keeps the graph sparse so the SQL side's quadratic
 reachability enumeration stays bounded); edges connect an order to each
 supplier that shipped it. Node encoding: ``order -> 2*l_orderkey``,
@@ -45,6 +45,11 @@ def _edges(sf_dir: str, quantity: float) -> ray.data.Dataset:
         # propagation but cost shuffle bytes
         pairs = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) else \
             np.empty((0, 2), dtype=np.int64)
+        if len(pairs) and int(pairs.max()) >= 10 ** _PAD:
+            raise ValueError(
+                f"node id {pairs.max()} overflows the {_PAD}-digit zero-pad; "
+                "lexicographic min-label canonicalization would break"
+            )
         return pa.table(
             {
                 "doc_a": pa.array([f"{v:0{_PAD}d}" for v in pairs[:, 0]],

@@ -345,14 +345,28 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
             }
         )
 
-    top = (
+    agg = (
         joined.map_batches(rev_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("partial", alias_name="revenue"))
-        .sort("revenue", descending=True)
-        .limit(k * 2)  # revenue ties broken by custkey below
-        .to_pandas()
+        .materialize()
     )
+    # cut by THRESHOLD, not count: rounding is monotone, so every row of
+    # the rounded top-k has unrounded revenue > round(v_k) - 0.005 where
+    # v_k is the k-th largest unrounded value — a count cut (limit(2k))
+    # can drop rounded-revenue ties that straddle the boundary
+    kth = agg.sort("revenue", descending=True).limit(k).to_pandas()
+    if len(kth) >= k:
+        vk = float(kth["revenue"].min())
+        thresh = np.floor(vk * 100 + 0.5) / 100 - 0.005
+        top = agg.map_batches(
+            lambda b, t=thresh: b.filter(
+                pc.greater_equal(b["revenue"], pa.scalar(t))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+    else:
+        top = kth
     top["revenue"] = np.floor(top["revenue"].to_numpy() * 100 + 0.5) / 100
     top = (
         top.sort_values(["revenue", "o_custkey"], ascending=[False, True])

@@ -419,10 +419,12 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
     Scale pattern: one pass emits per-batch (lang, tok) partials for BOTH
     the occurrence count and the distinct-doc count (docs never span
     batches, so per-doc dedup is local); a vocab-domain groupby merges
-    them, a second tiny groupby folds per-lang doc counts into global
-    ``df``, and a hash join ships ``df`` back onto the (lang, tok) rows.
-    Only the k-row head per language is collected — the vocab itself
-    never lands on the driver."""
+    them, then a token-hash-bucketed ``map_groups`` folds the global
+    ``df(tok)`` (sum of per-lang doc counts) onto every (lang, tok) row of
+    the bucket with a vectorized pandas transform — join-free, so no
+    acero key-resolution hazard on degraded partition schemas (the round-2
+    ``Dataset.join`` failure mode). Only the k-row head per language is
+    collected — the vocab itself never lands on the driver."""
 
     def partials(batch: pd.DataFrame) -> pa.Table:
         token_lists = [t.split() for t in batch["text"].fillna("")]
@@ -460,9 +462,29 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .groupby(["lang", "tok"])
         .aggregate(Sum("c", alias_name="c"), Sum("d", alias_name="d"))
     )
-    # each doc has exactly one lang, so global df(tok) = sum over langs
-    df_tok = cnt.groupby("tok").aggregate(Sum("d", alias_name="df"))
-    joined = cnt.join(df_tok, join_type="inner", num_partitions=join_partitions(), on=("tok",))
+
+    # each doc has exactly one lang, so global df(tok) = sum over langs.
+    # Co-locate every (lang, tok) row of a token in one bucket and fold df
+    # vectorized — one bounded shuffle, no Dataset.join.
+    from ..functions.hashing import stable_hash64
+
+    n_buckets = max(join_partitions(), 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        toks = batch["tok"].to_pandas().to_numpy(dtype=object)
+        b = (stable_hash64(toks) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def fold_df(group: pd.DataFrame) -> pd.DataFrame:
+        out = group[["lang", "tok", "c"]].copy()
+        out["df"] = group.groupby("tok")["d"].transform("sum")
+        return out
+
+    joined = (
+        cnt.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_df, batch_format="pandas")
+    )
 
     def score_topk(batch: pa.Table) -> pa.Table:
         c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -564,6 +564,16 @@ class MediaPhash:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.imagehash import phash_batch
 
+        if batch.num_rows == 0:  # np.stack([]) would raise
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "fmt": batch["fmt"],
+                    "ok": pa.array([], type=pa.bool_()),
+                    "err": pa.array([], type=pa.string()),
+                    "phash": pa.array([], type=pa.int64()),
+                }
+            )
         fmts = batch["fmt"].to_pylist()
         payloads = batch["payload"].to_pylist()
         oks, errs, imgs = [], [], []
