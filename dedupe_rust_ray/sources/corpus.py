@@ -446,3 +446,80 @@ def corpus_from_flat_documents(sf_dir: str, dup_every: int = 10):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def corpus_planted_truth(sf_dir: str, dup_every: int = 10):
+    """Spans corpus over the driver's flat ``documents`` table whose
+    expected ER cluster table is CLOSED-FORM in doc_id arithmetic — the
+    value oracle for the flagship (the ``media_dims_census`` trick applied
+    to entity resolution).
+
+    Construction guarantees, by design rather than by tuning:
+
+    - every token of the driver text is salted with the doc_id, so two
+      DIFFERENT docs share zero shingles -> no organic exact or near
+      edges can exist (cross-doc fused scores are structurally below
+      threshold: text similarity ~0, and media-only similarity is halved
+      by the text weight);
+    - every ``dup_every``-th doc gets a companion ``<id>-dup`` with
+      byte-identical TEXT spans (identical minhash -> LSH candidate
+      collision in every band, text score exactly 1.0) and a media ref
+      with ``.n1`` noise below the pHash Hamming threshold by
+      construction -> fused score ~0.92 >= 0.8 deterministically.
+
+    Expected clusters therefore are exactly
+    ``{doc-<id>, doc-<id>-dup} for doc_id % dup_every == 0`` with
+    ``cluster_id = doc-<id>`` (lexicographic min), SQL-derivable from the
+    flat table (see __ray_entry__.oracle_sql()['er_clusters']).
+    """
+    import ray.data
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_ids: list[str] = []
+        out_spans: list[list[dict]] = []
+        for i in range(len(ids)):
+            did = int(ids[i])
+            toks = (texts[i] or "").split() or ["empty"]
+            salted = [f"{w}x{did}" for w in toks]
+            third = max(1, len(salted) // 3)
+            parts = [
+                " ".join(salted[:third]),
+                " ".join(salted[third : 2 * third]),
+                " ".join(salted[2 * third :]),
+            ]
+            parts = [p for p in parts if p]
+            spans = [
+                {"kind": "text", "text": p, "media_ref": "", "offset": j}
+                for j, p in enumerate(parts)
+            ]
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"media://{did:016x}",
+                    "offset": len(spans),
+                }
+            )
+            base_id = f"doc-{did:09d}"
+            out_ids.append(base_id)
+            out_spans.append(spans)
+            if did % dup_every == 0:
+                near = [dict(s) for s in spans]
+                near[-1] = {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"media://{did:016x}.n1",
+                    "offset": near[-1]["offset"],
+                }
+                out_ids.append(base_id + "-dup")
+                out_spans.append(near)
+        return pa.Table.from_pydict(
+            {"doc_id": out_ids, "spans": out_spans}, schema=DOCS_SCHEMA
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(explode, batch_format="pyarrow")

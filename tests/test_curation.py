@@ -309,3 +309,58 @@ def test_embedding_clusters_matches_local_assignment():
     pd.testing.assert_frame_equal(out.reset_index(drop=True), ref, check_dtype=False)
     # every vector appears exactly once
     assert out["vec_id"].is_unique and len(out) == len(df)
+
+
+def test_semdedup_hot_cell_cap_bounds_work(tmp_path):
+    """VERDICT r2 #5: a hot cell (here: ALL vectors collapse into one
+    cell) must be sub-split at ``max_cell_rows`` so per-task work is
+    O(cap**2), and the sub-split rule (vec_id % n_sub) must be exactly
+    reproducible locally."""
+    rng = np.random.default_rng(11)
+    # one tight direction + tiny noise -> a single dominant cell
+    base = rng.normal(size=16)
+    V = (base + 0.01 * rng.normal(size=(30, 16))).astype(np.float32)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(len(V), dtype=np.int64),
+            "embedding": [row for row in V],
+            "label": np.int32(0),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    sf = str(tmp_path)
+    cap = 8
+    got = curation.semdedup(sf, tau=0.9, n_cells=2, max_cell_rows=cap).to_pandas()
+
+    # local replica applying the identical assignment + sub-split rule
+    C = curation.fit_spherical_centroids(sf, n_cells=2)
+    Vn = V.astype(np.float64)
+    Vn = Vn / np.maximum(np.linalg.norm(Vn, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(Vn @ C.T, axis=1)
+    ids = np.arange(len(V), dtype=np.int64)
+    parts = []
+    for c in np.unique(cells):
+        m = cells == c
+        cid, cV = ids[m], Vn[m]
+        if len(cid) <= cap:
+            parts.append(curation.greedy_prune_cell(cid, cV, 0.9))
+        else:
+            n_sub = -(-len(cid) // cap)
+            for s in range(n_sub):
+                sm = cid % n_sub == s
+                assert sm.sum() <= 2 * cap  # bounded per-task work
+                parts.append(curation.greedy_prune_cell(cid[sm], cV[sm], 0.9))
+    want = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values("removed_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_semdedup_output_unchanged_below_cap():
+    """Default cap far above fixture cell sizes -> byte-identical output
+    to an uncapped run (the round-2 behavior)."""
+    a = curation.semdedup(SF, tau=0.4).to_pandas()
+    b = curation.semdedup(SF, tau=0.4, max_cell_rows=10**9).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
