@@ -359,9 +359,10 @@ def oracle_sql() -> dict[str, str]:
         # (stages/multimodal.synth_media_batch), so the dims census IS
         # SQL-expressible over the documents table
         "media_dims_census": (
-            "WITH m AS (SELECT doc_id % 4 AS fi, (doc_id // 4) % 5 AS di "
+            "WITH m AS (SELECT doc_id % 5 AS fi, (doc_id // 5) % 5 AS di "
             "FROM documents) "
-            "SELECT ['png','bmp','gif','jpeg'][CAST(fi AS INTEGER) + 1] AS fmt, "
+            "SELECT ['png','bmp','gif','jpeg','webp'][CAST(fi AS INTEGER) + 1] "
+            " AS fmt, "
             "CAST([16,32,32,64,48][CAST(di AS INTEGER) + 1] AS INTEGER) AS width, "
             "CAST([16,32,16,64,32][CAST(di AS INTEGER) + 1] AS INTEGER) AS height, "
             "CAST(COUNT(*) AS BIGINT) AS n "
@@ -548,7 +549,8 @@ def oracle_sql() -> dict[str, str]:
         # mapping with outcome='ok' everywhere: the oracle asserts that
         # every synthesized payload round-trips through its real codec
         "media_decode_summary": (
-            "SELECT ['png','bmp','gif','jpeg'][CAST(doc_id % 4 AS INTEGER) + 1] "
+            "SELECT ['png','bmp','gif','jpeg','webp']"
+            "[CAST(doc_id % 5 AS INTEGER) + 1] "
             " AS fmt, 'ok' AS outcome, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY fmt ORDER BY fmt, outcome"
         ),

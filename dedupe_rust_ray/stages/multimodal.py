@@ -4,16 +4,19 @@ The sandbox has no image libraries (no Pillow/libheif), so:
 
 - **Encoders** here synthesize REAL minimal files (valid PNG via stdlib
   zlib + CRC, uncompressed 24-bit BMP, GIF87a with LZW image data, JPEG
-  marker stream) deterministically from a seed — the target-side
-  replacement for the reference's checked-in fixture generator
+  marker stream, lossless VP8L WebP — see stages/webp.py) determin-
+  istically from a seed — the target-side replacement for the reference's
+  checked-in fixture generator
   (/root/reference/test_images/create_test_image.rs:4-41).
 - **MediaDecode** is the actor-pool decode stage with REAL Ray plumbing
-  (schema, batching, per-row error columns). All four formats decode for
-  real — BMP, PNG (8-bit gray/RGB, all five filters), GIF (LZW,
-  global/local palettes) and baseline JPEG (full T.81 scan decode, see
-  stages/jpeg.py) — mirroring the reference's decoded-pixel phase
-  (/root/reference/src/main.rs:593-681). Payloads outside those profiles
-  (progressive JPEG, interlaced PNG/GIF, unknown magic) surface
+  (schema, batching, per-row error columns). All five whitelisted-and-
+  synthesizable formats decode for real — BMP, PNG (8-bit gray/RGB, all
+  five filters), GIF (LZW, global/local palettes), baseline JPEG (full
+  T.81 scan decode, stages/jpeg.py) and lossless WebP (VP8L subset,
+  stages/webp.py) — mirroring the reference's decoded-pixel phase
+  (/root/reference/src/main.rs:593-681; WebP via image::open at 659-681).
+  Payloads outside those profiles (progressive JPEG, interlaced PNG/GIF,
+  lossy VP8, predictor/indexed VP8L, unknown magic) surface
   ``err='decode_*'`` per row, never a task failure (the warn-and-skip
   policy of /root/reference/src/main.rs:674-680).
 """
@@ -29,6 +32,7 @@ import pyarrow as pa
 
 from .dims import probe_dims, sniff_format
 from .jpeg import decode_jpeg, encode_jpeg
+from .webp import decode_webp, encode_webp
 
 # ---------------------------------------------------------------- encoders
 
@@ -302,7 +306,7 @@ def encode_jpeg_markers(w: int, h: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
-_FORMATS = ("png", "bmp", "gif", "jpeg")
+_FORMATS = ("png", "bmp", "gif", "jpeg", "webp")
 _DIM_CHOICES = ((16, 16), (32, 32), (32, 16), (64, 64), (48, 32))
 
 
@@ -324,6 +328,8 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
             data = encode_bmp(rng.integers(0, 256, (h, w)).astype(np.uint8))
         elif fmt == "gif":
             data = encode_gif(rng.integers(0, 256, (h, w)).astype(np.uint8))
+        elif fmt == "webp":
+            data = encode_webp(rng.integers(0, 256, (h, w)).astype(np.uint8))
         else:
             data = encode_jpeg(rng.integers(0, 256, (h, w)).astype(np.uint8))
         media_ids.append(f"m-{d:09d}")
@@ -373,6 +379,7 @@ class MediaDecode:
             "png": decode_png,
             "gif": decode_gif,
             "jpeg": decode_jpeg,
+            "webp": decode_webp,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -449,6 +456,7 @@ class MediaResize:
             "png": decode_png,
             "gif": decode_gif,
             "jpeg": decode_jpeg,
+            "webp": decode_webp,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -547,6 +555,7 @@ class MediaPhash:
             "png": decode_png,
             "gif": decode_gif,
             "jpeg": decode_jpeg,
+            "webp": decode_webp,
         }
 
     def _fit(self, img: np.ndarray) -> np.ndarray:

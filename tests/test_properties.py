@@ -148,3 +148,88 @@ def test_decoders_never_raise_on_garbage(data):
     fmt = sniff_format(data)
     if fmt:
         probe_dims(fmt, data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+def test_webp_encode_decode_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from dedupe_rust_ray.stages.dims import sniff_format, webp_dims
+    from dedupe_rust_ray.stages.webp import decode_webp, encode_webp
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    data = encode_webp(px)
+    # container must satisfy the independently-written header parser
+    assert sniff_format(data) == "webp"
+    assert webp_dims(data) == (w, h)
+    out = decode_webp(data)
+    assert out is not None and out.shape == (h, w)
+    assert (out == px).all()  # VP8L is lossless
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_webp_decoder_never_raises_on_garbage(data):
+    from dedupe_rust_ray.stages.webp import decode_webp
+
+    decode_webp(data)
+    decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8L\x00\x00\x00\x00\x2f" + data)
+
+
+def test_webp_general_path_simple_codes_and_unsupported_profiles():
+    """Exercise the sequential decode path (foreign-stream shape): a
+    two-symbol simple green code, plus the documented refusals."""
+    import numpy as np
+
+    from dedupe_rust_ray.stages import webp as W
+
+    # hand-rolled stream: 4x1, subtract-green, simple 2-symbol green code
+    # (values 7 and 9), 0-bit red/blue/alpha/distance -> gray 7/9 pixels
+    bw = W._BitWriter()
+    bw.write(3, 14)  # w-1
+    bw.write(0, 14)  # h-1
+    bw.write(0, 1)   # alpha hint
+    bw.write(0, 3)   # version
+    bw.write(1, 1)   # transform present
+    bw.write(2, 2)   # SUBTRACT_GREEN
+    bw.write(0, 1)   # no more transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(0, 1)   # no meta huffman
+    bw.write(1, 1)   # green: simple
+    bw.write(1, 1)   # two symbols
+    bw.write(1, 1)   # first symbol in 8 bits
+    bw.write(7, 8)   # symbol0 = 7
+    bw.write(9, 8)   # symbol1 = 9
+    for sym in (0, 0, 255, 0):  # red, blue, alpha, distance: single-symbol
+        W._simple_code_bits(bw, sym)
+    # pixels: 7, 9, 9, 7 -> canonical: 7 -> code 0, 9 -> code 1
+    for bit in (0, 1, 1, 0):
+        bw.write_code(bit, 1)
+    payload = b"\x2f" + np.packbits(
+        np.asarray(bw.bits, np.uint8), bitorder="little"
+    ).tobytes()
+    data = (
+        b"RIFF" + (len(payload) + 12).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    )
+    out = W.decode_webp(data)
+    assert out is not None and out.shape == (1, 4)
+    assert out.tolist() == [[7, 9, 9, 7]]
+
+    # unsupported: predictor transform -> None (flagged upstream)
+    bw2 = W._BitWriter()
+    bw2.write(0, 14); bw2.write(0, 14); bw2.write(0, 1); bw2.write(0, 3)
+    bw2.write(1, 1); bw2.write(0, 2)  # PREDICTOR transform
+    p2 = b"\x2f" + np.packbits(
+        np.asarray(bw2.bits + [0] * 64, np.uint8), bitorder="little"
+    ).tobytes()
+    d2 = (
+        b"RIFF" + (len(p2) + 12).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + len(p2).to_bytes(4, "little") + p2
+    )
+    assert W.decode_webp(d2) is None

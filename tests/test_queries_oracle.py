@@ -101,10 +101,11 @@ def test_media_features_decode_policy():
     from dedupe_rust_ray.pipelines.multimodal import media_features
 
     got = media_features(SF).to_pandas()
-    # every synthesized format (BMP/PNG/GIF/baseline JPEG) decodes for real
+    # every synthesized format (BMP/PNG/GIF/baseline JPEG/VP8L WebP)
+    # decodes for real
     assert (got["ok"] == (got["err"] == "")).all()
     assert got["ok"].all()
-    assert set(got["fmt"]) == {"bmp", "png", "gif", "jpeg"}
+    assert set(got["fmt"]) == {"bmp", "png", "gif", "jpeg", "webp"}
     assert (got["mean_brightness"] > 0).all()
     assert (got["width"] > 0).all()
 
@@ -202,7 +203,7 @@ def test_media_thumbnails_and_frame_sample():
     assert len(th) == 500
     # every synthesized format decodes and produces a real PNG thumbnail
     assert (th["err"] == "").all()
-    assert set(th["fmt"]) == {"bmp", "png", "gif", "jpeg"}
+    assert set(th["fmt"]) == {"bmp", "png", "gif", "jpeg", "webp"}
     assert (th["thumb_bytes"] > 50).all()
 
     fr = video_frame_sample(SF).to_pandas()
@@ -243,6 +244,7 @@ def test_media_phash_cross_format_invariance():
         MediaPhash,
         encode_bmp,
         encode_png,
+        encode_webp,
     )
 
     rng = np.random.default_rng(7)
@@ -251,10 +253,11 @@ def test_media_phash_cross_format_invariance():
     other[:24, :32] = 255 - other[:24, :32]
     batch = pa.table(
         {
-            "media_id": pa.array(["a-png", "a-bmp", "b-png"]),
-            "fmt": pa.array(["png", "bmp", "png"]),
+            "media_id": pa.array(["a-png", "a-bmp", "a-webp", "b-png"]),
+            "fmt": pa.array(["png", "bmp", "webp", "png"]),
             "payload": pa.array(
-                [encode_png(px), encode_bmp(px), encode_png(other)],
+                [encode_png(px), encode_bmp(px), encode_webp(px),
+                 encode_png(other)],
                 type=pa.binary(),
             ),
         }
@@ -262,7 +265,8 @@ def test_media_phash_cross_format_invariance():
     out = MediaPhash()(batch).to_pandas()
     assert out["ok"].all()
     assert out.loc[0, "phash"] == out.loc[1, "phash"]
-    assert out.loc[0, "phash"] != out.loc[2, "phash"]
+    assert out.loc[0, "phash"] == out.loc[2, "phash"]
+    assert out.loc[0, "phash"] != out.loc[3, "phash"]
 
 
 def test_media_phash_query_rows_and_determinism():
