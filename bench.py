@@ -14,6 +14,7 @@ efficiency (the sandbox proxy for the north_rule's N vs 4N cluster sizes).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import subprocess
@@ -64,6 +65,7 @@ def _run_queries() -> dict:
         runs = []
         n = 0
         for _ in range(REPEATS):
+            gc.collect()  # see timed_suite: plan-graph cycles degrade repeats
             t0 = time.time()
             res = fn()
             n = len(res) if hasattr(res, "__len__") else res.count()
@@ -84,6 +86,12 @@ def _run_queries() -> dict:
             repeats_detail[name] = []
         for _ in range(REPEATS):
             for name, fn in named_fns:
+                # Dataset plan graphs hold reference cycles; without an
+                # explicit collect the un-finalized executors/broadcast
+                # refs of PRIOR runs degrade later ones (measured: the
+                # same ER run drifts 4s -> 34s across 4 in-session
+                # repeats, flat with per-repeat gc)
+                gc.collect()
                 t0 = time.time()
                 res = fn()
                 try:
@@ -122,6 +130,7 @@ def _run_queries() -> dict:
         er_runs = []
         n_clusters = 0
         for _ in range(REPEATS):
+            gc.collect()  # see timed_suite: plan-graph cycles degrade repeats
             t0 = time.time()
             clusters = er_pipeline(corpus, ERConfig())
             n_clusters = clusters.count()

@@ -2,14 +2,36 @@
 
 from __future__ import annotations
 
+import gc
+import time
+
 import ray.data
 
 from ..sources.storage import read_table
+
+_last_gc = 0.0
+
+
+def _collect_stale_plans() -> None:
+    """Throttled driver-side collect at query entry.
+
+    Ray Data plan graphs hold reference cycles; in a long session running
+    many queries back-to-back (the driver's correctness harness, bench
+    repeats), un-collected executors and pinned broadcast refs from PRIOR
+    queries measurably degrade later ones (same ER run drifted 4s -> 34s
+    over 4 in-session repeats; flat with an explicit collect). One gc per
+    ~5 s at query entry bounds both the leak and the collect cost."""
+    global _last_gc
+    now = time.monotonic()
+    if now - _last_gc > 5.0:
+        _last_gc = now
+        gc.collect()
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned read of one driver test table via the storage layer
     (Lance when available, Parquet here)."""
+    _collect_stale_plans()
     return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 

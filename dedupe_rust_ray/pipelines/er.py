@@ -341,6 +341,9 @@ def er_pipeline(
     import os
     import time as _time
 
+    from .common import _collect_stale_plans
+
+    _collect_stale_plans()  # stale plan graphs from prior queries (see common)
     trace = os.environ.get("GRAFT_ER_TRACE") == "1"
     _t0 = _time.time()
 
