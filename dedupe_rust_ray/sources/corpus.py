@@ -59,11 +59,78 @@ def _seed_from(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")
 
 
+def _decode_data_ref(ref: str, edge: int) -> np.ndarray:
+    """Resolve a ``data:hex,<container bytes>`` media_ref through the REAL
+    codec stack (PNG/BMP/GIF/JPEG/WebP via magic sniffing) and fit the
+    decoded pixels to the pHash grid — the cross-container image-dedup
+    path: two refs embedding the same pixels in different formats produce
+    identical payload grids, hence identical pHashes, hence one blocking
+    key and a media score of 1.0 (the reference's decoded-pixel duplicate
+    semantics, /root/reference/src/main.rs:593-681, across containers).
+    Undecodable payloads fall back to a deterministic noise grid derived
+    from the ref string (never a crash — warn-and-skip parity)."""
+    from ..stages.dims import sniff_format
+    from ..stages.multimodal import resize_block_mean
+
+    try:
+        payload = bytes.fromhex(ref[len("data:hex,"):])
+    except ValueError:
+        payload = b""
+    img = None
+    fmt = sniff_format(payload)
+    dec = _DATA_DECODERS.get(fmt) if fmt else None
+    if dec is not None:
+        img = dec(payload)
+    if img is None:
+        return media_payload_batch(["media://" + ref], edge)[0]
+    img = np.asarray(img, dtype=np.float32)
+    if img.shape == (edge, edge):
+        return img
+    if img.shape[0] < edge or img.shape[1] < edge:
+        ry = np.arange(edge) * img.shape[0] // edge
+        rx = np.arange(edge) * img.shape[1] // edge
+        return img[np.ix_(ry, rx)]
+    return resize_block_mean(img, edge, edge)
+
+
+def _data_decoders() -> dict:
+    from ..stages.jpeg import decode_jpeg
+    from ..stages.multimodal import decode_bmp, decode_gif, decode_png
+    from ..stages.webp import decode_webp
+
+    return {
+        "png": decode_png,
+        "bmp": decode_bmp,
+        "gif": decode_gif,
+        "jpeg": decode_jpeg,
+        "jpg": decode_jpeg,
+        "webp": decode_webp,
+    }
+
+
+class _LazyDecoders(dict):
+    def __missing__(self, key):  # populate on first data: ref
+        self.update(_data_decoders())
+        return super().get(key)
+
+    def get(self, key, default=None):
+        if not len(self):
+            self.update(_data_decoders())
+        return super().get(key, default)
+
+
+_DATA_DECODERS: dict = _LazyDecoders()
+
+
 def media_payload_batch(
     media_refs: list[str], edge: int = _PAYLOAD_EDGE
 ) -> np.ndarray:
     """Deterministic grayscale pixels for a batch of media_refs, stacked
     (B, edge, edge) float32 — one vectorized pass for the whole batch.
+
+    Refs with the ``data:hex,`` scheme carry an EMBEDDED container payload
+    (PNG/BMP/GIF/JPEG/WebP bytes) and are decoded through the real codec
+    stack instead of synthesized (see :func:`_decode_data_ref`).
 
     The base image is a low-frequency 8x8 pattern upsampled to ``edge`` so
     perceptual hashes are stable; a ``.n{j}`` suffix adds small
@@ -77,6 +144,16 @@ def media_payload_batch(
     b = len(media_refs)
     out = np.empty((b, edge, edge), dtype=np.float32)
     if b == 0:
+        return out
+    data_idx = [i for i, r in enumerate(media_refs) if r.startswith("data:hex,")]
+    if data_idx:
+        for i in data_idx:
+            out[i] = _decode_data_ref(media_refs[i], edge)
+        rest = [i for i in range(b) if not media_refs[i].startswith("data:hex,")]
+        if rest:
+            out[rest] = media_payload_batch(
+                [media_refs[i] for i in rest], edge
+            )
         return out
     up = edge // 8
     k = np.arange(64, dtype=np.uint64)
