@@ -20,7 +20,7 @@ Operator coverage map (SURVEY.md §2 -> query names):
   M2-M7 dimension probes  -> media_dims_census / media_features (incl.
                              pure-bytes HEIC ispe probe)
   H1-H5 signatures+decode -> er_clusters (flagship), media_features
-                             (real PNG/GIF/BMP pixel decode),
+                             (real PNG/GIF/BMP/JPEG/WebP pixel decode),
                              media_thumbnails (resize), video_frame_sample
   near-dup family         -> minhash_lsh_dedup, ngram_jaccard_dedup,
                              simhash_near_dups, embedding_cosine_pairs
