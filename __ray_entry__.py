@@ -276,10 +276,11 @@ def oracle_sql() -> dict[str, str]:
         # the planted-truth corpus (sources/corpus.corpus_planted_truth)
         # makes the flagship's expected clusters closed-form: one
         # {base, base-dup} cluster per doc_id % 10 == 0, cluster_id = base
+        # printf, not lpad: lpad TRUNCATES ids beyond 9 digits while the
+        # pipeline's f'{id:09d}' widens — printf matches that exactly
         "er_clusters": (
-            "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') "
-            " AS cluster_id, "
-            "'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || sfx AS doc_id "
+            "SELECT 'doc-' || printf('%09d', doc_id) AS cluster_id, "
+            "'doc-' || printf('%09d', doc_id) || sfx AS doc_id "
             "FROM documents, (SELECT unnest(['', '-dup']) AS sfx) s "
             "WHERE doc_id % 10 = 0 ORDER BY cluster_id, doc_id"
         ),

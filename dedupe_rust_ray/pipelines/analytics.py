@@ -740,14 +740,15 @@ def props_k_stats(sf_dir: str) -> ray.data.Dataset:
     def finish(batch: pa.Table) -> pa.Table:
         n_k = batch["n_k"].to_numpy(zero_copy_only=False).astype(np.float64)
         sk = batch["sum_k"].to_numpy(zero_copy_only=False)
+        avg = np.floor(sk / np.maximum(n_k, 1.0) * 1e4 + 0.5) / 1e4
         return pa.table(
             {
                 "event_type": batch["event_type"],
                 "n": batch["n"],
                 "sum_k": pa.array(sk.astype(np.int64)),
-                "avg_k": pa.array(
-                    np.floor(sk / np.maximum(n_k, 1.0) * 1e4 + 0.5) / 1e4
-                ),
+                # all extractions failed -> NULL, matching SQL AVG over
+                # an all-NULL group (not a fabricated 0.0)
+                "avg_k": pa.array(avg, mask=(n_k == 0)),
             }
         )
 

@@ -447,10 +447,11 @@ def semdedup(
     groupby on int32 cell ids carrying (id, packed vector) rows; the
     quadratic greedy pass is confined to one cell (n/k rows). Cells
     larger than ``max_cell_rows`` are deterministically sub-split by
-    ``vec_id % n_sub`` and pruned per sub-cell, bounding the per-task
-    matrix at O(max_cell_rows**2) regardless of corpus size or centroid
-    skew (the hot-cell straggler guard; tests/test_curation.py pins the
-    bound and the unchanged-output property below the cap). Cross-cell —
+    rank in sorted-vec_id order (round-robin) and pruned per sub-cell,
+    bounding the per-task matrix at O(max_cell_rows**2) regardless of
+    corpus size, centroid skew, or id structure (the hot-cell straggler
+    guard; tests/test_curation.py pins the bound and the
+    unchanged-output property below the cap). Cross-cell —
     and, for oversized cells, cross-sub-cell — near-dups are missed by
     construction: that is SemDeDup's documented recall trade-off (same
     contract as knn_ivf's n_probe).
@@ -463,24 +464,17 @@ def semdedup(
             self.C = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..stages.codec import _binary_from_parts
+            from ..stages.codec import pack_f8_rows
 
             ids = batch["vec_id"].to_numpy()
             V = list_col_matrix(batch["embedding"])
-            Vn = np.ascontiguousarray(
-                V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12),
-                dtype="<f8",
-            )
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(Vn @ self.C.T, axis=1)
-            n, dim = Vn.shape
-            emb = _binary_from_parts(
-                Vn.tobytes(), np.arange(n + 1, dtype=np.int64) * (dim * 8)
-            )
             return pa.table(
                 {
                     "cell": pa.array(cell.astype(np.int32), type=pa.int32()),
                     "vec_id": pa.array(ids, type=pa.int64()),
-                    "emb": emb,
+                    "emb": pack_f8_rows(Vn),
                 }
             )
 
@@ -491,10 +485,14 @@ def semdedup(
         )
         if len(ids) <= max_cell_rows:
             return greedy_prune_cell(ids, Vn, tau)
-        # hot-cell guard: deterministic sub-split, independent of block
-        # layout (keyed on vec_id alone)
+        # hot-cell guard: deterministic sub-split by RANK in sorted-id
+        # order — independent of block layout AND of id structure
+        # (vec_id % n_sub would put strided ids in one sub-cell, defeating
+        # the bound), with every sub-cell <= ceil(n / n_sub) rows
         n_sub = -(-len(ids) // max_cell_rows)
-        sub = ids % n_sub
+        rank = np.empty(len(ids), np.int64)
+        rank[np.argsort(ids, kind="stable")] = np.arange(len(ids))
+        sub = rank % n_sub
         parts = [
             greedy_prune_cell(ids[sub == s], Vn[sub == s], tau)
             for s in range(n_sub)

@@ -133,7 +133,7 @@ def knn_lsh(
             _, _, self.planes = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..stages.codec import _binary_from_parts, list_col_matrix
+            from ..stages.codec import list_col_matrix, pack_f8_rows
 
             ids = batch["vec_id"].to_numpy()
             V = list_col_matrix(batch["embedding"])
@@ -150,10 +150,7 @@ def knn_lsh(
                     for t in range(n_tab)
                 ]
             )
-            emb = _binary_from_parts(
-                np.ascontiguousarray(Vn, dtype="<f8").tobytes(),
-                np.arange(n + 1, dtype=np.int64) * (dim * 8),
-            )
+            emb = pack_f8_rows(Vn)
             return pa.table(
                 {
                     "bucket": pa.array(keys, type=pa.uint64()),
@@ -278,21 +275,16 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy()
-            from ..stages.codec import _binary_from_parts, list_col_matrix
+            from ..stages.codec import list_col_matrix, pack_f8_rows
 
             V = list_col_matrix(batch["embedding"])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(Vn @ self.C.T, axis=1)
-            n, dim = Vn.shape
-            emb = _binary_from_parts(
-                np.ascontiguousarray(Vn, dtype="<f8").tobytes(),
-                np.arange(n + 1, dtype=np.int64) * (dim * 8),
-            )
             return pa.table(
                 {
                     "cell": pa.array(cell.astype(np.int32), type=pa.int32()),
                     "vec_id": pa.array(ids, type=pa.int64()),
-                    "emb": emb,
+                    "emb": pack_f8_rows(Vn),
                 }
             )
 

@@ -70,7 +70,7 @@ def _decode_data_ref(ref: str, edge: int) -> np.ndarray:
     Undecodable payloads fall back to a deterministic noise grid derived
     from the ref string (never a crash — warn-and-skip parity)."""
     from ..stages.dims import sniff_format
-    from ..stages.multimodal import resize_block_mean
+    from ..stages.multimodal import fit_to_grid
 
     try:
         payload = bytes.fromhex(ref[len("data:hex,"):])
@@ -83,14 +83,9 @@ def _decode_data_ref(ref: str, edge: int) -> np.ndarray:
         img = dec(payload)
     if img is None:
         return media_payload_batch(["media://" + ref], edge)[0]
-    img = np.asarray(img, dtype=np.float32)
-    if img.shape == (edge, edge):
-        return img
-    if img.shape[0] < edge or img.shape[1] < edge:
-        ry = np.arange(edge) * img.shape[0] // edge
-        rx = np.arange(edge) * img.shape[1] // edge
-        return img[np.ix_(ry, rx)]
-    return resize_block_mean(img, edge, edge)
+    # the SAME fitting rule as MediaPhash — bit-for-bit agreement is what
+    # makes cross-container pHashes collide
+    return fit_to_grid(np.asarray(img, dtype=np.float32), edge)
 
 
 def _data_decoders() -> dict:

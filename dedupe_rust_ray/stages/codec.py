@@ -77,6 +77,18 @@ def encode_fixed_u64_rows(mat: np.ndarray) -> pa.Array:
     return _binary_from_parts(blob, off)
 
 
+def pack_f8_rows(mat: np.ndarray) -> pa.Array:
+    """(n, dim) float -> binary column of fixed dim*8-byte little-endian
+    float64 rows — ONE tobytes + offsets, no per-row Python. The single
+    packing idiom shared by every embedding-shuffling stage (semdedup
+    AssignCell, knn_ivf CellRows, knn_lsh); consumers decode with
+    ``np.frombuffer(..., '<f8').reshape(n, -1)``."""
+    n, dim = mat.shape
+    blob = np.ascontiguousarray(mat, dtype="<f8").tobytes()
+    off = np.arange(n + 1, dtype=np.int64) * (dim * 8)
+    return _binary_from_parts(blob, off)
+
+
 def encode_varlen_u64(flat: np.ndarray, counts: np.ndarray) -> pa.Array:
     """flat uint64 + per-row counts -> binary column of k_i*8-byte rows."""
     off = np.zeros(len(counts) + 1, dtype=np.int64)

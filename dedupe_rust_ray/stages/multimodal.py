@@ -441,6 +441,23 @@ def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return (pooled / counts).astype(np.float32)
 
 
+def fit_to_grid(img: np.ndarray, edge: int) -> np.ndarray:
+    """Resample a grayscale image to an (edge, edge) grid — THE shared
+    fitting rule for every pHash consumer (MediaPhash and the data:hex
+    ER signature path must agree bit-for-bit or cross-container dedup
+    breaks). Block-mean for downsampling; images SMALLER than the grid
+    take nearest-neighbor replication — block-mean with out > in yields
+    zero-width blocks (0/0 = NaN) and the NaN hashes of every small
+    image collapse together."""
+    if img.shape == (edge, edge):
+        return np.asarray(img, dtype=np.float32)
+    if img.shape[0] < edge or img.shape[1] < edge:
+        ry = np.arange(edge) * img.shape[0] // edge
+        rx = np.arange(edge) * img.shape[1] // edge
+        return img[np.ix_(ry, rx)].astype(np.float32)
+    return resize_block_mean(img, edge, edge)
+
+
 class MediaResize:
     """Actor-pool resize stage: decode (where a codec exists) -> area
     downsample to ``edge`` x ``edge`` -> re-encode as PNG.
@@ -559,16 +576,7 @@ class MediaPhash:
         }
 
     def _fit(self, img: np.ndarray) -> np.ndarray:
-        """Resample to the DCT grid. Block-mean for downsampling; images
-        SMALLER than the grid take nearest-neighbor replication instead —
-        block-mean with out > in yields zero-width blocks (0/0 = NaN) and
-        the NaN hashes of every small image collapse together."""
-        g = self.grid
-        if img.shape[0] < g or img.shape[1] < g:
-            ry = np.arange(g) * img.shape[0] // g
-            rx = np.arange(g) * img.shape[1] // g
-            return img[np.ix_(ry, rx)].astype(np.float32)
-        return resize_block_mean(img, g, g)
+        return fit_to_grid(img, self.grid)  # shared rule — see fit_to_grid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.imagehash import phash_batch

@@ -332,6 +332,7 @@ def test_semdedup_hot_cell_cap_bounds_work(tmp_path):
     got = curation.semdedup(sf, tau=0.9, n_cells=2, max_cell_rows=cap).to_pandas()
 
     # local replica applying the identical assignment + sub-split rule
+    # (round-robin by rank in sorted-id order — id-structure-proof)
     C = curation.fit_spherical_centroids(sf, n_cells=2)
     Vn = V.astype(np.float64)
     Vn = Vn / np.maximum(np.linalg.norm(Vn, axis=1, keepdims=True), 1e-12)
@@ -345,9 +346,11 @@ def test_semdedup_hot_cell_cap_bounds_work(tmp_path):
             parts.append(curation.greedy_prune_cell(cid, cV, 0.9))
         else:
             n_sub = -(-len(cid) // cap)
+            rank = np.empty(len(cid), np.int64)
+            rank[np.argsort(cid, kind="stable")] = np.arange(len(cid))
             for s in range(n_sub):
-                sm = cid % n_sub == s
-                assert sm.sum() <= 2 * cap  # bounded per-task work
+                sm = rank % n_sub == s
+                assert sm.sum() <= -(-len(cid) // n_sub)  # true bound
                 parts.append(curation.greedy_prune_cell(cid[sm], cV[sm], 0.9))
     want = (
         pd.concat(parts, ignore_index=True)
