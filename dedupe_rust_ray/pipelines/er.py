@@ -48,6 +48,17 @@ _PROFILE_DATA_COLS = [
 ]
 
 
+@ray.remote(num_cpus=1)
+def _pack_profiles_task(*tables: pa.Table) -> tuple:
+    """Remote broadcast pack: concat + pack happen in ONE worker whose
+    output lands directly in the object store — the driver never
+    downloads the (corpus-linear) profile table, and downstream stages
+    overlap the packing."""
+    return pack_profiles(
+        pa.concat_tables(list(tables), promote_options="default")
+    )
+
+
 def compute_profiles(docs_ds: ray.data.Dataset, cfg: ERConfig) -> ray.data.Dataset:
     # elastic tasks + per-process instance cache (stages/signatures.py):
     # scales to every core instantly, no actor-pool ramp-up. A genuine
@@ -382,22 +393,19 @@ def er_pipeline(
     )
     pairs = dedup_pairs(cand, cfg.n_shards)
 
-    bcast_prof_table: pa.Table | None = None
-
     def broadcast_scored(prof_ds):
-        # ship packed profiles once (ray.put) and score pairs in a fused
-        # stage — no join shuffle at all.
+        # ship packed profiles once and score pairs in a fused stage — no
+        # join shuffle at all. The pack runs as ONE remote task over the
+        # profile block refs: the driver never downloads the profile
+        # table (linear in corpus size — ~600 MB at 468k docs, minutes of
+        # serial time at the 1M-doc broadcast ceiling), and candidate-pair
+        # generation overlaps the packing.
         # NOTE: ref is captured in a closure, NOT passed via fn_args — Ray
         # resolves ObjectRefs appearing in task args, which would ship and
         # deserialize the full broadcast payload once PER TASK; a closure
         # keeps it a reference, fetched once per worker process and cached.
-        nonlocal bcast_prof_table
-        prof_table = pa.concat_tables(
-            ray.get(prof_ds.to_arrow_refs()), promote_options="default"
-        )
-        bcast_prof_table = prof_table
-        ref = ray.put(pack_profiles(prof_table))
-        _tr(f"packed + put broadcast ({prof_table.num_rows} profiles)")
+        ref = _pack_profiles_task.remote(*prof_ds.to_arrow_refs())
+        _tr("broadcast pack dispatched (remote)")
         return pairs.map_batches(
             lambda b: broadcast_score_batch(b, ref, cfg),
             batch_format="pyarrow",
@@ -480,19 +488,14 @@ def er_pipeline(
         num_partitions = max(profiles.num_blocks(), 8)
     except NotImplementedError:
         num_partitions = max(n_profiles // 500_000, 8)
+    # the id map is built from a 2-column (doc_id, idh) profile scan —
+    # the driver never touches the wide profile columns (those only ever
+    # exist inside the remote pack task and the scorer workers)
     near = _attach_doc_ids(
         near_h, profiles, n_profiles, cfg, num_partitions,
-        prebuilt_table=bcast_prof_table,
     )
-    # exact-dup endpoints may not appear in candidate pairs (equal-hash
-    # pairs are skipped at candidate generation), so a candidate-reduced
-    # broadcast table cannot map them — reuse it only when it covers the
-    # whole corpus
     exact = _attach_doc_ids(
         exact_h, profiles, n_profiles, cfg, num_partitions,
-        prebuilt_table=(
-            bcast_prof_table if n_profiles <= cfg.broadcast_max_docs else None
-        ),
     )
 
     def make_edges():
