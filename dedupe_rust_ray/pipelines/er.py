@@ -522,8 +522,14 @@ def er_pipeline(
         labels = ray.data.from_pandas(driver_connected_components(edge_df))
         _tr("driver union-find done")
     else:
+        # shard count scales with the edge set: a small graph through the
+        # distributed path (e.g. the forced-distributed flagship query)
+        # shouldn't pay 64-shard shuffle fixed costs per round, while big
+        # graphs keep wide parallelism (~50k edge rows per shard task)
         labels = distributed_connected_components(
-            edges, max_rounds=cfg.max_label_rounds
+            edges,
+            max_rounds=cfg.max_label_rounds,
+            n_shards=int(min(64, max(8, n_edges // 50_000))),
         )
 
     return labels.select_columns(["cluster_id", "doc_id"]).sort(

@@ -85,7 +85,10 @@ def graph_components(
     if edges.count() <= driver_max_edges:
         df = driver_connected_components(edges.to_pandas())
     else:
-        df = distributed_connected_components(edges).to_pandas()
+        n_edges = edges.count()
+        df = distributed_connected_components(
+            edges, n_shards=int(min(64, max(8, n_edges // 50_000)))
+        ).to_pandas()
     out = pd.DataFrame(
         {
             "node": df["doc_id"].astype(np.int64),
