@@ -219,8 +219,8 @@ def file_dedupe_groups(
 
 def synth_file_tree(sf_dir: str, root: str) -> None:
     """Deterministic on-disk image tree derived from the driver's documents
-    table: one encoded file per doc (format cycling png/bmp/gif/jpeg), every
-    7th doc also written as a byte-identical copy under ``dups/`` — the F4
+    table: one encoded file per doc (format cycling png/bmp/gif/jpeg/webp),
+    every 7th doc also written as a byte-identical copy under ``dups/`` — the F4
     parity corpus generator, synthesized with this repo's own encoders
     (the reference ships a checked-in fixture instead,
     /root/reference/test_images/create_test_image.rs)."""
@@ -231,7 +231,7 @@ def synth_file_tree(sf_dir: str, root: str) -> None:
     os.makedirs(os.path.join(root, "dups"), exist_ok=True)
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = synth_media_batch(t)
-    fmt_ext = {"jpeg": "jpg", "png": "png", "bmp": "bmp", "gif": "gif"}
+    fmt_ext = {"jpeg": "jpg", "png": "png", "bmp": "bmp", "gif": "gif", "webp": "webp"}
     for mid, fmt, payload in zip(
         media["media_id"].to_pylist(),
         media["fmt"].to_pylist(),
@@ -252,7 +252,10 @@ def file_dedupe_query(sf_dir: str) -> pd.DataFrame:
     per sf_dir) and run the reference-parity pipeline over it."""
     import hashlib
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # the tag carries a generator version: a cached tree written by an
+    # older synth (e.g. pre-webp 4-format rotation) must not satisfy the
+    # marker check, or the parity pipeline silently runs on stale input
+    tag = hashlib.sha1(f"{sf_dir}|v2-webp".encode()).hexdigest()[:8]
     root = f"/tmp/dedupe_rust_ray_files_{tag}"
     marker = os.path.join(root, ".complete")
     if not os.path.exists(marker):
