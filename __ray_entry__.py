@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         joins,
         multimodal,
+        relational,
         reshape,
         sessions,
         similarity,
@@ -236,6 +237,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": multimodal.media_thumbnails,
         "media_phash": multimodal.media_phash,
         "video_frame_sample": multimodal.video_frame_sample,
+        # --- relational join-shape pack (SQL-checked locally via
+        # scripts/check_oracle.py; positions 51+ are outside the driver's
+        # 50-row correctness window, which stays reserved for the
+        # flagship + headline operators above) ---
+        "q13_order_count_distribution": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q22_idle_rich_customers": relational.q22_idle_rich_customers,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
     }
 
 
@@ -763,6 +774,62 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY s DESC, neighbor_id) AS r FROM sims) "
             "SELECT query_id, neighbor_id, ROUND(s, 4) AS cos_sim "
             "FROM ranked WHERE r <= 10 ORDER BY query_id, cos_sim DESC, neighbor_id"
+        ),
+        "q13_order_count_distribution": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            " SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            " GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            " FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 "
+            "  AS total_revenue "
+            " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+            "WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev) "
+            "ORDER BY s_suppkey"
+        ),
+        "q17_small_quantity_revenue": (
+            "SELECT FLOOR(SUM(l_extendedprice) / 7.0 * 100 + 0.5) / 100 "
+            " AS avg_yearly "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#1' AND l_quantity < ("
+            " SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+            " WHERE l2.l_partkey = p_partkey)"
+        ),
+        "q18_large_orders": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, "
+            " sum_qty FROM ("
+            " SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem "
+            " GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "q22_idle_rich_customers": (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "FLOOR(SUM(c_acctbal) * 100 + 0.5) / 100 AS sum_acctbal "
+            "FROM customer WHERE c_acctbal > "
+            "(SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "q9_profit_by_nation_year": (
+            "SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, "
+            "FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 "
+            " AS profit "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob
