@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": relational.q18_large_orders,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "mixture_schedule": curation.mixture_schedule,
     }
 
 
@@ -830,6 +831,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN part ON l_partkey = p_partkey "
             "WHERE p_name LIKE '%red%' "
             "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"
+        ),
+        "mixture_schedule": (
+            "WITH r AS (SELECT doc_id, source, "
+            " ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk "
+            " FROM documents) "
+            "SELECT doc_id, source, (rk - 0.5) / "
+            "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
+            " THEN 2.0 ELSE 1.0 END) AS pos "
+            "FROM r ORDER BY pos, doc_id"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

@@ -610,6 +610,99 @@ def pack_token_shards(
     )
 
 
+def mixture_schedule(
+    sf_dir: str,
+    weights: dict[str, float] | None = None,
+    bucket_span: int = 256,
+) -> ray.data.Dataset:
+    """Training-order operator: a deterministic weighted interleave of
+    sources — the epoch schedule a trainer consumes when mixing corpora
+    at different sampling rates. Each doc gets position
+    ``(rank_within_source - 0.5) / weight(source)``; reading the rows in
+    ``pos`` order yields each source at a rate proportional to its
+    weight (the standard stride-scheduling / lottery-ticket argument:
+    source s places a doc in every interval of length 1/w_s).
+
+    ``weights`` defaults to a deterministic demo rule (sources with an
+    even numeric suffix upsampled 2x); a real run passes the mixture
+    config. Unknown sources weigh 1.0.
+
+    Scale plan: rank-within-source is the pack_token_shards distributed
+    prefix sum with n_tokens == 1 — per-(source, doc_id-bucket) counts
+    fold to driver-bounded offsets, one coarse groupby on
+    ``hash(source, bucket) % 64`` co-locates whole buckets, and a
+    vectorized per-shard cumcount adds the bucket offset. No task ever
+    holds a whole source; the final sort by ``pos`` is the operator's
+    deliverable (a training order IS a total order)."""
+    from ..functions.hashing import stable_hash64
+    from ..functions.shingles import splitmix64
+
+    n_shards = 64
+
+    def weight_of(src: str) -> float:
+        if weights is not None:
+            return float(weights.get(src, 1.0))
+        digits = "".join(ch for ch in src if ch.isdigit())
+        return 2.0 if digits and int(digits) % 2 == 0 else 1.0
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ids // bucket_span
+        src = batch["source"].to_pandas()
+        shard = (
+            splitmix64(stable_hash64(src) ^ bucket.astype(np.uint64))
+            % np.uint64(n_shards)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": batch["source"],
+                "bucket": pa.array(bucket),
+                "shard": pa.array(shard),
+            }
+        )
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    ).materialize()  # two consumers; (doc_id, source) is text-free and compact
+
+    partials = ds.map_batches(
+        lambda b: b.group_by(["source", "bucket"]).aggregate(
+            [("doc_id", "count")]
+        ).rename_columns(["source", "bucket", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # ~n_docs / bucket_span rows: driver-bounded by design
+    sums = (
+        partials.groupby(["source", "bucket"], as_index=False)["n"]
+        .sum()
+        .sort_values(["source", "bucket"])
+    )
+    sums["offset"] = sums.groupby("source")["n"].cumsum() - sums["n"]
+    oref = ray.put(sums[["source", "bucket", "offset"]])
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["source", "bucket", "doc_id"])
+        local = group.groupby(["source", "bucket"]).cumcount().to_numpy(np.int64)
+        group = group.merge(ray.get(oref), on=["source", "bucket"], how="left")
+        rank = group["offset"].to_numpy(np.int64) + local + 1  # 1-based
+        w = group["source"].map(weight_of).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].to_numpy(np.int64),
+                "source": group["source"],
+                "pos": (rank - 0.5) / w,
+            }
+        )
+
+    return (
+        ds.groupby("shard")
+        .map_groups(
+            lambda g: assign(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .sort(["pos", "doc_id"])
+    )
+
+
 # --------------------------------------------------------------------------
 # stratified sampling
 # --------------------------------------------------------------------------

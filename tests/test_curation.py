@@ -194,6 +194,48 @@ def test_pack_token_shards_multi_source(tmp_path):
     assert got2[("s0", 2)] == 1  # 3 tokens before -> second shard
 
 
+def test_mixture_schedule_crafted_weights(tmp_path):
+    # 12 docs: 8 from s_a (weight 1), 4 from s_b (weight 2); doc_ids are
+    # deliberately non-contiguous so rank != doc_id.
+    ids = np.array([3, 7, 11, 15, 19, 23, 27, 31, 100, 104, 108, 112])
+    src = ["s_a"] * 8 + ["s_b"] * 4
+    pd.DataFrame(
+        {
+            "doc_id": ids.astype(np.int64),
+            "text": [f"doc {i}" for i in ids],
+            "lang": "en",
+            "source": src,
+            "n_chars": 10,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    w = {"s_a": 1.0, "s_b": 2.0}
+    out = curation.mixture_schedule(
+        str(tmp_path), weights=w, bucket_span=4
+    ).to_pandas()
+    # brute force: pos = (1-based rank within source by doc_id - 0.5)/w
+    ref = pd.DataFrame({"doc_id": ids, "source": src})
+    ref["pos"] = (ref.groupby("source")["doc_id"].rank() - 0.5) / ref[
+        "source"
+    ].map(w)
+    ref = ref.sort_values(["pos", "doc_id"], ignore_index=True)
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert np.allclose(out["pos"], ref["pos"])
+    # rate property: in pos interval [0, 2) each source s contributes
+    # ~2*w_s docs — s_b (w=2) at 0.25/0.75/1.25/1.75, s_a (w=1) at 0.5/1.5
+    head = out[out["pos"] < 2.0]["source"].tolist()
+    assert head.count("s_b") == 4 and head.count("s_a") == 2
+
+
+def test_mixture_schedule_default_rule_matches_oracle_shape():
+    out = curation.mixture_schedule(SF).to_pandas()
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    assert len(out) == n_docs
+    assert out["pos"].is_monotonic_increasing
+    # deterministic
+    again = curation.mixture_schedule(SF).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_stratified_sample_deterministic_and_bounded():
     out = curation.stratified_sample(SF, k=7).to_pandas()
     sizes = out.groupby("stratum").size()
