@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "mixture_schedule": curation.mixture_schedule,
+        "dedup_lines": curation.dedup_lines,
     }
 
 
@@ -840,6 +841,28 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "dedup_lines": (
+            "WITH words AS (SELECT doc_id, "
+            " unnest(string_split(text, ' ')) AS w, "
+            " generate_subscripts(string_split(text, ' '), 1) - 1 AS wi "
+            " FROM documents), "
+            "segs AS (SELECT doc_id, wi // 10 AS seg_idx, "
+            " string_agg(w, ' ' ORDER BY wi) AS seg "
+            " FROM words GROUP BY doc_id, wi // 10), "
+            "marked AS (SELECT doc_id, seg_idx, seg, "
+            " MIN(doc_id * 1048576 + seg_idx) OVER (PARTITION BY seg) AS win, "
+            " COUNT(*) OVER (PARTITION BY seg) AS cnt FROM segs), "
+            "agg AS (SELECT doc_id, "
+            " string_agg(CASE WHEN cnt = 1 OR doc_id * 1048576 + seg_idx = win "
+            "  THEN seg END, ' ' ORDER BY seg_idx) AS text_clean, "
+            " COUNT(CASE WHEN cnt = 1 OR doc_id * 1048576 + seg_idx = win "
+            "  THEN 1 END) AS n_kept, "
+            " COUNT(CASE WHEN NOT (cnt = 1 OR doc_id * 1048576 + seg_idx = win) "
+            "  THEN 1 END) AS n_dropped "
+            " FROM marked GROUP BY doc_id) "
+            "SELECT doc_id, COALESCE(text_clean, '') AS text_clean, "
+            " n_kept, n_dropped FROM agg ORDER BY doc_id"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

@@ -610,6 +610,276 @@ def pack_token_shards(
     )
 
 
+_SEG_SHIFT = 20  # seg_idx bits in the (doc_id, seg_idx) encoding
+
+
+def _split_segments(batch: pa.Table, seg_words: int):
+    """Vectorized fixed-width word segmentation of a text batch.
+
+    Returns (seg_doc_row, seg_idx, seg_strings): for every ``seg_words``-word
+    segment, the batch-local row of its document, its ordinal within the
+    document, and the joined segment text. Pure Arrow/numpy — the word list
+    is flattened once and re-offset into segments, then ``binary_join``
+    restores strings; no Python loop over rows or words."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    w_off = words.offsets.to_numpy().astype(np.int64)
+    nw = np.diff(w_off)
+    ns = np.maximum((nw + seg_words - 1) // seg_words, 1)  # '' -> 1 empty seg
+    seg_doc = np.repeat(np.arange(len(nw), dtype=np.int64), ns)
+    first = np.repeat(np.cumsum(ns) - ns, ns)
+    seg_idx = np.arange(len(seg_doc), dtype=np.int64) - first
+    starts = w_off[seg_doc] + seg_words * seg_idx
+    offsets = np.append(starts, w_off[-1])
+    seg_list = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), words.values
+    )
+    seg_str = pc.binary_join(seg_list, pa.scalar(" "))
+    return seg_doc, seg_idx, seg_str
+
+
+def _dedup_lines_join_path(
+    docs: ray.data.Dataset, dup, seg_words: int
+) -> ray.data.Dataset:
+    """Above-broadcast-ceiling leg of :func:`dedup_lines`: the winner table
+    never touches the driver. Both attach steps use the repo's proven
+    union + hash-bucket groupby co-location (``Dataset.join``'s acero leg
+    chokes on schema-degraded empty partitions — the round-2
+    tfidf_top_terms failure mode):
+
+      1. occurrence rows (seg_hash, enc — 16 bytes, no text) co-group with
+         winner rows on ``seg_hash % B``; non-winner occurrences decode to
+         (doc_id, seg_idx) dropped pairs;
+      2. dropped pairs co-group with the documents on ``doc_id % B`` and
+         each bucket rewrites its docs locally — the one shuffle where
+         text rides.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    n_buckets = max(4, cpus)
+    mask_lo = (1 << _SEG_SHIFT) - 1
+
+    def occ(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg_doc, seg_idx, seg_str = _split_segments(batch, seg_words)
+        h = stable_hash64(seg_str.to_numpy(zero_copy_only=False)).view(np.int64)
+        enc = (ids[seg_doc] << _SEG_SHIFT) | seg_idx
+        return pa.table(
+            {
+                "b": pa.array((h % n_buckets).astype(np.int32)),
+                "seg_hash": h,
+                "enc": enc,
+                "kind": pa.array(np.zeros(len(h), dtype=np.int8)),
+            }
+        )
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        h = batch["seg_hash"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array((h % n_buckets).astype(np.int32)),
+                "seg_hash": h,
+                "enc": batch["min(enc)"].to_numpy(zero_copy_only=False),
+                "kind": pa.array(np.ones(len(h), dtype=np.int8)),
+            }
+        )
+
+    tagged = docs.map_batches(occ, batch_format="pyarrow").union(
+        dup.map_batches(win_rows, batch_format="pyarrow")
+    )
+
+    def losers(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        h = group["seg_hash"].to_numpy(zero_copy_only=False)
+        enc = group["enc"].to_numpy(zero_copy_only=False)
+        wh, we = h[kind == 1], enc[kind == 1]
+        order = np.argsort(wh)
+        wh, we = wh[order], we[order]
+        oh, oe = h[kind == 0], enc[kind == 0]
+        if len(wh) and len(oh):
+            pos = np.minimum(np.searchsorted(wh, oh), len(wh) - 1)
+            dropped = (wh[pos] == oh) & (oe != we[pos])
+        else:
+            dropped = np.zeros(len(oh), dtype=bool)
+        d = oe[dropped]
+        return pa.table(
+            {"doc_id": d >> _SEG_SHIFT, "seg_idx": d & mask_lo}
+        )
+
+    dropped_pairs = tagged.groupby("b").map_groups(
+        losers, batch_format="pyarrow"
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "db": pa.array((ids % n_buckets).astype(np.int32)),
+                "doc_id": ids,
+                "text": batch["text"],
+                "seg_idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            }
+        )
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array((ids % n_buckets).astype(np.int32)),
+                "doc_id": ids,
+                "text": pa.array([""] * len(ids), type=pa.string()),
+                "seg_idx": batch["seg_idx"],
+            }
+        )
+
+    both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        dropped_pairs.map_batches(drop_rows, batch_format="pyarrow")
+    )
+
+    def rewrite_bucket(group: pa.Table) -> pa.Table:
+        si = group["seg_idx"].to_numpy(zero_copy_only=False)
+        is_doc = si < 0
+        d_ids = group["doc_id"].to_numpy(zero_copy_only=False)[is_doc]
+        texts = group["text"].filter(pa.array(is_doc))
+        sub = pa.table({"doc_id": d_ids, "text": texts})
+        seg_doc, seg_idx, seg_str = _split_segments(sub, seg_words)
+        drop_enc = np.sort(
+            (group["doc_id"].to_numpy(zero_copy_only=False)[~is_doc]
+             << _SEG_SHIFT)
+            | si[~is_doc]
+        )
+        enc = (d_ids[seg_doc] << _SEG_SHIFT) | seg_idx
+        if len(drop_enc):
+            pos = np.minimum(np.searchsorted(drop_enc, enc), len(drop_enc) - 1)
+            keep = drop_enc[pos] != enc
+        else:
+            keep = np.ones(len(enc), dtype=bool)
+        kept_per_doc = np.bincount(seg_doc[keep], minlength=len(d_ids))
+        total_per_doc = np.bincount(seg_doc, minlength=len(d_ids))
+        k_off = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(k_off, type=pa.int32()), seg_str.filter(pa.array(keep))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids),
+                "text_clean": pc.binary_join(kept_list, pa.scalar(" ")),
+                "n_kept": pa.array(kept_per_doc.astype(np.int64)),
+                "n_dropped": pa.array(
+                    (total_per_doc - kept_per_doc).astype(np.int64)
+                ),
+            }
+        )
+
+    return both.groupby("db").map_groups(rewrite_bucket, batch_format="pyarrow")
+
+
+def dedup_lines(
+    sf_dir: str,
+    seg_words: int = 10,
+    broadcast_max_rows: int = 5_000_000,
+) -> ray.data.Dataset:
+    """C4-style segment-level dedup WITH document rewrite: any fixed-width
+    word segment occurring more than once in the corpus is removed from
+    every document except its first occurrence (ordered by (doc_id,
+    seg_idx)), and each document's text is reassembled from the kept
+    segments. This is the sub-document analog of the reference's exact
+    duplicate-group semantics (/root/reference/src/main.rs:586-648) —
+    equality classes over canonical byte content, first member kept — and
+    the C4 "discard duplicate three-sentence spans" rewrite shape.
+
+    Two passes, neither shuffles text:
+      1. segments -> (hash64, enc=(doc_id<<20)|seg_idx) int rows, partially
+         pre-aggregated per batch, one global groupby on the 8-byte hash ->
+         winners table (dup hashes only, with min enc);
+      2. re-split deterministically, drop non-winner dup occurrences via a
+         broadcast sorted-array probe (``Dataset.join`` above
+         ``broadcast_max_rows``), reassemble per doc batch-locally.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+    from ray.data.aggregate import Min
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg_doc, seg_idx, seg_str = _split_segments(batch, seg_words)
+        if seg_idx.size and seg_idx.max() >= (1 << _SEG_SHIFT):
+            raise ValueError("document exceeds 2^20 segments")
+        h = stable_hash64(seg_str.to_numpy(zero_copy_only=False)).view(
+            np.int64
+        )  # bit-cast: uint64 keys above 2^63 degrade Ray groupby blocks
+        enc = (ids[seg_doc] << _SEG_SHIFT) | seg_idx
+        t = pa.table({"seg_hash": h, "enc": enc})
+        # partial combine: one row per distinct hash per batch
+        return (
+            t.group_by("seg_hash")
+            .aggregate([("enc", "min"), ("enc", "count")])
+            .rename_columns(["seg_hash", "enc", "n"])
+        )
+
+    folded = (
+        docs.map_batches(seg_rows, batch_format="pyarrow")
+        .groupby("seg_hash")
+        .aggregate(Min("enc"), Sum("n"))
+    )
+    dup = folded.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(n)"], 1)),
+        batch_format="pyarrow",
+    )
+
+    if dup.count() > broadcast_max_rows:
+        return _dedup_lines_join_path(docs, dup, seg_words).sort("doc_id")
+    else:
+        small = dup.select_columns(["seg_hash", "min(enc)"]).to_pandas()
+        hs = small["seg_hash"].to_numpy(np.int64)
+        order = np.argsort(hs)
+        drop_ref = ray.put(
+            (hs[order], small["min(enc)"].to_numpy(np.int64)[order])
+        )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg_doc, seg_idx, seg_str = _split_segments(batch, seg_words)
+        h = stable_hash64(seg_str.to_numpy(zero_copy_only=False)).view(np.int64)
+        enc = (ids[seg_doc] << _SEG_SHIFT) | seg_idx
+        wh, we = ray.get(drop_ref)
+        if len(wh):
+            pos = np.minimum(np.searchsorted(wh, h), len(wh) - 1)
+            keep = (wh[pos] != h) | (enc == we[pos])
+        else:
+            keep = np.ones(len(h), dtype=bool)
+        kept_per_doc = np.bincount(seg_doc[keep], minlength=len(ids))
+        total_per_doc = np.bincount(seg_doc, minlength=len(ids))
+        k_off = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(k_off, type=pa.int32()), seg_str.filter(pa.array(keep))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text_clean": pc.binary_join(kept_list, pa.scalar(" ")),
+                "n_kept": pa.array(kept_per_doc.astype(np.int64)),
+                "n_dropped": pa.array(
+                    (total_per_doc - kept_per_doc).astype(np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow").sort("doc_id")
+
+
 def mixture_schedule(
     sf_dir: str,
     weights: dict[str, float] | None = None,

@@ -194,6 +194,55 @@ def test_pack_token_shards_multi_source(tmp_path):
     assert got2[("s0", 2)] == 1  # 3 tokens before -> second shard
 
 
+def _dedup_lines_brute(texts: list[str], seg_words: int = 10):
+    """Reference: first occurrence (by doc, seg order) of each segment kept."""
+    segs_of = []
+    for t in texts:
+        w = t.split(" ")
+        segs_of.append(
+            [" ".join(w[i : i + seg_words]) for i in range(0, len(w), seg_words)]
+            or [""]
+        )
+    seen: dict[str, tuple[int, int]] = {}
+    counts: dict[str, int] = {}
+    for d, segs in enumerate(segs_of):
+        for i, s in enumerate(segs):
+            counts[s] = counts.get(s, 0) + 1
+            seen.setdefault(s, (d, i))
+    rows = []
+    for d, segs in enumerate(segs_of):
+        kept = [
+            s
+            for i, s in enumerate(segs)
+            if counts[s] == 1 or seen[s] == (d, i)
+        ]
+        rows.append((d, " ".join(kept), len(kept), len(segs) - len(kept)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text_clean", "n_kept", "n_dropped"]
+    )
+
+
+def test_dedup_lines_crafted_both_paths(tmp_path):
+    dup_seg = " ".join(f"d{i}" for i in range(10))  # exactly one segment
+    texts = [
+        dup_seg + " " + " ".join(f"a{i}" for i in range(7)),  # seg0 dup, tail uniq
+        " ".join(f"b{i}" for i in range(10)) + " " + dup_seg,  # dup at seg 1
+        dup_seg,  # whole doc is the dup segment
+        " ".join(f"c{i}" for i in range(25)),  # 3 unique segments
+    ]
+    sf = _write_docs(tmp_path, texts)
+    ref = _dedup_lines_brute(texts)
+    got_bcast = curation.dedup_lines(sf).to_pandas()
+    pd.testing.assert_frame_equal(got_bcast, ref, check_dtype=False)
+    # doc 0 keeps the dup segment (first occurrence); docs 1 and 2 lose it
+    assert got_bcast.loc[0, "n_dropped"] == 0
+    assert got_bcast.loc[1, "n_dropped"] == 1
+    assert got_bcast.loc[2, "text_clean"] == "" and got_bcast.loc[2, "n_kept"] == 0
+    # scale path: force the hash-join leg; identical output
+    got_join = curation.dedup_lines(sf, broadcast_max_rows=0).to_pandas()
+    pd.testing.assert_frame_equal(got_join, ref, check_dtype=False)
+
+
 def test_mixture_schedule_crafted_weights(tmp_path):
     # 12 docs: 8 from s_a (weight 1), 4 from s_b (weight 2); doc_ids are
     # deliberately non-contiguous so rank != doc_id.
