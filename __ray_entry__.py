@@ -249,6 +249,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
         "mixture_schedule": curation.mixture_schedule,
         "dedup_lines": curation.dedup_lines,
+        "q12_priority_by_returnflag": relational.q12_priority_by_returnflag,
+        "q16_supplier_count_by_part_attr": relational.q16_supplier_count_by_part_attr,
+        "q19_bracket_revenue": relational.q19_bracket_revenue,
+        "q7_nation_trade_volume": relational.q7_nation_trade_volume,
+        "q8_market_share": relational.q8_market_share,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_parts": relational.q11_important_parts,
+        "q20_heavy_shippers": relational.q20_heavy_shippers,
+        "q21_sole_returners": relational.q21_sole_returners,
     }
 
 
@@ -841,6 +850,111 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "q2_min_cost_supplier": (
+            "WITH uc AS (SELECT p_type, l_suppkey, l_partkey, "
+            " FLOOR(SUM(l_extendedprice) / SUM(l_quantity) * 10000 + 0.5) "
+            "  / 10000 AS min_cost "
+            " FROM lineitem JOIN part ON l_partkey = p_partkey "
+            " GROUP BY 1, 2, 3), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_type "
+            " ORDER BY min_cost, l_suppkey, l_partkey) AS rk FROM uc) "
+            "SELECT p_type, l_suppkey AS s_suppkey, s_name, "
+            " l_partkey AS p_partkey, min_cost "
+            "FROM r JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE rk = 1 ORDER BY p_type"
+        ),
+        "q11_important_parts": (
+            "WITH v AS (SELECT l_partkey AS p_partkey, "
+            " SUM(l_extendedprice) AS val "
+            " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            " WHERE s_nationkey = 12 GROUP BY 1) "
+            "SELECT p_partkey, FLOOR(val * 100 + 0.5) / 100 AS value FROM v "
+            "WHERE val > 2.0 * (SELECT AVG(val) FROM v) "
+            "ORDER BY value DESC, p_partkey"
+        ),
+        "q20_heavy_shippers": (
+            "WITH q AS (SELECT l_suppkey AS s_suppkey, "
+            " SUM(l_quantity) AS qty "
+            " FROM lineitem JOIN part ON l_partkey = p_partkey "
+            " WHERE p_name LIKE '%red%' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, n_name, qty FROM q "
+            " JOIN supplier USING (s_suppkey) "
+            " JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE qty > 0.5 * (SELECT AVG(qty) FROM q) ORDER BY s_suppkey"
+        ),
+        "q21_sole_returners": (
+            "WITH ls AS (SELECT l_orderkey, l_suppkey, "
+            " MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r "
+            " FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, COUNT(*) AS n_s, SUM(has_r) AS n_r, "
+            " MAX(has_r * l_suppkey) AS r_supp FROM ls GROUP BY 1) "
+            "SELECT s_suppkey, s_name, COUNT(*) AS numwait "
+            "FROM o JOIN supplier ON r_supp = s_suppkey "
+            "WHERE n_r = 1 AND n_s >= 2 "
+            "GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey"
+        ),
+        "q7_nation_trade_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            " CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+            " FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) "
+            "  / 100 AS revenue "
+            "FROM lineitem, orders, customer, supplier, "
+            " nation n1, nation n2 "
+            "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            " AND l_suppkey = s_suppkey "
+            " AND s_nationkey = n1.n_nationkey "
+            " AND c_nationkey = n2.n_nationkey "
+            " AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') "
+            "  OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "q8_market_share": (
+            "WITH m AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)"
+            "  AS o_year, "
+            "  l_extendedprice * (1 - l_discount) AS volume, "
+            "  n1.n_name AS supp_nation "
+            " FROM lineitem, orders, customer, supplier, nation n1, nation n2 "
+            " WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "  AND l_suppkey = s_suppkey "
+            "  AND s_nationkey = n1.n_nationkey "
+            "  AND c_nationkey = n2.n_nationkey "
+            "  AND n2.n_regionkey = (SELECT n_regionkey FROM nation "
+            "   WHERE n_name = 'NATION_3')) "
+            "SELECT o_year, "
+            " FLOOR(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume "
+            "  ELSE 0 END) / SUM(volume) * 10000 + 0.5) / 10000 AS mkt_share "
+            "FROM m GROUP BY o_year ORDER BY o_year"
+        ),
+        "q12_priority_by_returnflag": (
+            "SELECT l_returnflag, "
+            "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            " THEN 1 ELSE 0 END) AS high_line_count, "
+            "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+            " THEN 1 ELSE 0 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= DATE '1997-01-01' "
+            " AND l_shipdate < DATE '1998-01-01' "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q16_supplier_count_by_part_attr": (
+            "SELECT p_brand, p_type, p_size, "
+            " COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#11' "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q19_bracket_revenue": (
+            "SELECT FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 "
+            " + 0.5) / 100 AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 "
+            "  AND l_quantity BETWEEN 1 AND 11) "
+            " OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 "
+            "  AND l_quantity BETWEEN 10 AND 20) "
+            " OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
+            "  AND l_quantity BETWEEN 20 AND 30)"
         ),
         "dedup_lines": (
             "WITH words AS (SELECT doc_id, "

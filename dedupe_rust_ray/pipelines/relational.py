@@ -1,9 +1,16 @@
-"""Relational join-shape pack: six TPC-H-shaped queries (Q13, Q15, Q17,
-Q18, Q22, Q9 adapted to the driver tables) covering join shapes the rest
-of the suite doesn't — outer-join count distributions, argmax views,
-correlated per-key aggregates, HAVING over a join, scalar subquery +
-anti-join, and a five-table star join (SURVEY.md §2.9 extension surface;
-the reference user mixes these with the dedup family).
+"""Relational join-shape pack: fifteen TPC-H-shaped queries (Q2, Q7, Q8,
+Q9, Q11, Q12, Q13, Q15, Q16, Q17, Q18, Q19, Q20, Q21, Q22 adapted to the
+driver tables — with q1/q3/q4/q5/q6/q10/q14 in analytics.py/joins.py the
+full 22 TPC-H shapes are present) covering join shapes the rest of the
+suite doesn't — outer-join count distributions, argmax views, correlated
+per-key aggregates, HAVING over a join, scalar subquery + anti-join,
+five/six-table star joins, disjunctive-predicate joins, distinct counts,
+conditional-count pivots, market shares, nested-aggregate semi-joins and
+the exists/not-exists self-join (SURVEY.md §2.9 extension surface; the
+reference user mixes these with the dedup family). Where a TPC-H table
+or column is absent (partsupp, shipmode, commit/receipt dates) the query
+keeps the SHAPE over the available relations and says so in its
+docstring.
 
 Physical-plan rules shared by the pack (the patterns that survive 100 TB):
 
@@ -526,4 +533,861 @@ def q9_profit_by_nation_year(
     return (
         agg.sort_values(["n_name", "o_year"], ascending=[True, False])
         .reset_index(drop=True)[["n_name", "o_year", "profit"]]
+    )
+
+
+def _round4(x: np.ndarray | float) -> np.ndarray | float:
+    """Half-up 4-decimal rounding, bit-matching FLOOR(x*10000+0.5)/10000."""
+    return np.floor(np.asarray(x) * 10000 + 0.5) / 10000
+
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12-shaped: per lineitem return flag, how many 1997-shipped
+    lines belong to high-priority vs other orders (the fact x fact join
+    + conditional-count pivot; shipmode column absent, returnflag is the
+    grouping dimension).
+
+    Plan: lineitem partially aggregates to (orderkey, flag, n) before the
+    orders hash join — the join moves one row per (order, flag), never
+    raw lines; orders ship only (orderkey, is_high int8)."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        rf = np.frombuffer(
+            "".join(t["l_returnflag"].to_pylist()).encode(), dtype=np.uint8
+        ).astype(np.int64) if t.num_rows else np.array([], dtype=np.int64)
+        df = pd.DataFrame(
+            {"o": t["l_orderkey"].to_numpy(zero_copy_only=False), "rf": rf}
+        )
+        g = df.groupby(["o", "rf"], as_index=False).size()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o"].to_numpy(np.int64)),
+                "rf": pa.array(g["rf"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    li = read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def o_high(batch: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            batch["o_orderpriority"], value_set=pa.array(_HIGH_PRIORITIES)
+        ).cast(pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"], "high": high})
+
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(o_high, batch_format="pyarrow")
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        rf = batch["rf"].to_numpy(zero_copy_only=False)
+        key = rf * 2 + batch["high"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": key, "n": batch["n"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("k", as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="cnt"))
+        .to_pandas()  # <= 2 x |returnflag| rows
+    )
+    rf_code = (agg["k"].to_numpy(np.int64) // 2).astype(np.int64)
+    is_high = (agg["k"].to_numpy(np.int64) % 2).astype(bool)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": [chr(c) for c in rf_code],
+            "cnt": agg["cnt"].to_numpy(np.int64),
+            "high": is_high,
+        }
+    )
+    piv = (
+        out.pivot_table(
+            index="l_returnflag", columns="high", values="cnt",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=[True, False], fill_value=0)
+        .reset_index()
+    )
+    piv.columns = ["l_returnflag", "high_line_count", "low_line_count"]
+    piv["high_line_count"] = piv["high_line_count"].astype(np.int64)
+    piv["low_line_count"] = piv["low_line_count"].astype(np.int64)
+    return piv.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q16_supplier_count_by_part_attr(
+    sf_dir: str, exclude_brand: str = "Brand#11",
+    broadcast_max_rows: int = 5_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q16-shaped: COUNT(DISTINCT supplier) per (brand, type, size)
+    for parts not of ``exclude_brand`` (partsupp absent — lineitem is the
+    part<->supplier relation).
+
+    Plan: distinct (part, supplier) pairs come from one groupby over an
+    int64 pair encoding (partial batch dedup first, so the shuffle moves
+    one row per pair per batch); part attributes probe a broadcast
+    sorted-array map; the attrs census is a second tiny groupby."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    part = part[part["p_brand"] != exclude_brand]
+    assert len(part) <= broadcast_max_rows, (
+        "part side exceeds broadcast ceiling: switch to Dataset.join"
+    )
+    brands = np.sort(part["p_brand"].unique()).astype(object)
+    types = np.sort(part["p_type"].unique()).astype(object)
+    b_idx = pd.Series(np.arange(len(brands)), index=brands)
+    t_idx = pd.Series(np.arange(len(types)), index=types)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    attr_code = (
+        part["p_brand"].map(b_idx).to_numpy(np.int64) * 1_000_000
+        + part["p_type"].map(t_idx).to_numpy(np.int64) * 1_000
+        + part["p_size"].to_numpy(np.int64)
+    )
+    ref = ray.put((pk[order], attr_code[order]))
+
+    def pair_partial(batch: pa.Table, r=ref) -> pa.Table:
+        # distinct is on (attrs, supplier): a supplier serving two parts
+        # with identical (brand, type, size) counts once
+        keys, codes = ray.get(r) if not isinstance(r, tuple) else r
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code, found = _sorted_int_lookup(keys, codes, p)
+        pair = np.unique(code[found] * np.int64(1 << 20) + s[found])
+        return pa.table({"pair": pa.array(pair)})
+
+    pairs = (
+        read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def attr_partial(batch: pa.Table) -> pa.Table:
+        c = batch["pair"].to_numpy(zero_copy_only=False) >> 20
+        g = pd.DataFrame({"c": c}).groupby("c", as_index=False).size()
+        return pa.table(
+            {
+                "c": pa.array(g["c"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(attr_partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()  # one row per surviving (brand, type, size)
+    )
+    c = agg["c"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "p_brand": brands[c // 1_000_000],
+            "p_type": types[(c // 1_000) % 1_000],
+            "p_size": (c % 1_000).astype(np.int64),
+            "supplier_cnt": agg["supplier_cnt"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+_Q19_BRACKETS = (  # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#11", 5, 1.0, 11.0),
+    ("Brand#12", 10, 10.0, 20.0),
+    ("Brand#13", 15, 20.0, 30.0),
+)
+
+
+def q19_bracket_revenue(
+    sf_dir: str, broadcast_max_rows: int = 5_000_000
+) -> pd.DataFrame:
+    """TPC-H Q19-shaped: total discounted revenue of lines matching ANY
+    of three (brand, size-range, quantity-range) brackets — the
+    disjunctive-predicate join (container/shipmode columns absent).
+
+    Plan: part collapses to a broadcast partkey -> (bracket-bitmask)
+    probe — each bracket's part-side predicate is pre-evaluated once on
+    the dimension, so the per-line work is one probe + a quantity range
+    check; a single global Sum finishes it."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    masks = np.zeros(len(part), dtype=np.int64)
+    for i, (brand, max_size, _, _) in enumerate(_Q19_BRACKETS):
+        m = (part["p_brand"] == brand).to_numpy() & (
+            (part["p_size"] >= 1) & (part["p_size"] <= max_size)
+        ).to_numpy()
+        masks |= m.astype(np.int64) << i
+    sel = masks > 0
+    pk = part["p_partkey"].to_numpy(np.int64)[sel]
+    pm = masks[sel]
+    order = np.argsort(pk)
+    assert len(pk) <= broadcast_max_rows
+    ref = ray.put((pk[order], pm[order]))
+
+    def partial(batch: pa.Table, r=ref) -> pa.Table:
+        keys, pmask = ray.get(r) if not isinstance(r, tuple) else r
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask, found = _sorted_int_lookup(keys, pmask, p)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(p), dtype=bool)
+        for i, (_, _, qlo, qhi) in enumerate(_Q19_BRACKETS):
+            ok |= found & ((mask >> i) & 1).astype(bool) & (qty >= qlo) & (
+                qty <= qhi
+            )
+        rev = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"partial": pa.array([float(rev[ok].sum())])})
+
+    total = (
+        read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("partial", alias_name="revenue"))
+    )
+    return pd.DataFrame({"revenue": [float(_round2(total["revenue"]))]})
+
+
+def _supp_cust_nation_maps(sf_dir: str, broadcast_max_rows: int):
+    """Driver-bounded dim prep shared by Q7/Q8: sorted suppkey->nationkey
+    and custkey->nationkey probe arrays plus the nation name vocabulary.
+    Customer is SF-scaled — the ceiling assert marks where the q5-style
+    hash-join fallback takes over at real scale."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = (
+        pq.read_table(f"{sf_dir}/nation.parquet")
+        .to_pandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    assert len(cust) <= broadcast_max_rows, (
+        "customer side exceeds broadcast ceiling: switch to Dataset.join"
+    )
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    sv = supp["s_nationkey"].to_numpy(np.int64)
+    o = np.argsort(sk)
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    cv = cust["c_nationkey"].to_numpy(np.int64)
+    oc = np.argsort(ck)
+    return (
+        (sk[o], sv[o]),
+        (ck[oc], cv[oc]),
+        nation["n_nationkey"].to_numpy(np.int64),
+        nation["n_name"].to_numpy(dtype=object),
+    )
+
+
+def q7_nation_trade_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_8",
+    broadcast_max_rows: int = 5_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q7-shaped: shipped revenue between two nations per direction
+    and ship year (supplier nation x customer nation via the orders
+    bridge) — the six-table volume-shipping join.
+
+    Plan: the supplier-nation filter runs FIRST on the lineitem read (a
+    broadcast probe keeps ~2/|nations| of lines), lineitem partially
+    aggregates to (orderkey, supp-nation, year) rows before the one
+    fact x fact hash join with orders (which ships only (orderkey,
+    custkey)); the customer-nation filter probes a broadcast map after
+    the join."""
+    (sk, sv), (ck, cv), nat_keys, nat_names = _supp_cust_nation_maps(
+        sf_dir, broadcast_max_rows
+    )
+    name_to_key = {n: int(k) for k, n in zip(nat_keys, nat_names)}
+    ka, kb = name_to_key[nation_a], name_to_key[nation_b]
+    ref = ray.put((sk, sv, ck, cv))
+
+    def li_partial(batch: pa.Table, r=ref) -> pa.Table:
+        sks, svs, _, _ = ray.get(r) if not isinstance(r, tuple) else r
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        nat, found = _sorted_int_lookup(sks, svs, s)
+        m = found & ((nat == ka) | (nat == kb))
+        t = batch.filter(pa.array(m))
+        nat = nat[m]
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sn": nat,
+                "y": year,
+                "r": rev,
+            }
+        )
+        g = df.groupby(["o", "sn", "y"], as_index=False)["r"].sum()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o"].to_numpy(np.int64)),
+                "sn": pa.array(g["sn"].to_numpy(np.int64)),
+                "y": pa.array(g["y"].to_numpy(np.int64)),
+                "partial": pa.array(g["r"].to_numpy()),
+            }
+        )
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def fold(batch: pa.Table, r=ref) -> pa.Table:
+        _, _, cks, cvs = ray.get(r) if not isinstance(r, tuple) else r
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cnat, found = _sorted_int_lookup(cks, cvs, c)
+        sn = batch["sn"].to_numpy(zero_copy_only=False)
+        m = found & (
+            ((sn == ka) & (cnat == kb)) | ((sn == kb) & (cnat == ka))
+        )
+        df = pd.DataFrame(
+            {
+                "k": sn[m] * np.int64(1_000_000)
+                + cnat[m] * np.int64(10_000)
+                + batch["y"].to_numpy(zero_copy_only=False)[m],
+                "r": batch["partial"].to_numpy(zero_copy_only=False)[m],
+            }
+        )
+        g = df.groupby("k", as_index=False)["r"].sum()
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(np.int64)),
+                "r": pa.array(g["r"].to_numpy()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("r", alias_name="revenue"))
+        .to_pandas()  # 2 directions x years
+    )
+    k = agg["k"].to_numpy(np.int64)
+    nk_pos = np.searchsorted(nat_keys, k // 1_000_000)
+    ck_pos = np.searchsorted(nat_keys, (k // 10_000) % 100)
+    out = pd.DataFrame(
+        {
+            "supp_nation": nat_names[nk_pos],
+            "cust_nation": nat_names[ck_pos],
+            "l_year": (k % 10_000).astype(np.int64),
+            "revenue": _round2(agg["revenue"].to_numpy()),
+        }
+    )
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+def q8_market_share(
+    sf_dir: str,
+    supp_nation: str = "NATION_3",
+    broadcast_max_rows: int = 5_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q8-shaped: per order year, the share of revenue delivered by
+    ``supp_nation``'s suppliers within the market of customers whose
+    nation is in that nation's region (the national-market-share join).
+
+    Plan: same physical shape as Q7 — lineitem partials carry
+    (orderkey, is-target-nation, revenue), the orders join ships
+    (orderkey, custkey, year), customers-in-region probe a broadcast
+    map; the share divides two rounded Sums per year."""
+    import pyarrow.parquet as pq
+
+    (sk, sv), (ck, cv), nat_keys, nat_names = _supp_cust_nation_maps(
+        sf_dir, broadcast_max_rows
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    name_to_key = {n: int(k) for k, n in zip(nat_keys, nat_names)}
+    target = name_to_key[supp_nation]
+    region_key = int(
+        nation.loc[nation["n_nationkey"] == target, "n_regionkey"].iloc[0]
+    )
+    region_nations = set(
+        nation.loc[nation["n_regionkey"] == region_key, "n_nationkey"]
+        .astype(int)
+        .tolist()
+    )
+    rn = np.sort(np.fromiter(region_nations, dtype=np.int64))
+    ref = ray.put((sk, sv, ck, cv, rn))
+
+    def li_partial(batch: pa.Table, r=ref) -> pa.Table:
+        sks, svs, _, _, _ = ray.get(r) if not isinstance(r, tuple) else r
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        nat, found = _sorted_int_lookup(sks, svs, s)
+        t = batch.filter(pa.array(found))
+        is_t = (nat[found] == target).astype(np.int64)
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "it": is_t,
+                "r": rev,
+            }
+        )
+        g = df.groupby(["o", "it"], as_index=False)["r"].sum()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o"].to_numpy(np.int64)),
+                "it": pa.array(g["it"].to_numpy(np.int64)),
+                "partial": pa.array(g["r"].to_numpy()),
+            }
+        )
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["o_orderdate"]).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_year": y,
+            }
+        )
+
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def fold(batch: pa.Table, r=ref) -> pa.Table:
+        _, _, cks, cvs, rns = ray.get(r) if not isinstance(r, tuple) else r
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cnat, found = _sorted_int_lookup(cks, cvs, c)
+        pos = np.minimum(np.searchsorted(rns, cnat), len(rns) - 1)
+        in_region = found & (rns[pos] == cnat)
+        y = batch["o_year"].to_numpy(zero_copy_only=False)[in_region]
+        it = batch["it"].to_numpy(zero_copy_only=False)[in_region]
+        r_ = batch["partial"].to_numpy(zero_copy_only=False)[in_region]
+        df = pd.DataFrame({"k": y * 2 + it, "r": r_})
+        g = df.groupby("k", as_index=False)["r"].sum()
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(np.int64)),
+                "r": pa.array(g["r"].to_numpy()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("r", alias_name="rev"))
+        .to_pandas()  # 2 x years rows
+    )
+    agg["o_year"] = (agg["k"].to_numpy(np.int64) // 2).astype(np.int64)
+    agg["it"] = (agg["k"].to_numpy(np.int64) % 2).astype(bool)
+    piv = agg.pivot_table(
+        index="o_year", columns="it", values="rev", aggfunc="sum", fill_value=0.0
+    ).reindex(columns=[True, False], fill_value=0.0)
+    total = piv[True].to_numpy() + piv[False].to_numpy()
+    share = np.where(total > 0, piv[True].to_numpy() / total, 0.0)
+    return pd.DataFrame(
+        {"o_year": piv.index.to_numpy(np.int64), "mkt_share": _round4(share)}
+    ).sort_values("o_year").reset_index(drop=True)
+
+
+def q2_min_cost_supplier(
+    sf_dir: str, broadcast_max_rows: int = 5_000_000
+) -> pd.DataFrame:
+    """TPC-H Q2-shaped: for each part type, the (supplier, part) with the
+    minimum unit cost — the correlated-min subquery (partsupp absent;
+    lineitem's sum(price)/sum(qty) per (part, supplier) is the supply
+    cost relation). Ties break on (cost, suppkey, partkey).
+
+    Plan: one groupby over int64 (part, supplier) pair encodings folds
+    the per-pair (price, qty) sums; unit costs round to 4 decimals
+    BEFORE the argmin (both sides of the comparison round first, the
+    q15 discipline); the per-type argmin is a local-top-1 per batch, so
+    the driver merges |types| x |batches| candidate rows, never the
+    pair relation."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    assert len(part) <= broadcast_max_rows
+    types = np.sort(part["p_type"].unique()).astype(object)
+    t_idx = pd.Series(np.arange(len(types)), index=types)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    tv = part["p_type"].map(t_idx).to_numpy(np.int64)
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], tv[order]))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "pair": p * np.int64(1 << 20) + s,
+                "pr": batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                "q": batch["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("pair", as_index=False).sum()
+        return pa.table(
+            {
+                "pair": pa.array(g["pair"].to_numpy(np.int64)),
+                "pr": pa.array(g["pr"].to_numpy()),
+                "q": pa.array(g["q"].to_numpy()),
+            }
+        )
+
+    pairs = (
+        read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("pr", alias_name="price"), Sum("q", alias_name="qty"))
+    )
+
+    def local_top1(batch: pa.Table, r=ref) -> pa.Table:
+        keys, tvs = ray.get(r) if not isinstance(r, tuple) else r
+        pair = batch["pair"].to_numpy(zero_copy_only=False)
+        p, s = pair >> 20, pair & ((1 << 20) - 1)
+        tidx, found = _sorted_int_lookup(keys, tvs, p)
+        cost = _round4(
+            batch["price"].to_numpy(zero_copy_only=False)
+            / batch["qty"].to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {"t": tidx[found], "cost": cost[found], "s": s[found], "p": p[found]}
+        )
+        top = df.sort_values(["t", "cost", "s", "p"]).groupby("t").head(1)
+        return pa.table(
+            {
+                "t": pa.array(top["t"].to_numpy(np.int64)),
+                "cost": pa.array(top["cost"].to_numpy()),
+                "s": pa.array(top["s"].to_numpy(np.int64)),
+                "p": pa.array(top["p"].to_numpy(np.int64)),
+            }
+        )
+
+    cand = pairs.map_batches(local_top1, batch_format="pyarrow").to_pandas()
+    win = (
+        cand.sort_values(["t", "cost", "s", "p"])
+        .groupby("t")
+        .head(1)
+        .reset_index(drop=True)
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = win.merge(supp, left_on="s", right_on="s_suppkey")
+    out["p_type"] = types[out["t"].to_numpy(np.int64)]
+    return (
+        out.rename(columns={"p": "p_partkey", "cost": "min_cost"})[
+            ["p_type", "s_suppkey", "s_name", "p_partkey", "min_cost"]
+        ]
+        .sort_values("p_type")
+        .reset_index(drop=True)
+    )
+
+
+def q11_important_parts(
+    sf_dir: str, nationkey: int = 12, factor: float = 2.0,
+    broadcast_max_rows: int = 5_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q11-shaped: parts whose shipped value from one nation's
+    suppliers exceeds ``factor`` x the average per-part value — the
+    scalar-subquery HAVING (partsupp absent; lineitem extendedprice is
+    the value relation; a data-derived mean threshold replaces the
+    fixed fraction so the query returns rows at every SF).
+
+    Plan: the nation's suppkeys broadcast as a sorted probe; lineitem
+    partially sums per partkey; after the part-domain groupby the
+    threshold is one driver-side mean over the (bounded) per-part
+    aggregate, exactly the SQL scalar subquery."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sk = np.sort(
+        supp.loc[supp["s_nationkey"] == nationkey, "s_suppkey"].to_numpy(
+            np.int64
+        )
+    )
+    assert len(sk) <= broadcast_max_rows
+    ref = ray.put(sk)
+
+    def partial(batch: pa.Table, r=ref) -> pa.Table:
+        keys = ray.get(r) if not isinstance(r, np.ndarray) else r
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, found = _sorted_int_lookup(keys, keys, s)
+        df = pd.DataFrame(
+            {
+                "p": batch["l_partkey"].to_numpy(zero_copy_only=False)[found],
+                "v": batch["l_extendedprice"].to_numpy(zero_copy_only=False)[
+                    found
+                ],
+            }
+        )
+        g = df.groupby("p", as_index=False)["v"].sum()
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p"].to_numpy(np.int64)),
+                "v": pa.array(g["v"].to_numpy()),
+            }
+        )
+
+    vals = (
+        read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("v", alias_name="val"))
+        .to_pandas()  # part-domain: bounded
+    )
+    thr = factor * vals["val"].mean()
+    out = vals[vals["val"] > thr].copy()
+    out["value"] = _round2(out["val"].to_numpy())
+    return (
+        out[["p_partkey", "value"]]
+        .sort_values(["value", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def q20_heavy_shippers(
+    sf_dir: str, pattern: str = "red", broadcast_max_rows: int = 5_000_000
+) -> pd.DataFrame:
+    """TPC-H Q20-shaped: suppliers whose total shipped quantity of
+    ``pattern``-named parts exceeds half the per-supplier average — the
+    nested-aggregate semi-join (who ships 'red' parts heavily).
+
+    Plan: pattern-selective partkeys broadcast once; lineitem partially
+    sums quantity per suppkey; the supplier-domain aggregate, its mean
+    threshold, and the name/nation attach are all driver-bounded."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pk = np.sort(
+        part.filter(pc.match_substring(part["p_name"], pattern))[
+            "p_partkey"
+        ].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    assert len(pk) <= broadcast_max_rows
+    ref = ray.put(pk)
+
+    def partial(batch: pa.Table, r=ref) -> pa.Table:
+        keys = ray.get(r) if not isinstance(r, np.ndarray) else r
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        _, found = _sorted_int_lookup(keys, keys, p)
+        df = pd.DataFrame(
+            {
+                "s": batch["l_suppkey"].to_numpy(zero_copy_only=False)[found],
+                "q": batch["l_quantity"].to_numpy(zero_copy_only=False)[found],
+            }
+        )
+        g = df.groupby("s", as_index=False)["q"].sum()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["s"].to_numpy(np.int64)),
+                "q": pa.array(g["q"].to_numpy()),
+            }
+        )
+
+    qty = (
+        read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("q", alias_name="qty"))
+        .to_pandas()  # supplier-domain: bounded
+    )
+    thr = 0.5 * qty["qty"].mean()
+    win = qty[qty["qty"] > thr].copy()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = win.merge(supp, on="s_suppkey").merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    return (
+        out[["s_suppkey", "s_name", "n_name", "qty"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q21_sole_returners(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21-shaped: per supplier, the number of multi-supplier
+    orders in which it is the ONLY supplier with a returned line
+    (l_returnflag = 'R') — the exists + not-exists self-join on the
+    fact table (commit/receipt dates absent; the return flag is the
+    fault signal).
+
+    Plan: no self-join. Distinct (order, supplier, any-R) rows come
+    from one groupby over int64 pair encodings (carrying max(R) folded
+    in the low bit); a second groupby per order computes n_suppliers,
+    n_with_R, and max(R * suppkey) — when exactly one supplier has R,
+    that max IS the culprit — so the qualifying test is pure
+    aggregates; the final per-supplier count is supplier-domain."""
+    from ray.data.aggregate import Max
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o):
+            assert o.max() < (1 << 43) and s.max() < (1 << 20)
+        r = (
+            np.frombuffer(
+                "".join(batch["l_returnflag"].to_pylist()).encode(),
+                dtype=np.uint8,
+            ).astype(np.int64)
+            == ord("R")
+        ).astype(np.int64) if batch.num_rows else np.array([], dtype=np.int64)
+        # the R flag rides as an aggregated VALUE, never in the shuffle
+        # key — otherwise the same (order, supplier) survives as two rows
+        df = pd.DataFrame({"pair": (o << 20) | s, "r": r})
+        g = df.groupby("pair", as_index=False)["r"].max()
+        return pa.table(
+            {
+                "pair": pa.array(g["pair"].to_numpy(np.int64)),
+                "r": pa.array(g["r"].to_numpy(np.int64)),
+            }
+        )
+
+    pairs = (
+        read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Max("r", alias_name="r"))
+    )
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        # one globally-unique row per (order, supplier) with max(R): the
+        # per-order stats below are clean partials for the groupby-sum
+        pair = batch["pair"].to_numpy(zero_copy_only=False)
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"o": pair >> 20, "s": pair & ((1 << 20) - 1), "r": r}
+        )
+        g = df.groupby("o", as_index=False).agg(
+            n_s=("s", "size"), n_r=("r", "sum")
+        )
+        culprit = (
+            df.assign(rs=df["r"] * df["s"]).groupby("o", as_index=False)["rs"].max()
+        )
+        g["r_supp"] = culprit["rs"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "o": pa.array(g["o"].to_numpy(np.int64)),
+                "n_s": pa.array(g["n_s"].to_numpy(np.int64)),
+                "n_r": pa.array(g["n_r"].to_numpy(np.int64)),
+                "r_supp": pa.array(g["r_supp"].to_numpy(np.int64)),
+            }
+        )
+
+    orders = (
+        pairs.map_batches(per_order, batch_format="pyarrow")
+        .groupby("o")
+        .aggregate(
+            Sum("n_s", alias_name="n_s"),
+            Sum("n_r", alias_name="n_r"),
+            Max("r_supp", alias_name="r_supp"),
+        )
+    )
+
+    def winners(batch: pa.Table) -> pa.Table:
+        m = (
+            (batch["n_r"].to_numpy(zero_copy_only=False) == 1)
+            & (batch["n_s"].to_numpy(zero_copy_only=False) >= 2)
+        )
+        s = batch["r_supp"].to_numpy(zero_copy_only=False)[m]
+        g = pd.DataFrame({"s": s}).groupby("s", as_index=False).size()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(g["s"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        orders.map_batches(winners, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+        .to_pandas()  # supplier-domain: bounded
+    )
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = agg.merge(supp, on="s_suppkey")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out[["s_suppkey", "s_name", "numwait"]]
+        .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
+        .reset_index(drop=True)
     )

@@ -55,6 +55,15 @@ def _assert_matches(got: pd.DataFrame, want: pd.DataFrame):
         "q18_large_orders",
         "q22_idle_rich_customers",
         "q9_profit_by_nation_year",
+        "q2_min_cost_supplier",
+        "q7_nation_trade_volume",
+        "q8_market_share",
+        "q11_important_parts",
+        "q12_priority_by_returnflag",
+        "q16_supplier_count_by_part_attr",
+        "q19_bracket_revenue",
+        "q20_heavy_shippers",
+        "q21_sole_returners",
     ],
 )
 def test_matches_driver_oracle(name, oracles):
