@@ -526,15 +526,7 @@ def q5_local_supplier_volume(
             sds, join_type="inner", num_partitions=n_parts, on=("l_suppkey",)
         )
 
-    def _lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
-        """Vectorized sorted-array lookup: (values, found_mask)."""
-        pos = np.searchsorted(keys, probe)
-        pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos * 0
-        found = (
-            (keys[pos_c] == probe) if len(keys) else np.zeros(len(probe), bool)
-        )
-        out = vals[pos_c] if len(keys) else np.zeros(len(probe), np.int64)
-        return out, found
+    from .common import sorted_int_lookup as _lookup
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         cside, sside, (nkeys, nnames) = ray.get(ref)

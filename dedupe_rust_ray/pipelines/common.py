@@ -5,11 +5,28 @@ from __future__ import annotations
 import gc
 import time
 
+import numpy as np
 import ray.data
 
 from ..sources.storage import read_table
 
 _last_gc = 0.0
+
+
+def sorted_int_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Vectorized key->value probe against a SORTED int64 key array — the
+    broadcast-dimension lookup shared by the relational pack and q5/q14.
+
+    Returns ``(values, found_mask)``; callers decide miss semantics.
+    Empty key arrays yield all-miss (no IndexError on the clipped probe)."""
+    if len(keys) == 0:
+        fill = np.zeros(
+            len(probe), dtype=vals.dtype if len(vals) else np.int64
+        )
+        return fill, np.zeros(len(probe), dtype=bool)
+    idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    found = keys[idx] == probe
+    return vals[idx], found
 
 
 def _collect_stale_plans() -> None:

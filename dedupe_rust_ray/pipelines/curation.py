@@ -29,6 +29,7 @@ k-means centroids are driver-bounded small sides shipped once via
 from __future__ import annotations
 
 import hashlib
+import re as _re
 
 import numpy as np
 import pandas as pd
@@ -837,7 +838,8 @@ def dedup_lines(
     dup = folded.map_batches(
         lambda t: t.filter(pc.greater(t["sum(n)"], 1)),
         batch_format="pyarrow",
-    )
+    ).materialize()  # two consumers (count + winner read): pin the SMALL
+    # dup-winner table so pass 1 (the corpus scan + hash shuffle) runs once
 
     if dup.count() > broadcast_max_rows:
         return _dedup_lines_join_path(docs, dup, seg_words).sort("doc_id")
@@ -912,8 +914,10 @@ def mixture_schedule(
     def weight_of(src: str) -> float:
         if weights is not None:
             return float(weights.get(src, 1.0))
-        digits = "".join(ch for ch in src if ch.isdigit())
-        return 2.0 if digits and int(digits) % 2 == 0 else 1.0
+        # FIRST digit run only — matching the SQL oracle's
+        # regexp_extract(source, '[0-9]+') semantics exactly
+        m = _re.search(r"[0-9]+", src)
+        return 2.0 if m and int(m.group()) % 2 == 0 else 1.0
 
     def per_doc(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -37,6 +37,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from .common import join_partitions, read
+from .common import sorted_int_lookup as _sorted_int_lookup
 
 
 def _round2(x: np.ndarray | float) -> np.ndarray | float:
@@ -44,14 +45,15 @@ def _round2(x: np.ndarray | float) -> np.ndarray | float:
     return np.floor(np.asarray(x) * 100 + 0.5) / 100
 
 
-def _sorted_int_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
-    """Vectorized key->value probe against a sorted int64 key array.
+def _with_sentinel(ds: ray.data.Dataset, sentinel: pa.Table) -> ray.data.Dataset:
+    """Union one impossible-join-key row (key = -1) onto a join probe side.
 
-    Returns (values, found_mask); callers decide miss semantics."""
-    idx = np.searchsorted(keys, probe)
-    idx_c = np.clip(idx, 0, len(keys) - 1)
-    found = (idx < len(keys)) & (keys[idx_c] == probe)
-    return vals[idx_c], found
+    A highly selective filter can leave the side with ONLY empty blocks,
+    whose bundles lose their schema and make acero's hash join fail with
+    'No match ... for key field reference' (the round-2 tfidf failure
+    mode). One sentinel row guarantees a schema-bearing block; the inner
+    join drops it (no real key is negative)."""
+    return ds.union(ray.data.from_arrow(sentinel))
 
 
 def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
@@ -217,12 +219,15 @@ def q17_small_quantity_revenue(
         .to_pandas()  # brand-selective: |part|/25 rows
     )
     assert len(per_part) <= broadcast_max_rows, "switch threshold side to join"
-    tk = per_part["l_partkey"].to_numpy(np.int64)
-    order = np.argsort(tk)
-    tk = tk[order]
-    tv = (
-        0.2 * per_part["sq"].to_numpy() / per_part["nq"].to_numpy()
-    )[order]
+    if per_part.empty:  # absent brand: empty threshold side, all-miss probe
+        tk, tv = np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+    else:
+        tk = per_part["l_partkey"].to_numpy(np.int64)
+        order = np.argsort(tk)
+        tk = tk[order]
+        tv = (
+            0.2 * per_part["sq"].to_numpy() / per_part["nq"].to_numpy()
+        )[order]
     tref = ray.put((tk, tv))
 
     def pass2(batch: pa.Table, ref=tref) -> pa.Table:
@@ -289,8 +294,15 @@ def q18_large_orders(
             columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
         )
         .map_batches(
-            lambda b, ks=okeys: b.filter(
-                pa.array([int(v) in ks for v in b["o_orderkey"].to_pylist()])
+            lambda b, ks=np.sort(np.fromiter(okeys, np.int64, len(okeys))): (
+                b.filter(
+                    pa.array(
+                        _sorted_int_lookup(
+                            ks, ks,
+                            b["o_orderkey"].to_numpy(zero_copy_only=False),
+                        )[1]
+                    )
+                )
             ),
             batch_format="pyarrow",
         )
@@ -458,7 +470,10 @@ def q9_profit_by_nation_year(
                 }
             )
         s = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        nat, _ = _sorted_int_lookup(sks, svs, s)
+        nat, s_found = _sorted_int_lookup(sks, svs, s)
+        if not s_found.all():  # FK miss: drop like the oracle's inner join
+            t = t.filter(pa.array(s_found))
+            nat = nat[s_found]
         profit = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
             1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
         )
@@ -497,6 +512,16 @@ def q9_profit_by_nation_year(
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
         o_year, batch_format="pyarrow"
     )
+    li = _with_sentinel(
+        li,
+        pa.table(
+            {
+                "l_orderkey": pa.array([-1], type=pa.int64()),
+                "n_nationkey": pa.array([0], type=pa.int64()),
+                "partial": pa.array([0.0], type=pa.float64()),
+            }
+        ),
+    )
     joined = li.join(
         orders, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",)
     )
@@ -525,6 +550,8 @@ def q9_profit_by_nation_year(
         .aggregate(Sum("pr", alias_name="profit"))
         .to_pandas()  # nations x years: a few hundred rows
     )
+    if agg.empty:
+        return pd.DataFrame({"n_name": [], "o_year": [], "profit": []})
     nk = (agg["key"].to_numpy(np.int64) // 10_000).astype(np.int64)
     name_vals, _ = _sorted_int_lookup(nat_keys, np.arange(len(nat_keys)), nk)
     agg["n_name"] = nat_names[name_vals]
@@ -590,6 +617,16 @@ def q12_priority_by_returnflag(sf_dir: str) -> pd.DataFrame:
         sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(o_high, batch_format="pyarrow")
 
+    li = _with_sentinel(
+        li,
+        pa.table(
+            {
+                "o_orderkey": pa.array([-1], type=pa.int64()),
+                "rf": pa.array([0], type=pa.int64()),
+                "n": pa.array([0], type=pa.int64()),
+            }
+        ),
+    )
     joined = li.join(
         orders, join_type="inner", num_partitions=join_partitions(),
         on=("o_orderkey",),
@@ -613,6 +650,10 @@ def q12_priority_by_returnflag(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="cnt"))
         .to_pandas()  # <= 2 x |returnflag| rows
     )
+    if agg.empty:
+        return pd.DataFrame(
+            {"l_returnflag": [], "high_line_count": [], "low_line_count": []}
+        )
     rf_code = (agg["k"].to_numpy(np.int64) // 2).astype(np.int64)
     is_high = (agg["k"].to_numpy(np.int64) % 2).astype(bool)
     out = pd.DataFrame(
@@ -677,6 +718,8 @@ def q16_supplier_count_by_part_attr(
         keys, codes = ray.get(r) if not isinstance(r, tuple) else r
         p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s):
+            assert s.max() < (1 << 20), "suppkey overflows pair encoding"
         code, found = _sorted_int_lookup(keys, codes, p)
         pair = np.unique(code[found] * np.int64(1 << 20) + s[found])
         return pa.table({"pair": pa.array(pair)})
@@ -704,6 +747,10 @@ def q16_supplier_count_by_part_attr(
         .aggregate(Sum("n", alias_name="supplier_cnt"))
         .to_pandas()  # one row per surviving (brand, type, size)
     )
+    if agg.empty:
+        return pd.DataFrame(
+            {"p_brand": [], "p_type": [], "p_size": [], "supplier_cnt": []}
+        )
     c = agg["c"].to_numpy(np.int64)
     out = pd.DataFrame(
         {
@@ -882,6 +929,17 @@ def q7_nation_trade_volume(
     ).map_batches(li_partial, batch_format="pyarrow")
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _with_sentinel(
+        li,
+        pa.table(
+            {
+                "o_orderkey": pa.array([-1], type=pa.int64()),
+                "sn": pa.array([0], type=pa.int64()),
+                "y": pa.array([0], type=pa.int64()),
+                "partial": pa.array([0.0], type=pa.float64()),
+            }
+        ),
+    )
     joined = li.join(
         orders, join_type="inner", num_partitions=join_partitions(),
         on=("o_orderkey",),
@@ -917,6 +975,10 @@ def q7_nation_trade_volume(
         .aggregate(Sum("r", alias_name="revenue"))
         .to_pandas()  # 2 directions x years
     )
+    if agg.empty:
+        return pd.DataFrame(
+            {"supp_nation": [], "cust_nation": [], "l_year": [], "revenue": []}
+        )
     k = agg["k"].to_numpy(np.int64)
     nk_pos = np.searchsorted(nat_keys, k // 1_000_000)
     ck_pos = np.searchsorted(nat_keys, (k // 10_000) % 100)
@@ -1009,6 +1071,16 @@ def q8_market_share(
     orders = read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(o_prep, batch_format="pyarrow")
+    li = _with_sentinel(
+        li,
+        pa.table(
+            {
+                "o_orderkey": pa.array([-1], type=pa.int64()),
+                "it": pa.array([0], type=pa.int64()),
+                "partial": pa.array([0.0], type=pa.float64()),
+            }
+        ),
+    )
     joined = li.join(
         orders, join_type="inner", num_partitions=join_partitions(),
         on=("o_orderkey",),
@@ -1038,6 +1110,8 @@ def q8_market_share(
         .aggregate(Sum("r", alias_name="rev"))
         .to_pandas()  # 2 x years rows
     )
+    if agg.empty:
+        return pd.DataFrame({"o_year": [], "mkt_share": []})
     agg["o_year"] = (agg["k"].to_numpy(np.int64) // 2).astype(np.int64)
     agg["it"] = (agg["k"].to_numpy(np.int64) % 2).astype(bool)
     piv = agg.pivot_table(
@@ -1080,6 +1154,10 @@ def q2_min_cost_supplier(
     def pair_partial(batch: pa.Table) -> pa.Table:
         p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s):
+            assert s.max() < (1 << 20) and p.max() < (1 << 43), (
+                "keys overflow pair encoding"
+            )
         df = pd.DataFrame(
             {
                 "pair": p * np.int64(1 << 20) + s,
@@ -1130,6 +1208,11 @@ def q2_min_cost_supplier(
         )
 
     cand = pairs.map_batches(local_top1, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"p_type": [], "s_suppkey": [], "s_name": [],
+             "p_partkey": [], "min_cost": []}
+        )
     win = (
         cand.sort_values(["t", "cost", "s", "p"])
         .groupby("t")
@@ -1204,6 +1287,8 @@ def q11_important_parts(
         .aggregate(Sum("v", alias_name="val"))
         .to_pandas()  # part-domain: bounded
     )
+    if vals.empty:
+        return pd.DataFrame({"p_partkey": [], "value": []})
     thr = factor * vals["val"].mean()
     out = vals[vals["val"] > thr].copy()
     out["value"] = _round2(out["val"].to_numpy())
@@ -1262,6 +1347,8 @@ def q20_heavy_shippers(
         .aggregate(Sum("q", alias_name="qty"))
         .to_pandas()  # supplier-domain: bounded
     )
+    if qty.empty:
+        return pd.DataFrame({"s_suppkey": [], "s_name": [], "n_name": [], "qty": []})
     thr = 0.5 * qty["qty"].mean()
     win = qty[qty["qty"] > thr].copy()
     supp = pq.read_table(
@@ -1379,6 +1466,8 @@ def q21_sole_returners(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="numwait"))
         .to_pandas()  # supplier-domain: bounded
     )
+    if agg.empty:
+        return pd.DataFrame({"s_suppkey": [], "s_name": [], "numwait": []})
     import pyarrow.parquet as pq
 
     supp = pq.read_table(

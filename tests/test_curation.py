@@ -405,7 +405,7 @@ def test_embedding_clusters_matches_local_assignment():
 def test_semdedup_hot_cell_cap_bounds_work(tmp_path):
     """VERDICT r2 #5: a hot cell (here: ALL vectors collapse into one
     cell) must be sub-split at ``max_cell_rows`` so per-task work is
-    O(cap**2), and the sub-split rule (vec_id % n_sub) must be exactly
+    O(cap**2), and the sub-split rule (round-robin by rank in sorted-vec_id order) must be exactly
     reproducible locally."""
     rng = np.random.default_rng(11)
     # one tight direction + tiny noise -> a single dominant cell

@@ -117,3 +117,18 @@ def test_q15_argmax_is_rounded_comparison():
     got = q15_top_supplier(SF)
     assert len(got) >= 1
     assert (got["total_revenue"] == got["total_revenue"].max()).all()
+
+
+def test_empty_dimension_parameterizations_return_empty():
+    """A selective parameter that matches nothing must yield an empty
+    (or zero) result, not crash: the broadcast probe sees an empty key
+    array and the fact x fact join sees an all-empty probe side (the
+    acero schema-degradation hazard, guarded by a sentinel row)."""
+    from dedupe_rust_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    assert len(relational.q9_profit_by_nation_year(sf, pattern="zz_none")) == 0
+    assert len(relational.q20_heavy_shippers(sf, pattern="zz_none")) == 0
+    assert len(relational.q11_important_parts(sf, nationkey=99)) == 0
+    q17 = relational.q17_small_quantity_revenue(sf, brand="Brand#none")
+    assert len(q17) == 1  # scalar aggregate over nothing -> zero revenue
