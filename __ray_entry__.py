@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": relational.q11_important_parts,
         "q20_heavy_shippers": relational.q20_heavy_shippers,
         "q21_sole_returners": relational.q21_sole_returners,
+        "events_range_join": sessions.events_range_join,
     }
 
 
@@ -850,6 +851,18 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "events_range_join": (
+            "SELECT p.event_id, p.user_id, "
+            " COUNT(e.event_id) AS n_nearby, "
+            " FLOOR(COALESCE(SUM(e.value), 0) * 100 + 0.5) / 100 "
+            "  AS nearby_value "
+            "FROM events p LEFT JOIN events e "
+            " ON e.user_id = p.user_id AND e.event_id <> p.event_id "
+            " AND e.ts >= p.ts - INTERVAL 10 MINUTE "
+            " AND e.ts <= p.ts + INTERVAL 10 MINUTE "
+            "WHERE p.event_type = 'purchase' "
+            "GROUP BY p.event_id, p.user_id ORDER BY p.event_id"
         ),
         "q2_min_cost_supplier": (
             "WITH uc AS (SELECT p_type, l_suppkey, l_partkey, "

@@ -121,3 +121,87 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataF
     )
     top["revenue"] = top["revenue"].round(2)
     return top[["o_orderkey", "revenue"]]
+
+
+def events_range_join(
+    sf_dir: str, window_minutes: int = 10, anchor_type: str = "purchase"
+) -> ray.data.Dataset:
+    """Interval/range join: every ``anchor_type`` event joined to all OTHER
+    events of the same user whose timestamp falls within +/- ``window_minutes``
+    of it — the band-join shape (``e.ts BETWEEN p.ts - w AND p.ts + w``)
+    that equality-keyed shuffles can't express directly.
+
+    Plan (the range-join-by-partition idiom): shuffle once on
+    ``user_id % n_shards`` so a user never spans tasks, then inside each
+    shard the per-user event lists are sorted by ts and every anchor
+    resolves its window with two vectorized ``searchsorted`` calls plus a
+    prefix-sum subtraction for the value sum — O((n + a) log n) per user,
+    no pairwise expansion, no per-row loop (the per-USER loop is over
+    bounded segments, each fully vectorized, matching the as-of join's
+    shard kernel). A skewed user is one large sorted segment, never an
+    all-pairs blowup."""
+    w = np.timedelta64(window_minutes * 60 * 1_000_000_000, "ns")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        ts = g["ts"].to_numpy(dtype="datetime64[ns]")
+        val = g["value"].to_numpy(np.float64)
+        uid = g["user_id"].to_numpy(np.int64)
+        etype = g["event_type"].to_numpy(dtype=object)
+        eid = g["event_id"].to_numpy(np.int64)
+        out_id, out_uid, out_n, out_v = [], [], [], []
+        bounds = np.flatnonzero(np.diff(uid)) + 1
+        for s, e in zip(
+            np.append(0, bounds), np.append(bounds, len(uid))
+        ):
+            u_ts, u_val = ts[s:e], val[s:e]
+            cum = np.append(0.0, np.cumsum(u_val))
+            anchor = np.flatnonzero(etype[s:e] == anchor_type)
+            if not len(anchor):
+                continue
+            at = u_ts[anchor]
+            lo = np.searchsorted(u_ts, at - w, side="left")
+            hi = np.searchsorted(u_ts, at + w, side="right")
+            out_id.append(eid[s:e][anchor])
+            out_uid.append(np.full(len(anchor), uid[s], dtype=np.int64))
+            out_n.append(hi - lo - 1)  # the anchor itself is in-window
+            out_v.append(cum[hi] - cum[lo] - u_val[anchor])
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_nearby": pd.Series([], dtype="int64"),
+                    "nearby_value": pd.Series([], dtype="float64"),
+                }
+            )
+        nearby = np.concatenate(out_v)
+        return pd.DataFrame(
+            {
+                "event_id": np.concatenate(out_id),
+                "user_id": np.concatenate(out_uid),
+                "n_nearby": np.concatenate(out_n).astype(np.int64),
+                "nearby_value": np.floor(nearby * 100 + 0.5) / 100,
+            }
+        )
+
+    return (
+        read(
+            sf_dir,
+            "events",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .sort("event_id")
+    )

@@ -158,3 +158,55 @@ def test_running_total_window():
         "AS run_total FROM orders ORDER BY o_custkey, o_orderkey"
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_events_range_join_band_self_join(tmp_path):
+    """Band self-join (+/- 10 min window per user) against an O(n^2)
+    brute-force reference on crafted events, including exact-boundary
+    timestamps (BETWEEN is inclusive both ends)."""
+    import numpy as np
+
+    from dedupe_rust_ray.pipelines.sessions import events_range_join
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: purchase at +0; events at -10min (inclusive), -11min
+        # (out), +5min, +10min (inclusive)
+        (0, base, 1, "purchase", 10.0),
+        (1, base - pd.Timedelta(minutes=10), 1, "view", 1.0),
+        (2, base - pd.Timedelta(minutes=11), 1, "view", 2.0),
+        (3, base + pd.Timedelta(minutes=5), 1, "view", 4.0),
+        (4, base + pd.Timedelta(minutes=10), 1, "purchase", 8.0),
+        # user 2: isolated purchase
+        (5, base, 2, "purchase", 100.0),
+        # user 3: no purchases at all
+        (6, base, 3, "view", 7.0),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet")
+    got = events_range_join(str(tmp_path)).to_pandas()
+
+    w = pd.Timedelta(minutes=10)
+    exp = []
+    for p in df[df["event_type"] == "purchase"].itertuples():
+        near = df[
+            (df["user_id"] == p.user_id)
+            & (df["event_id"] != p.event_id)
+            & (df["ts"] >= p.ts - w)
+            & (df["ts"] <= p.ts + w)
+        ]
+        exp.append(
+            (p.event_id, p.user_id, len(near),
+             np.floor(near["value"].sum() * 100 + 0.5) / 100)
+        )
+    want = pd.DataFrame(
+        exp, columns=["event_id", "user_id", "n_nearby", "nearby_value"]
+    ).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # spot pins: purchase 0 sees events 1,3,4 (not 2); purchase 5 sees none
+    g = got.set_index("event_id")
+    assert g.loc[0, "n_nearby"] == 3 and g.loc[0, "nearby_value"] == 13.0
+    assert g.loc[5, "n_nearby"] == 0 and g.loc[5, "nearby_value"] == 0.0
