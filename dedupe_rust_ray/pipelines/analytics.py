@@ -22,7 +22,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.hashing import stable_hash64
-from .common import read
+from .common import canonical_sort, read
 
 
 def _h64_as_i64(batch: pa.Table) -> np.ndarray:
@@ -113,13 +113,13 @@ def exact_dedup_first(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    out = (
         ds.map_batches(hash_batch, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
-        .sort("doc_id")
     )
+    return canonical_sort(out, ["doc_id"])
 
 
 def dup_group_sizes(sf_dir: str) -> ray.data.Dataset:
@@ -256,8 +256,8 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             Sum("sum_disc_price", alias_name="sum_disc_price"),
             Sum("count_order", alias_name="count_order"),
         )
-        .sort(["l_returnflag", "l_linestatus"])
     )
+    out = canonical_sort(out, ["l_returnflag", "l_linestatus"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         batch = batch.append_column(
@@ -340,8 +340,8 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             Count(alias_name="n_events"),
             Sum("value", alias_name="sum_value"),
         )
-        .sort(["event_type", "hour"])
     )
+    out = canonical_sort(out, ["event_type", "hour"])
 
     def round_cols(batch: pa.Table) -> pa.Table:
         return batch.set_column(

@@ -13,6 +13,35 @@ from ..sources.storage import read_table
 _last_gc = 0.0
 
 
+def canonical_sort(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    descending: list[bool] | bool = False,
+    driver_max_rows: int = 500_000,
+) -> ray.data.Dataset:
+    """Deterministic FINAL ordering of a query result.
+
+    Ray's distributed sort is a two-barrier all-to-all whose fixed cost
+    (boundary sampling + exchange scheduling) dominates small results —
+    ds.stats() on the bench pipelines shows ~4.5 s wall per Sort with
+    sub-millisecond remote compute. A canonical sort is always the LAST
+    operator, so when the materialized result is driver-bounded it sorts
+    in-process (one pandas sort); above ``driver_max_rows`` — pair sets
+    or label tables at real scale — the distributed sort runs unchanged."""
+    m = ds.materialize()
+    if m.count() <= driver_max_rows:
+        df = m.to_pandas()
+        asc = (
+            [not d for d in descending]
+            if isinstance(descending, list)
+            else not descending
+        )
+        return ray.data.from_pandas(
+            df.sort_values(keys, ascending=asc, ignore_index=True)
+        )
+    return m.sort(keys, descending=descending)
+
+
 def sorted_int_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
     """Vectorized key->value probe against a SORTED int64 key array — the
     broadcast-dimension lookup shared by the relational pack and q5/q14.

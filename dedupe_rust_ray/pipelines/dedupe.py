@@ -35,7 +35,7 @@ from ..functions.simhash import hamming64, simhash_signatures
 from ..stages.blocking import shard_of_u64
 from ..stages.codec import decode_sig_matrix, encode_fixed_u64_rows
 from ..stages.pairs import attach_to_pairs, dedup_pairs
-from .common import read
+from .common import canonical_sort, read
 
 _NUM_PERM = 128
 _BANDS = 32  # r=4 rows/band: recall ~1-1.6e-4 at J=0.7, ~1-2e-15 at J=0.9
@@ -256,7 +256,7 @@ def minhash_lsh_dedup(
             batch_format="pandas",
             concurrency=(1, 4),
         )
-    return out.sort(["doc_a", "doc_b"])
+    return canonical_sort(out, ["doc_a", "doc_b"])
 
 
 def _verify_trigram_rows(
@@ -404,7 +404,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(pairs_in_shard, batch_format="pandas")
     )
-    return _dedup_pairs_ds(cand).sort(["doc_a", "doc_b"])
+    return canonical_sort(_dedup_pairs_ds(cand), ["doc_a", "doc_b"])
 
 
 def embedding_cosine_pairs(

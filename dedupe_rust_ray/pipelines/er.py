@@ -532,6 +532,9 @@ def er_pipeline(
             n_shards=int(min(64, max(8, n_edges // 50_000))),
         )
 
-    return labels.select_columns(["cluster_id", "doc_id"]).sort(
-        ["cluster_id", "doc_id"]
+    from .common import canonical_sort
+
+    return canonical_sort(
+        labels.select_columns(["cluster_id", "doc_id"]),
+        ["cluster_id", "doc_id"],
     )

@@ -13,7 +13,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..stages.multimodal import MediaDecode, probe_dims_batch, synth_media_batch
-from .common import read
+from .common import canonical_sort, read
 
 
 def synth_media(sf_dir: str) -> ray.data.Dataset:
@@ -52,9 +52,13 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         batch_size=256,
         concurrency=(1, 8),
     )
-    return out.select_columns(
-        ["media_id", "fmt", "ok", "err", "width", "height", "mean_brightness"]
-    ).sort("media_id")
+    return canonical_sort(
+        out.select_columns(
+            ["media_id", "fmt", "ok", "err", "width", "height",
+             "mean_brightness"]
+        ),
+        ["media_id"],
+    )
 
 
 def media_decode_summary(sf_dir: str) -> ray.data.Dataset:

@@ -86,11 +86,27 @@ def knn_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    out = (
-        local.groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
-        .to_pandas()
-    )
+    # the local-top-k contract bounds candidates to n_queries x k x
+    # n_blocks; below a ceiling the final merge is one driver-side pandas
+    # groupby (no exchange barrier — Ray's groupby costs seconds of fixed
+    # shuffle scheduling for kilobyte inputs); above it (huge block
+    # counts) the distributed merge runs
+    cand = local.materialize()
+    if cand.count() <= 2_000_000:
+        out = (
+            cand.to_pandas()
+            .groupby("query_id", group_keys=False)[
+                ["query_id", "neighbor_id", "cos_sim"]
+            ]
+            .apply(merge_topk)
+            .reset_index(drop=True)
+        )
+    else:
+        out = (
+            cand.groupby("query_id")
+            .map_groups(merge_topk, batch_format="pandas")
+            .to_pandas()
+        )
     out["cos_sim"] = np.round(out["cos_sim"], 4)
     return out.sort_values(
         ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True],
