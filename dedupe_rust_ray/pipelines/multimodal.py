@@ -49,8 +49,8 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
     out = synth_media(sf_dir).map_batches(
         MediaDecode,
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8),
+        batch_size=128,
+        concurrency=(1, 16),
     )
     return canonical_sort(
         out.select_columns(
@@ -68,7 +68,7 @@ def media_decode_summary(sf_dir: str) -> ray.data.Dataset:
     deterministic doc_id -> fmt mapping — value-checks the entire
     synth -> encode -> sniff -> decode path for every codec."""
     feats = synth_media(sf_dir).map_batches(
-        MediaDecode, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+        MediaDecode, batch_format="pyarrow", batch_size=128, concurrency=(1, 16)
     )
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -102,8 +102,8 @@ def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
     out = synth_media(sf_dir).map_batches(
         MediaResize,
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8),
+        batch_size=128,
+        concurrency=(1, 16),
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -131,8 +131,8 @@ def video_frame_sample(sf_dir: str, every_n: int = 10) -> ray.data.Dataset:
         VideoFrameSample,
         fn_constructor_args=(every_n,),
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8),
+        batch_size=128,
+        concurrency=(1, 16),
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -177,8 +177,8 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
         .map_batches(
             AudioFeatures,
             batch_format="pyarrow",
-            batch_size=256,
-            concurrency=(1, 8),
+            batch_size=128,
+            concurrency=(1, 16),
         )
         .select_columns(["media_id", "n_samples", "duration_ms", "dom_freq_hz"])
         .sort("media_id")
@@ -197,8 +197,8 @@ def media_phash(sf_dir: str) -> ray.data.Dataset:
         .map_batches(
             MediaPhash,
             batch_format="pyarrow",
-            batch_size=256,
-            concurrency=(1, 8),
+            batch_size=128,
+            concurrency=(1, 16),
         )
         .sort("media_id")
     )
