@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_heavy_shippers": relational.q20_heavy_shippers,
         "q21_sole_returners": relational.q21_sole_returners,
         "events_range_join": sessions.events_range_join,
+        "dedup_spans": curation.dedup_spans,
     }
 
 
@@ -851,6 +852,27 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "dedup_spans": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr "
+            " FROM documents), "
+            "g AS (SELECT doc_id, i, array_to_string(arr[i:i+9], ' ') AS gram"
+            " FROM w, UNNEST(generate_series(1, len(arr) - 9)) AS t(i)), "
+            "dupg AS (SELECT gram FROM g GROUP BY gram "
+            " HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "starts AS (SELECT g.doc_id, g.i FROM g JOIN dupg USING (gram)), "
+            "words AS (SELECT doc_id, j, arr[j] AS word "
+            " FROM w, UNNEST(generate_series(1, len(arr))) AS t(j)), "
+            "kept AS (SELECT wo.doc_id, wo.j, wo.word FROM words wo "
+            " WHERE NOT EXISTS (SELECT 1 FROM starts s "
+            "  WHERE s.doc_id = wo.doc_id AND s.i BETWEEN wo.j - 9 AND wo.j))"
+            " SELECT d.doc_id, COALESCE(k.text_clean, '') AS text_clean, "
+            " (SELECT len(arr) FROM w WHERE w.doc_id = d.doc_id) "
+            "  - COALESCE(k.n_kept, 0) AS n_removed_words "
+            "FROM documents d LEFT JOIN ("
+            " SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text_clean,"
+            "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id) k USING (doc_id)"
+            " ORDER BY d.doc_id"
         ),
         "events_range_join": (
             "SELECT p.event_id, p.user_id, "

@@ -882,6 +882,138 @@ def dedup_lines(
     return docs.map_batches(rewrite, batch_format="pyarrow").sort("doc_id")
 
 
+def dedup_spans(
+    sf_dir: str,
+    gram_words: int = 10,
+    broadcast_max_rows: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Duplicated-SPAN removal with document rewrite (the Lee et al. 2021
+    ExactSubstr-dedup shape): every word covered by any ``gram_words``-gram
+    that occurs in >= 2 distinct documents is dropped from ALL documents,
+    overlapping duplicated grams merging into one removed span, and each
+    document's text reassembled from the surviving words. Complements
+    :func:`dup_ngram_spans` (which only counts) and :func:`dedup_lines`
+    (fixed segments, first copy kept).
+
+    Two passes; text never rides a shuffle. Pass 1 folds per-(gram, doc)
+    presence to global distinct-doc counts over 8-byte gram hashes; the
+    dup-gram set broadcasts as one sorted array (above the ceiling the
+    union + hash-bucket co-location of ``_dedup_lines_join_path`` is the
+    documented scale path). Pass 2 re-hashes, marks covered words with a
+    per-document running-max of duplicated-gram start positions (pure
+    numpy — no interval loop), and rebuilds the text via Arrow offsets +
+    ``binary_join``."""
+    import pyarrow.compute as pc
+
+    from ..functions.shingles import rolling_window_hashes
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _word_grams(batch: pa.Table):
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        w_off = words.offsets.to_numpy().astype(np.int64)
+        flat = words.values.to_numpy(zero_copy_only=False)
+        th = (
+            pd.util.hash_array(
+                np.asarray(flat, dtype=object), hash_key="dedupe_ray_00042"
+            ).astype(np.uint64)
+            if len(flat)
+            else np.empty(0, np.uint64)
+        )
+        gh, g_off = rolling_window_hashes(th, np.diff(w_off), gram_words)
+        return words, w_off, gh, g_off
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        _, _, gh, g_off = _word_grams(batch)
+        doc_of = np.repeat(np.arange(len(g_off) - 1), np.diff(g_off))
+        uniq = (
+            pd.DataFrame({"d": doc_of, "h": gh.view(np.int64)})
+            .drop_duplicates()
+            .groupby("h", as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "h": pa.array(uniq["h"].to_numpy(np.int64)),
+                "nd": pa.array(uniq["size"].to_numpy(np.int64)),
+            }
+        )
+
+    folded = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("nd"))
+    )
+    dup = folded.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["sum(nd)"], 2)),
+        batch_format="pyarrow",
+    ).materialize()
+    n_dup = dup.count()
+    assert n_dup <= broadcast_max_rows, (
+        "dup-gram set exceeds broadcast ceiling: use the union+bucket "
+        "co-location scale path (_dedup_lines_join_path shape)"
+    )
+    hs = np.sort(
+        dup.select_columns(["h"]).to_pandas()["h"].to_numpy(np.int64)
+    )
+    ref = ray.put(hs)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        words, w_off, gh, g_off = _word_grams(batch)
+        keys = ray.get(ref)
+        ghi = gh.view(np.int64)
+        if len(keys) and len(ghi):
+            p = np.minimum(np.searchsorted(keys, ghi), len(keys) - 1)
+            is_dup = keys[p] == ghi
+        else:
+            is_dup = np.zeros(len(ghi), dtype=bool)
+        n_docs = len(w_off) - 1
+        nw = np.diff(w_off)
+        total_words = int(w_off[-1])
+        # duplicated-gram start flags in the flat word index space
+        doc_of_g = np.repeat(np.arange(n_docs), np.diff(g_off))
+        local_g = (
+            np.arange(len(ghi), dtype=np.int64) - g_off[doc_of_g]
+            if len(ghi)
+            else np.empty(0, np.int64)
+        )
+        flag = np.zeros(total_words, dtype=bool)
+        if len(ghi):
+            flag[(w_off[doc_of_g] + local_g)[is_dup]] = True
+        # covered[w] = exists dup start s with s in [w-(k-1), w] AND s in
+        # w's document: a running max of start indices, validated against
+        # the word's document base (starts never cross docs, so any start
+        # >= doc_base belongs to this doc)
+        idx = np.arange(total_words, dtype=np.int64)
+        last = np.maximum.accumulate(np.where(flag, idx, np.int64(-1)))
+        doc_of_w = np.repeat(np.arange(n_docs), nw)
+        doc_base = w_off[doc_of_w]
+        covered = (last >= idx - (gram_words - 1)) & (last >= doc_base)
+        keep = ~covered
+        kept_per_doc = np.bincount(doc_of_w[keep], minlength=n_docs)
+        k_off = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(k_off, type=pa.int32()),
+            words.values.filter(pa.array(keep)),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_clean": pc.binary_join(kept_list, pa.scalar(" ")),
+                "n_removed_words": pa.array(
+                    (nw - kept_per_doc).astype(np.int64)
+                ),
+            }
+        )
+
+    out = docs.map_batches(rewrite, batch_format="pyarrow")
+    from .common import canonical_sort
+
+    return canonical_sort(out, ["doc_id"])
+
+
 def mixture_schedule(
     sf_dir: str,
     weights: dict[str, float] | None = None,

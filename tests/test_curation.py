@@ -458,3 +458,29 @@ def test_semdedup_output_unchanged_below_cap():
     a = curation.semdedup(SF, tau=0.4).to_pandas()
     b = curation.semdedup(SF, tau=0.4, max_cell_rows=10**9).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_spans_overlap_merge_and_removal(tmp_path):
+    # grams of 10 words; docs 0 and 1 share an 11-word run -> two
+    # overlapping duplicated 10-grams that must merge into ONE removed
+    # 11-word span; doc 2 is entirely unique
+    shared = " ".join(f"s{i}" for i in range(11))
+    texts = [
+        shared + " " + " ".join(f"a{i}" for i in range(5)),
+        " ".join(f"b{i}" for i in range(3)) + " " + shared,
+        " ".join(f"u{i}" for i in range(20)),
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = curation.dedup_spans(sf).to_pandas().set_index("doc_id")
+    # doc 0: the 11 shared words removed, 5 unique kept
+    assert out.loc[0, "n_removed_words"] == 11
+    assert out.loc[0, "text_clean"] == " ".join(f"a{i}" for i in range(5))
+    # doc 1: 3 unique kept, 11 removed
+    assert out.loc[1, "n_removed_words"] == 11
+    assert out.loc[1, "text_clean"] == " ".join(f"b{i}" for i in range(3))
+    # doc 2 untouched
+    assert out.loc[2, "n_removed_words"] == 0
+    assert out.loc[2, "text_clean"] == texts[2]
+    # deterministic
+    again = curation.dedup_spans(sf).to_pandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(out, again)
