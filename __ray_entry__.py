@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_returners": relational.q21_sole_returners,
         "events_range_join": sessions.events_range_join,
         "dedup_spans": curation.dedup_spans,
+        "spans_census": analytics.spans_census,
     }
 
 
@@ -852,6 +853,21 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "spans_census": (
+            "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t, "
+            " CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS mult "
+            " FROM documents) "
+            "SELECT * FROM ("
+            " SELECT 'media' AS kind, CAST(SUM(mult) AS BIGINT) AS n_spans,"
+            "  CAST(SUM(mult) AS BIGINT) AS n_docs, "
+            "  CAST(0 AS BIGINT) AS total_chars FROM d "
+            " UNION ALL "
+            " SELECT 'text', CAST(SUM(LEAST(length(t), 3) * mult) AS BIGINT),"
+            "  CAST(SUM(CASE WHEN length(t) >= 1 THEN mult ELSE 0 END) "
+            "   AS BIGINT), "
+            "  CAST(SUM(length(t) * mult) AS BIGINT) FROM d"
+            ") ORDER BY kind"
         ),
         "dedup_spans": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr "

@@ -745,3 +745,66 @@ def props_k_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+def spans_census(sf_dir: str) -> pd.DataFrame:
+    """Census of the INTERLEAVED spans corpus (the input_hint schema):
+    per span kind, the span count, the number of documents carrying the
+    kind, and total text characters.
+
+    This certifies the corpus BUILDER itself: `corpus_from_flat_documents`
+    is deterministic arithmetic over the flat documents table (1-3 text
+    thirds + 1 media span per doc, an extra near-dup copy every 10th doc,
+    length-preserving edits), so the expected census is closed-form SQL
+    over `documents` — a value oracle for the spans explosion the
+    flagship consumes."""
+    from ..sources.corpus import corpus_from_flat_documents
+
+    corpus = corpus_from_flat_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        off = spans.offsets.to_numpy().astype(np.int64)
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(flat.field("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(off) - 1), np.diff(off))
+        rows = []
+        for kind in ("media", "text"):
+            m = kinds == kind
+            rows.append(
+                (
+                    kind,
+                    int(m.sum()),
+                    int(len(np.unique(doc_of[m]))),
+                    int(chars[m].sum()),
+                )
+            )
+        return pa.table(
+            {
+                "kind": pa.array([r[0] for r in rows]),
+                "n_spans": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_docs": pa.array([r[2] for r in rows], type=pa.int64()),
+                "total_chars": pa.array(
+                    [r[3] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        corpus.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+        .to_pandas()  # two rows
+    )
+    return agg.sort_values("kind", ignore_index=True).astype(
+        {"n_spans": "int64", "n_docs": "int64", "total_chars": "int64"}
+    )
