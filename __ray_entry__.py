@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": sessions.events_range_join,
         "dedup_spans": curation.dedup_spans,
         "spans_census": analytics.spans_census,
+        "quality_weighted_sample": curation.quality_weighted_sample,
     }
 
 
@@ -853,6 +854,19 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "quality_weighted_sample": (
+            "WITH q AS (SELECT doc_id, "
+            " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "  x -> x <> '')) AS BIGINT) AS n_tokens, "
+            " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+            "  AS UBIGINT) % 10000 AS bucket "
+            " FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            " CAST(LEAST(n_tokens * 10000 // 40, 10000) AS BIGINT) "
+            "  AS keep_bps "
+            "FROM q WHERE bucket < LEAST(n_tokens * 10000 // 40, 10000) "
+            "ORDER BY doc_id"
         ),
         "spans_census": (
             "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t, "

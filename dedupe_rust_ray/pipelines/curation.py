@@ -1407,3 +1407,49 @@ def decontaminate_bloom(
         .aggregate(Sum("partial", alias_name="n_contaminated_grams"))
         .sort("doc_id")
     )
+
+
+def quality_weighted_sample(
+    sf_dir: str, full_keep_tokens: int = 40
+) -> ray.data.Dataset:
+    """Quality-proportional deterministic downsampling (the DCLM-style
+    "sample at a rate proportional to a quality signal" selection stage):
+    each doc keeps with probability ``min(1, n_tokens / full_keep_tokens)``,
+    decided by a content-independent md5 bucket of ``doc_id`` — so the
+    draw is reproducible across engines and runs (same md5 trick as
+    :func:`hash_split`, which DuckDB replicates bit-for-bit). Returns the
+    kept docs with their token count and keep threshold.
+
+    Scale: one vectorized map pass + a final bounded sort; nothing
+    shuffles."""
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = (
+            batch["text"].fillna("").str.split().str.len().fillna(0)
+        ).astype("int64")
+        bucket = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+                for i in batch["doc_id"]
+            ),
+            np.int64,
+            count=len(batch),
+        )
+        thresh = np.minimum(
+            n_tokens.to_numpy() * 10000 // full_keep_tokens, 10000
+        )
+        keep = bucket < thresh
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "n_tokens": n_tokens.to_numpy()[keep],
+                "keep_bps": thresh[keep],
+            }
+        )
+
+    out = read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        per_batch, batch_format="pandas"
+    )
+    from .common import canonical_sort
+
+    return canonical_sort(out, ["doc_id"])

@@ -484,3 +484,23 @@ def test_dedup_spans_overlap_merge_and_removal(tmp_path):
     # deterministic
     again = curation.dedup_spans(sf).to_pandas().set_index("doc_id")
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_quality_weighted_sample_rate_proportionality(tmp_path):
+    # docs with 0 tokens can never be kept; docs with >= 40 tokens always
+    texts = (
+        [""] * 5
+        + [" ".join(f"w{i}" for i in range(50))] * 10  # 50 tokens: always
+        + ["one two"] * 200  # 2/40 = 5% keep rate
+    )
+    sf = _write_docs(tmp_path, texts)
+    out = curation.quality_weighted_sample(sf).to_pandas()
+    kept = set(out["doc_id"])
+    assert not kept & set(range(5))  # empty docs never kept
+    assert set(range(5, 15)) <= kept  # full-rate docs always kept
+    low = [d for d in kept if d >= 15]
+    # binomial(200, 0.05): loose band
+    assert 1 <= len(low) <= 30
+    # deterministic
+    again = curation.quality_weighted_sample(sf).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
