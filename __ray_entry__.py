@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": curation.dedup_spans,
         "spans_census": analytics.spans_census,
         "quality_weighted_sample": curation.quality_weighted_sample,
+        "bm25_search": textpipe.bm25_search,
     }
 
 
@@ -854,6 +855,34 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "bm25_search": (
+            "WITH tok AS (SELECT doc_id, "
+            " list_filter(regexp_split_to_array(text, '\\s+'), "
+            "  x -> x <> '') AS ws FROM documents), "
+            "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            " CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl, "
+            " CAST(SUM(CASE WHEN list_contains(ws, 'table') THEN 1 "
+            "  ELSE 0 END) AS DOUBLE) AS df1, "
+            " CAST(SUM(CASE WHEN list_contains(ws, 'hash') THEN 1 "
+            "  ELSE 0 END) AS DOUBLE) AS df2, "
+            " CAST(SUM(CASE WHEN list_contains(ws, 'sort') THEN 1 "
+            "  ELSE 0 END) AS DOUBLE) AS df3 FROM tok), "
+            "tf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, "
+            " CAST(len(list_filter(ws, x -> x = 'table')) AS DOUBLE) AS t1,"
+            " CAST(len(list_filter(ws, x -> x = 'hash')) AS DOUBLE) AS t2, "
+            " CAST(len(list_filter(ws, x -> x = 'sort')) AS DOUBLE) AS t3 "
+            " FROM tok) "
+            "SELECT doc_id, FLOOR(( "
+            " ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * t1 * 2.2 "
+            "  / (t1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + "
+            " ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * t2 * 2.2 "
+            "  / (t2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) + "
+            " ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * t3 * 2.2 "
+            "  / (t3 + 1.2 * (0.25 + 0.75 * dl / avgdl)) "
+            ") * 10000 + 0.5) / 10000 AS score "
+            "FROM tf, st WHERE t1 + t2 + t3 > 0 "
+            "ORDER BY score DESC, doc_id"
         ),
         "quality_weighted_sample": (
             "WITH q AS (SELECT doc_id, "

@@ -515,3 +515,74 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
     top["tfidf"] = np.floor(top["tfidf_raw"].to_numpy() * 1e4 + 0.5) / 1e4
     return top[["lang", "tok", "tfidf"]]
+
+
+def bm25_search(
+    sf_dir: str,
+    query_terms: tuple[str, ...] = ("table", "hash", "sort"),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """Keyword relevance search: Okapi BM25 score of every document
+    against a fixed term set — the text-retrieval complement of the
+    vector knn queries. Returns all docs matching >= 1 term, ordered by
+    (score desc, doc_id); no top-k cutoff, so there is no rounded-score
+    tie boundary (the q10 lesson).
+
+    Plan: pass 1 is one vectorized map + a 3-scalar aggregate (N, total
+    tokens, df per query term — |terms| is a constant, so the "index" is
+    a handful of counters, not an inverted index shuffle); the final
+    stats broadcast into pass 2, which computes tf and the BM25 formula
+    per batch. Nothing but scalars crosses stages."""
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).astype("int64")
+        row = {"n_docs": len(batch), "n_tokens": int(n_tok.sum())}
+        for t in query_terms:
+            row[f"df_{t}"] = int(
+                toks.map(lambda ws, t=t: t in ws if ws else False).sum()
+            )
+        return pd.DataFrame([row])
+
+    cols = ["n_docs", "n_tokens"] + [f"df_{t}" for t in query_terms]
+    stats = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    N = float(stats["n_docs"])
+    avgdl = float(stats["n_tokens"]) / max(N, 1.0)
+    idf = {
+        t: float(np.log((N - stats[f"df_{t}"] + 0.5)
+                        / (stats[f"df_{t}"] + 0.5) + 1.0))
+        for t in query_terms
+    }
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        dl = toks.str.len().fillna(0).astype("float64").to_numpy()
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(batch))
+        matched = np.zeros(len(batch), dtype=bool)
+        for t in query_terms:
+            tf = toks.map(
+                lambda ws, t=t: ws.count(t) if ws else 0
+            ).to_numpy(np.float64)
+            matched |= tf > 0
+            s += idf[t] * tf * (k1 + 1.0) / np.maximum(tf + norm, 1e-12)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[matched],
+                "score": np.floor(s[matched] * 1e4 + 0.5) / 1e4,
+            }
+        )
+        return out
+
+    from .common import canonical_sort
+
+    out = read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+    return canonical_sort(out, ["score", "doc_id"], descending=[True, False])

@@ -122,3 +122,33 @@ def test_unigram_logprob_matches_bruteforce():
         got = float(out.loc[out["doc_id"] == row["doc_id"], "avg_neg_logprob"].iloc[0])
         assert got == want, (row["doc_id"], got, want)
     assert (out["n_tokens"] > 0).all()
+
+
+def test_bm25_search_ranking_semantics(tmp_path):
+    """BM25 ranks a doc with more query-term occurrences (and shorter
+    length) above sparser matches; non-matching docs are excluded."""
+    import pandas as pd
+    import numpy as np
+
+    from dedupe_rust_ray.pipelines.textpipe import bm25_search
+
+    texts = [
+        "table hash sort",                       # all three terms, short
+        "table " + " ".join(["x"] * 50),         # one term, long
+        "no query words here at all",            # excluded
+        "table table hash " + " ".join(["y"] * 10),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = bm25_search(str(tmp_path)).to_pandas()
+    assert set(out["doc_id"]) == {0, 1, 3}
+    top = out.iloc[0]
+    assert top["doc_id"] == 0  # densest match, shortest doc
+    assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
