@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_census": analytics.spans_census,
         "quality_weighted_sample": curation.quality_weighted_sample,
         "bm25_search": textpipe.bm25_search,
+        "conversion_funnel": sessions.conversion_funnel,
     }
 
 
@@ -855,6 +856,22 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "conversion_funnel": (
+            "WITH u AS (SELECT user_id, "
+            " MIN(CASE WHEN event_type = 'signup' THEN ts END) AS fs, "
+            " MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS lp "
+            " FROM events GROUP BY user_id) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+            " CAST(SUM(CASE WHEN fs IS NOT NULL THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_signup, "
+            " CAST(SUM(CASE WHEN fs IS NOT NULL AND lp >= fs THEN 1 "
+            "  ELSE 0 END) AS BIGINT) AS n_converted, "
+            " FLOOR(CAST(SUM(CASE WHEN fs IS NOT NULL AND lp >= fs THEN 1 "
+            "  ELSE 0 END) AS DOUBLE) / NULLIF(SUM(CASE WHEN fs IS NOT "
+            "  NULL THEN 1 ELSE 0 END), 0) * 10000 + 0.5) / 10000 "
+            "  AS conv_rate "
+            "FROM u"
         ),
         "bm25_search": (
             "WITH tok AS (SELECT doc_id, "

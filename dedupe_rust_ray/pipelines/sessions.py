@@ -205,3 +205,64 @@ def events_range_join(
         )
         .sort("event_id")
     )
+
+
+def conversion_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel over the events log: how many users have a
+    'signup' event, and how many of those convert — a 'purchase' at or
+    after their FIRST signup. The sequence predicate (ordering within a
+    key) is what plain joins can't express; it reduces to two per-user
+    timestamps.
+
+    Plan: one vectorized map pass computes per-batch per-user partials
+    (min signup ts, max purchase ts, any flags), one small user-domain
+    groupby folds them, and the funnel is three counters over that
+    bounded table."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        is_s = (batch["event_type"] == "signup").to_numpy()
+        is_p = (batch["event_type"] == "purchase").to_numpy()
+        ts = batch["ts"].astype("datetime64[ns]")
+        far_future = pd.Timestamp("2100-01-01")
+        long_ago = pd.Timestamp("1970-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(np.int64),
+                "s_ts": ts.where(pd.Series(is_s, index=ts.index), far_future),
+                "p_ts": ts.where(pd.Series(is_p, index=ts.index), long_ago),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            first_signup=("s_ts", "min"), last_purchase=("p_ts", "max")
+        )
+        return g
+
+    per_user = (
+        read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Min("first_signup", alias_name="first_signup"),
+            Max("last_purchase", alias_name="last_purchase"),
+        )
+        .to_pandas()  # user-domain: bounded
+    )
+    far_future = pd.Timestamp("2100-01-01")
+    long_ago = pd.Timestamp("1970-01-01")
+    signed = per_user["first_signup"] < far_future
+    converted = signed & (per_user["last_purchase"] >= per_user["first_signup"])
+    n_users = len(per_user)
+    n_signup = int(signed.sum())
+    n_converted = int(converted.sum())
+    rate = (
+        np.floor(n_converted / n_signup * 1e4 + 0.5) / 1e4 if n_signup else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_users": [n_users],
+            "n_signup": [n_signup],
+            "n_converted": [n_converted],
+            "conv_rate": [rate],
+        }
+    )

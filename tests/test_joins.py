@@ -210,3 +210,37 @@ def test_events_range_join_band_self_join(tmp_path):
     g = got.set_index("event_id")
     assert g.loc[0, "n_nearby"] == 3 and g.loc[0, "nearby_value"] == 13.0
     assert g.loc[5, "n_nearby"] == 0 and g.loc[5, "nearby_value"] == 0.0
+
+
+def test_conversion_funnel_ordering_semantics(tmp_path):
+    """A purchase BEFORE the first signup does not convert; at-or-after
+    does; users without signup don't enter the funnel."""
+    import numpy as np
+
+    from dedupe_rust_ray.pipelines.sessions import conversion_funnel
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: purchase before signup only -> signed, NOT converted
+        (0, t, 1, "purchase", 1.0),
+        (1, t + h, 1, "signup", 0.0),
+        # user 2: signup then purchase -> converted
+        (2, t, 2, "signup", 0.0),
+        (3, t + h, 2, "purchase", 5.0),
+        # user 3: purchase, never signed up -> not in funnel
+        (4, t, 3, "purchase", 2.0),
+        # user 4: signup exactly at purchase ts -> converts (>= semantics)
+        (5, t, 4, "signup", 0.0),
+        (6, t, 4, "purchase", 3.0),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet")
+    out = conversion_funnel(str(tmp_path)).iloc[0]
+    assert out["n_users"] == 4
+    assert out["n_signup"] == 3
+    assert out["n_converted"] == 2  # users 2 and 4
+    assert out["conv_rate"] == np.floor(2 / 3 * 1e4 + 0.5) / 1e4
