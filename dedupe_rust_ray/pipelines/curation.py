@@ -16,7 +16,15 @@ to the operations a 100-TB text corpus actually needs:
 - :func:`pii_scrub`         — regex PII redaction census (emails / IPv4 /
   long digit runs) with scrubbed lengths;
 - :func:`semdedup`          — SemDeDup-style embedding-space pruning
-  (Abbas et al. 2023): k-means cells, greedy cosine prune within a cell.
+  (Abbas et al. 2023): k-means cells, greedy cosine prune within a cell;
+- :func:`dedup_lines`       — C4-style duplicate-segment removal WITH
+  document rewrite (first occurrence kept);
+- :func:`dedup_spans`       — Lee et al. ExactSubstr-shaped duplicated-
+  span removal (overlapping dup grams merge, text rewritten);
+- :func:`mixture_schedule`  — deterministic weighted source interleave
+  (the training-order/stride-scheduling operator);
+- :func:`quality_weighted_sample` — DCLM-style keep-probability
+  proportional to a quality signal, reproducible md5 draw.
 
 Scale notes (100 TB): every per-doc pass is a vectorized ``map_batches``;
 the only shuffles are (a) one groupby on 8-byte gram hashes pre-deduped

@@ -1,10 +1,12 @@
-"""Session windows over the events log (streaming-shaped workload,
-SURVEY.md §2.8): Ray Data has no watermarks, so sessionization is expressed
-as partition-by-key + in-partition ordered windowing — the batch expression
-of a session window with a 30-minute inactivity gap.
+"""Session windows, range joins and funnels over the events log
+(streaming-shaped workloads, SURVEY.md §2.8): Ray Data has no watermarks,
+so ordered-within-key semantics are expressed as partition-by-key +
+in-partition vectorized windowing — :func:`sessionize` (30-min inactivity
+gap), :func:`events_range_join` (+/- 10-min band self-join), and
+:func:`conversion_funnel` (ordered signup -> purchase sequence predicate).
 
 Shard pattern: shuffle on ``user_id % n_shards`` (a user never spans
-shards), sessionize every user of the shard vectorized with pandas."""
+shards), process every user of the shard vectorized with pandas/numpy."""
 
 from __future__ import annotations
 
