@@ -504,3 +504,42 @@ def test_quality_weighted_sample_rate_proportionality(tmp_path):
     # deterministic
     again = curation.quality_weighted_sample(sf).to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_rewrite_operators_row_order_invariant(tmp_path):
+    """dedup_lines / dedup_spans / mixture_schedule must not depend on the
+    physical row order of the input file (winner selection is min-enc /
+    set-membership / rank arithmetic, all order-free)."""
+    rng = np.random.default_rng(3)
+    dup_seg = " ".join(f"d{i}" for i in range(10))
+    texts = [
+        dup_seg + " " + " ".join(f"a{i}{j}" for i in range(7))
+        for j in range(6)
+    ] + [" ".join(f"u{i}{j}" for i in range(25)) for j in range(6)]
+    ids = np.arange(len(texts), dtype=np.int64)
+
+    def write(order, sub):
+        df = pd.DataFrame(
+            {
+                "doc_id": ids[order],
+                "text": np.array(texts, dtype=object)[order],
+                "lang": "en",
+                "source": [f"s{int(i) % 3}" for i in ids[order]],
+                "n_chars": [len(texts[i]) for i in order],
+            }
+        )
+        d = tmp_path / sub
+        d.mkdir()
+        df.to_parquet(d / "documents.parquet")
+        return str(d)
+
+    a = write(np.arange(len(texts)), "fwd")
+    b = write(rng.permutation(len(texts)), "shuf")
+    for fn in (
+        curation.dedup_lines,
+        curation.dedup_spans,
+        curation.mixture_schedule,
+    ):
+        ga = fn(a).to_pandas().sort_values("doc_id", ignore_index=True)
+        gb = fn(b).to_pandas().sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(ga, gb, check_dtype=False)
