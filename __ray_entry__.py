@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_returners": relational.q21_sole_returners,
         "quality_weighted_sample": curation.quality_weighted_sample,
         "conversion_funnel": sessions.conversion_funnel,
+        "percent_rank_orders": joins.percent_rank_orders,
     }
 
 
@@ -856,6 +857,16 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "percent_rank_orders": (
+            "SELECT o_orderkey, "
+            " CAST(EXTRACT(year FROM o_orderdate) * 10 "
+            "  + EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS quarter, "
+            " FLOOR(PERCENT_RANK() OVER ("
+            "  PARTITION BY EXTRACT(year FROM o_orderdate) * 10 "
+            "   + EXTRACT(quarter FROM o_orderdate) "
+            "  ORDER BY o_totalprice) * 10000 + 0.5) / 10000 AS pct_rank "
+            "FROM orders ORDER BY o_orderkey"
         ),
         "conversion_funnel": (
             "WITH u AS (SELECT user_id, "

@@ -387,3 +387,55 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .sort_values(["revenue", "c_custkey"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def percent_rank_orders(sf_dir: str) -> ray.data.Dataset:
+    """Analytic PERCENT_RANK window: each order's totalprice percentile
+    within its order-date quarter — rank ties share a rank (SQL
+    PERCENT_RANK semantics: (rank - 1) / (n_partition - 1)).
+
+    Plan: partition key is the quarter (a BOUNDED domain), so one
+    groupby co-locates each partition and a vectorized sort + tie-aware
+    rank computes the window inside it; no global sort. A skewed quarter
+    is one large sorted segment, never a pairwise blowup."""
+
+    def add_q(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"]
+        q = pc.add(
+            pc.multiply(pc.year(d).cast(pa.int64()), pa.scalar(10, type=pa.int64())),
+            pc.quarter(d).cast(pa.int64()),
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+                "q": q,
+            }
+        )
+
+    def per_quarter(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ignore_index=True)
+        price = g["o_totalprice"].to_numpy()
+        n = len(g)
+        # tie-aware rank: index of first row with this price (1-based)
+        first_idx = np.searchsorted(price, price, side="left")
+        pr = (
+            first_idx / (n - 1) if n > 1 else np.zeros(n)
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "quarter": g["q"].to_numpy(np.int64),
+                "pct_rank": np.floor(pr * 1e4 + 0.5) / 1e4,
+            }
+        )
+
+    from .common import canonical_sort
+
+    out = (
+        read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(add_q, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(per_quarter, batch_format="pandas")
+    )
+    return canonical_sort(out, ["o_orderkey"])

@@ -244,3 +244,28 @@ def test_conversion_funnel_ordering_semantics(tmp_path):
     assert out["n_signup"] == 3
     assert out["n_converted"] == 2  # users 2 and 4
     assert out["conv_rate"] == np.floor(2 / 3 * 1e4 + 0.5) / 1e4
+
+
+def test_percent_rank_tie_semantics(tmp_path):
+    """Ties share a rank (PERCENT_RANK, not cume_dist): three equal
+    prices in a 5-row quarter all get rank 1 -> pct 0."""
+    import numpy as np
+
+    from dedupe_rust_ray.pipelines.joins import percent_rank_orders
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(5, dtype=np.int64),
+            "o_custkey": np.int64(1),
+            "o_orderstatus": "O",
+            "o_totalprice": [10.0, 10.0, 10.0, 20.0, 30.0],
+            "o_orderdate": pd.Timestamp("1995-02-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet")
+    out = percent_rank_orders(str(tmp_path)).to_pandas()
+    got = dict(zip(out["o_orderkey"], out["pct_rank"]))
+    assert got[0] == got[1] == got[2] == 0.0
+    assert got[3] == 0.75 and got[4] == 1.0
+    assert (out["quarter"] == 1995 * 10 + 1).all()
