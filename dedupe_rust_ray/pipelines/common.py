@@ -28,17 +28,27 @@ def canonical_sort(
     operator, so when the materialized result is driver-bounded it sorts
     in-process (one pandas sort); above ``driver_max_rows`` — pair sets
     or label tables at real scale — the distributed sort runs unchanged."""
+    import pyarrow as pa
+    import ray
+
     m = ds.materialize()
     if m.count() <= driver_max_rows:
-        df = m.to_pandas()
-        asc = (
-            [not d for d in descending]
+        # Arrow-to-Arrow round trip: a pandas detour would rewrite
+        # nullable int64 columns to float64/NaN and flip the value hash
+        # between the two size-gated paths
+        parts = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return m
+        t = pa.concat_tables(parts, promote_options="default")
+        desc = (
+            descending
             if isinstance(descending, list)
-            else not descending
+            else [descending] * len(keys)
         )
-        return ray.data.from_pandas(
-            df.sort_values(keys, ascending=asc, ignore_index=True)
+        t = t.sort_by(
+            [(k, "descending" if d else "ascending") for k, d in zip(keys, desc)]
         )
+        return ray.data.from_arrow(t)
     return m.sort(keys, descending=descending)
 
 

@@ -52,6 +52,21 @@ from ..stages.codec import list_col_matrix
 from .common import join_partitions, read
 
 
+def _md5_bucket(ids, mod: int) -> np.ndarray:
+    """Content-independent bucket of each id: first 8 hex digits of
+    ``md5(str(id))`` mod ``mod`` — the ONE bucketing rule shared by
+    hash_split, the curation split stage and quality_weighted_sample,
+    chosen because DuckDB reproduces it bit-for-bit for the oracles."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % mod
+            for i in ids
+        ),
+        np.int64,
+        count=len(ids),
+    )
+
+
 def _round4(x: np.ndarray) -> np.ndarray:
     """Half-up 4-decimal rounding, bit-reproducible in SQL as
     ``FLOOR(x * 10000 + 0.5) / 10000`` (np.round's half-to-even is not)."""
@@ -75,14 +90,7 @@ def hash_split(
     """
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                for i in batch["doc_id"]
-            ),
-            np.int64,
-            count=len(batch),
-        )
+        buckets = _md5_bucket(batch["doc_id"], 100)
         split = np.where(
             buckets < train_pct,
             "train",
@@ -890,6 +898,188 @@ def dedup_lines(
     return docs.map_batches(rewrite, batch_format="pyarrow").sort("doc_id")
 
 
+def _split_and_hash_words(batch: pa.Table, gram_words: int):
+    """Split a text batch into words and rolling gram hashes (shared by
+    both dedup_spans paths): returns (words ListArray, word offsets,
+    gram hashes uint64, per-doc gram offsets)."""
+    import pyarrow.compute as pc
+
+    from ..functions.shingles import rolling_window_hashes
+
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    w_off = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.to_numpy(zero_copy_only=False)
+    th = (
+        pd.util.hash_array(
+            np.asarray(flat, dtype=object), hash_key="dedupe_ray_00042"
+        ).astype(np.uint64)
+        if len(flat)
+        else np.empty(0, np.uint64)
+    )
+    gh, g_off = rolling_window_hashes(th, np.diff(w_off), gram_words)
+    return words, w_off, gh, g_off
+
+
+def _spans_rewrite_from_flags(
+    doc_ids: pa.Array, words, w_off: np.ndarray, flag: np.ndarray,
+    gram_words: int,
+) -> pa.Table:
+    """Shared dedup_spans rewrite core: given per-flat-word duplicated-
+    gram START flags, drop every covered word and reassemble each doc.
+
+    covered[w] = exists dup start s with s in [w-(k-1), w] AND s in w's
+    document: a running max of start indices, validated against the
+    word's document base (starts never cross docs, so any start >=
+    doc_base belongs to this doc)."""
+    import pyarrow.compute as pc
+
+    n_docs = len(w_off) - 1
+    nw = np.diff(w_off)
+    total_words = int(w_off[-1])
+    idx = np.arange(total_words, dtype=np.int64)
+    last = np.maximum.accumulate(np.where(flag, idx, np.int64(-1)))
+    doc_of_w = np.repeat(np.arange(n_docs), nw)
+    doc_base = w_off[doc_of_w]
+    covered = (last >= idx - (gram_words - 1)) & (last >= doc_base)
+    keep = ~covered
+    kept_per_doc = np.bincount(doc_of_w[keep], minlength=n_docs)
+    k_off = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(k_off, type=pa.int32()),
+        words.values.filter(pa.array(keep)),
+    )
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "text_clean": pc.binary_join(kept_list, pa.scalar(" ")),
+            "n_removed_words": pa.array((nw - kept_per_doc).astype(np.int64)),
+        }
+    )
+
+
+def _dedup_spans_join_path(
+    docs: ray.data.Dataset, dup, gram_words: int
+) -> ray.data.Dataset:
+    """Above-broadcast-ceiling leg of :func:`dedup_spans`: the dup-gram
+    set never touches the driver. Same union + hash-bucket groupby
+    co-location as :func:`_dedup_lines_join_path` (``Dataset.join``'s
+    acero leg chokes on schema-degraded empty partitions): occurrence
+    rows (hash, (doc_id << 20) | pos — 16 bytes, no text) co-group with
+    dup-hash rows; EVERY occurrence of a dup gram becomes a dropped
+    start; the starts then co-group with the documents on doc_id and the
+    shared coverage kernel rewrites each bucket locally."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    n_buckets = max(4, cpus)
+    mask_lo = (1 << _SEG_SHIFT) - 1
+
+    def occ(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, w_off, gh, g_off = _split_and_hash_words(batch, gram_words)
+        h = gh.view(np.int64)
+        doc_of_g = np.repeat(np.arange(len(g_off) - 1), np.diff(g_off))
+        local_g = (
+            np.arange(len(h), dtype=np.int64) - g_off[doc_of_g]
+            if len(h)
+            else np.empty(0, np.int64)
+        )
+        if len(local_g) and local_g.max() >= (1 << _SEG_SHIFT):
+            raise ValueError("document exceeds 2^20 gram positions")
+        return pa.table(
+            {
+                "b": pa.array((h % n_buckets).astype(np.int32)),
+                "h": h,
+                "enc": (ids[doc_of_g] << _SEG_SHIFT) | local_g,
+                "kind": pa.array(np.zeros(len(h), dtype=np.int8)),
+            }
+        )
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array((h % n_buckets).astype(np.int32)),
+                "h": h,
+                "enc": pa.array(np.zeros(len(h), dtype=np.int64)),
+                "kind": pa.array(np.ones(len(h), dtype=np.int8)),
+            }
+        )
+
+    tagged = docs.map_batches(occ, batch_format="pyarrow").union(
+        dup.map_batches(dup_rows, batch_format="pyarrow")
+    )
+
+    def starts(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        enc = group["enc"].to_numpy(zero_copy_only=False)
+        dh = np.sort(h[kind == 1])
+        oh, oe = h[kind == 0], enc[kind == 0]
+        if len(dh) and len(oh):
+            p = np.minimum(np.searchsorted(dh, oh), len(dh) - 1)
+            m = dh[p] == oh
+        else:
+            m = np.zeros(len(oh), dtype=bool)
+        d = oe[m]
+        return pa.table({"doc_id": d >> _SEG_SHIFT, "pos": d & mask_lo})
+
+    dropped = tagged.groupby("b").map_groups(starts, batch_format="pyarrow")
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "db": pa.array((ids % n_buckets).astype(np.int32)),
+                "doc_id": ids,
+                "text": batch["text"],
+                "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            }
+        )
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array((ids % n_buckets).astype(np.int32)),
+                "doc_id": ids,
+                "text": pa.array([""] * len(ids), type=pa.string()),
+                "pos": batch["pos"],
+            }
+        )
+
+    both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        dropped.map_batches(drop_rows, batch_format="pyarrow")
+    )
+
+    def rewrite_bucket(group: pa.Table) -> pa.Table:
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        is_doc = pos < 0
+        all_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        # sort the docs by id so dropped starts can searchsorted-resolve
+        d_ids = all_ids[is_doc]
+        order = np.argsort(d_ids)
+        d_ids = d_ids[order]
+        texts = group["text"].filter(pa.array(is_doc)).take(
+            pa.array(order, type=pa.int64())
+        )
+        sub = pa.table({"doc_id": d_ids, "text": texts})
+        words, w_off, _, _ = _split_and_hash_words(sub, gram_words)
+        flag = np.zeros(int(w_off[-1]), dtype=bool)
+        dp_ids, dp_pos = all_ids[~is_doc], pos[~is_doc]
+        if len(dp_ids):
+            row = np.searchsorted(d_ids, dp_ids)
+            flag[w_off[row] + dp_pos] = True
+        return _spans_rewrite_from_flags(
+            pa.array(d_ids), words, w_off, flag, gram_words
+        )
+
+    return both.groupby("db").map_groups(rewrite_bucket, batch_format="pyarrow")
+
+
 def dedup_spans(
     sf_dir: str,
     gram_words: int = 10,
@@ -905,36 +1095,18 @@ def dedup_spans(
 
     Two passes; text never rides a shuffle. Pass 1 folds per-(gram, doc)
     presence to global distinct-doc counts over 8-byte gram hashes; the
-    dup-gram set broadcasts as one sorted array (above the ceiling the
-    union + hash-bucket co-location of ``_dedup_lines_join_path`` is the
-    documented scale path). Pass 2 re-hashes, marks covered words with a
-    per-document running-max of duplicated-gram start positions (pure
-    numpy — no interval loop), and rebuilds the text via Arrow offsets +
-    ``binary_join``."""
+    dup-gram set broadcasts as one sorted array below the ceiling, and
+    above it :func:`_dedup_spans_join_path` co-locates occurrences with
+    dup hashes via union + hash-bucket groupby (no ``Dataset.join``).
+    Pass 2 marks covered words with a per-document running-max of
+    duplicated-gram start positions (pure numpy — no interval loop) and
+    rebuilds the text via Arrow offsets + ``binary_join``."""
     import pyarrow.compute as pc
-
-    from ..functions.shingles import rolling_window_hashes
 
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def _word_grams(batch: pa.Table):
-        words = pc.split_pattern(batch["text"], " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        w_off = words.offsets.to_numpy().astype(np.int64)
-        flat = words.values.to_numpy(zero_copy_only=False)
-        th = (
-            pd.util.hash_array(
-                np.asarray(flat, dtype=object), hash_key="dedupe_ray_00042"
-            ).astype(np.uint64)
-            if len(flat)
-            else np.empty(0, np.uint64)
-        )
-        gh, g_off = rolling_window_hashes(th, np.diff(w_off), gram_words)
-        return words, w_off, gh, g_off
-
     def gram_rows(batch: pa.Table) -> pa.Table:
-        _, _, gh, g_off = _word_grams(batch)
+        _, _, gh, g_off = _split_and_hash_words(batch, gram_words)
         doc_of = np.repeat(np.arange(len(g_off) - 1), np.diff(g_off))
         uniq = (
             pd.DataFrame({"d": doc_of, "h": gh.view(np.int64)})
@@ -958,18 +1130,20 @@ def dedup_spans(
         lambda t: t.filter(pc.greater_equal(t["sum(nd)"], 2)),
         batch_format="pyarrow",
     ).materialize()
-    n_dup = dup.count()
-    assert n_dup <= broadcast_max_rows, (
-        "dup-gram set exceeds broadcast ceiling: use the union+bucket "
-        "co-location scale path (_dedup_lines_join_path shape)"
-    )
+    from .common import canonical_sort
+
+    if dup.count() > broadcast_max_rows:
+        dup = dup.select_columns(["h"])
+        return canonical_sort(
+            _dedup_spans_join_path(docs, dup, gram_words), ["doc_id"]
+        )
     hs = np.sort(
         dup.select_columns(["h"]).to_pandas()["h"].to_numpy(np.int64)
     )
     ref = ray.put(hs)
 
     def rewrite(batch: pa.Table) -> pa.Table:
-        words, w_off, gh, g_off = _word_grams(batch)
+        words, w_off, gh, g_off = _split_and_hash_words(batch, gram_words)
         keys = ray.get(ref)
         ghi = gh.view(np.int64)
         if len(keys) and len(ghi):
@@ -978,47 +1152,20 @@ def dedup_spans(
         else:
             is_dup = np.zeros(len(ghi), dtype=bool)
         n_docs = len(w_off) - 1
-        nw = np.diff(w_off)
-        total_words = int(w_off[-1])
-        # duplicated-gram start flags in the flat word index space
         doc_of_g = np.repeat(np.arange(n_docs), np.diff(g_off))
         local_g = (
             np.arange(len(ghi), dtype=np.int64) - g_off[doc_of_g]
             if len(ghi)
             else np.empty(0, np.int64)
         )
-        flag = np.zeros(total_words, dtype=bool)
+        flag = np.zeros(int(w_off[-1]), dtype=bool)
         if len(ghi):
             flag[(w_off[doc_of_g] + local_g)[is_dup]] = True
-        # covered[w] = exists dup start s with s in [w-(k-1), w] AND s in
-        # w's document: a running max of start indices, validated against
-        # the word's document base (starts never cross docs, so any start
-        # >= doc_base belongs to this doc)
-        idx = np.arange(total_words, dtype=np.int64)
-        last = np.maximum.accumulate(np.where(flag, idx, np.int64(-1)))
-        doc_of_w = np.repeat(np.arange(n_docs), nw)
-        doc_base = w_off[doc_of_w]
-        covered = (last >= idx - (gram_words - 1)) & (last >= doc_base)
-        keep = ~covered
-        kept_per_doc = np.bincount(doc_of_w[keep], minlength=n_docs)
-        k_off = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(k_off, type=pa.int32()),
-            words.values.filter(pa.array(keep)),
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "text_clean": pc.binary_join(kept_list, pa.scalar(" ")),
-                "n_removed_words": pa.array(
-                    (nw - kept_per_doc).astype(np.int64)
-                ),
-            }
+        return _spans_rewrite_from_flags(
+            batch["doc_id"], words, w_off, flag, gram_words
         )
 
     out = docs.map_batches(rewrite, batch_format="pyarrow")
-    from .common import canonical_sort
-
     return canonical_sort(out, ["doc_id"])
 
 
@@ -1223,14 +1370,7 @@ def curate_corpus(
     )
 
     def add_split(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                for i in batch["doc_id"]
-            ),
-            np.int64,
-            count=len(batch),
-        )
+        buckets = _md5_bucket(batch["doc_id"], 100)
         batch = batch.copy()
         batch["split"] = np.where(
             buckets < 90, "train", np.where(buckets < 95, "val", "test")
@@ -1435,14 +1575,7 @@ def quality_weighted_sample(
         n_tokens = (
             batch["text"].fillna("").str.split().str.len().fillna(0)
         ).astype("int64")
-        bucket = np.fromiter(
-            (
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
-                for i in batch["doc_id"]
-            ),
-            np.int64,
-            count=len(batch),
-        )
+        bucket = _md5_bucket(batch["doc_id"], 10000)
         thresh = np.minimum(
             n_tokens.to_numpy() * 10000 // full_keep_tokens, 10000
         )

@@ -193,7 +193,7 @@ def events_range_join(
             }
         )
 
-    return (
+    out = (
         read(
             sf_dir,
             "events",
@@ -205,8 +205,10 @@ def events_range_join(
             lambda g: per_shard(g.drop(columns=["shard"])),
             batch_format="pandas",
         )
-        .sort("event_id")
     )
+    from .common import canonical_sort
+
+    return canonical_sort(out, ["event_id"])
 
 
 def conversion_funnel(sf_dir: str) -> pd.DataFrame:
@@ -220,25 +222,33 @@ def conversion_funnel(sf_dir: str) -> pd.DataFrame:
     (min signup ts, max purchase ts, any flags), one small user-domain
     groupby folds them, and the funnel is three counters over that
     bounded table."""
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min
+
+    # membership is decided by explicit has-flags aggregated with Max —
+    # the int64-extreme sentinels below only pad min/max inputs and can
+    # never classify a user (a real timestamp at the int64 bound is NaT)
+    hi = np.iinfo(np.int64).max
+    lo = np.iinfo(np.int64).min + 1
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         is_s = (batch["event_type"] == "signup").to_numpy()
         is_p = (batch["event_type"] == "purchase").to_numpy()
-        ts = batch["ts"].astype("datetime64[ns]")
-        far_future = pd.Timestamp("2100-01-01")
-        long_ago = pd.Timestamp("1970-01-01")
+        ns = batch["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
         df = pd.DataFrame(
             {
                 "user_id": batch["user_id"].to_numpy(np.int64),
-                "s_ts": ts.where(pd.Series(is_s, index=ts.index), far_future),
-                "p_ts": ts.where(pd.Series(is_p, index=ts.index), long_ago),
+                "s_ns": np.where(is_s, ns, hi),
+                "p_ns": np.where(is_p, ns, lo),
+                "has_s": is_s.astype(np.int64),
+                "has_p": is_p.astype(np.int64),
             }
         )
-        g = df.groupby("user_id", as_index=False).agg(
-            first_signup=("s_ts", "min"), last_purchase=("p_ts", "max")
+        return df.groupby("user_id", as_index=False).agg(
+            first_signup=("s_ns", "min"),
+            last_purchase=("p_ns", "max"),
+            has_s=("has_s", "max"),
+            has_p=("has_p", "max"),
         )
-        return g
 
     per_user = (
         read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
@@ -247,13 +257,17 @@ def conversion_funnel(sf_dir: str) -> pd.DataFrame:
         .aggregate(
             Min("first_signup", alias_name="first_signup"),
             Max("last_purchase", alias_name="last_purchase"),
+            Max("has_s", alias_name="has_s"),
+            Max("has_p", alias_name="has_p"),
         )
         .to_pandas()  # user-domain: bounded
     )
-    far_future = pd.Timestamp("2100-01-01")
-    long_ago = pd.Timestamp("1970-01-01")
-    signed = per_user["first_signup"] < far_future
-    converted = signed & (per_user["last_purchase"] >= per_user["first_signup"])
+    signed = per_user["has_s"] == 1
+    converted = (
+        signed
+        & (per_user["has_p"] == 1)
+        & (per_user["last_purchase"] >= per_user["first_signup"])
+    )
     n_users = len(per_user)
     n_signup = int(signed.sum())
     n_converted = int(converted.sum())

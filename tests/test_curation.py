@@ -484,6 +484,13 @@ def test_dedup_spans_overlap_merge_and_removal(tmp_path):
     # deterministic
     again = curation.dedup_spans(sf).to_pandas().set_index("doc_id")
     pd.testing.assert_frame_equal(out, again)
+    # scale path: force the union+bucket join leg; identical output
+    joined = (
+        curation.dedup_spans(sf, broadcast_max_rows=0)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    pd.testing.assert_frame_equal(out, joined, check_dtype=False)
 
 
 def test_quality_weighted_sample_rate_proportionality(tmp_path):
