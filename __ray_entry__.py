@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_weighted_sample": curation.quality_weighted_sample,
         "conversion_funnel": sessions.conversion_funnel,
         "percent_rank_orders": joins.percent_rank_orders,
+        "fuzzy_name_pairs": dedupe.fuzzy_name_pairs,
     }
 
 
@@ -857,6 +858,17 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0 "
             " THEN 2.0 ELSE 1.0 END) AS pos "
             "FROM r ORDER BY pos, doc_id"
+        ),
+        "fuzzy_name_pairs": (
+            "SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, "
+            " FLOOR(jaro_winkler_similarity(a.c_name, b.c_name) * 10000 "
+            "  + 0.5) / 10000 AS sim "
+            "FROM customer a JOIN customer b "
+            " ON substr(a.c_name, 1, length(a.c_name) - 2) "
+            "  = substr(b.c_name, 1, length(b.c_name) - 2) "
+            " AND a.c_custkey < b.c_custkey "
+            "WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.98 "
+            "ORDER BY key_a, key_b"
         ),
         "percent_rank_orders": (
             "SELECT o_orderkey, "

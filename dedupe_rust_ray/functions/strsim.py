@@ -46,8 +46,17 @@ def jaro(a: str, b: str) -> float:
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
-def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+def jaro_winkler(
+    a: str, b: str, prefix_weight: float = 0.1, boost_threshold: float = 0.0
+) -> float:
+    """Jaro-Winkler similarity. ``boost_threshold=0.0`` (the ER scorer's
+    historical behavior) always applies the prefix boost; the standard
+    Winkler convention — and DuckDB's ``jaro_winkler_similarity`` — only
+    boosts when the base Jaro exceeds 0.7 (pass ``boost_threshold=0.7``
+    for oracle-exact parity)."""
     base = jaro(a, b)
+    if base <= boost_threshold and boost_threshold > 0.0:
+        return base
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca != cb:

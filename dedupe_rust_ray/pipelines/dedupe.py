@@ -460,3 +460,62 @@ def embedding_cosine_pairs(
         concurrency=(1, 8),
     ).to_pandas()
     return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+def fuzzy_name_pairs(
+    sf_dir: str, threshold: float = 0.98
+) -> ray.data.Dataset:
+    """Blocked fuzzy self-join: customer-name pairs with Jaro-Winkler
+    similarity >= ``threshold`` — the record-linkage join surfaced as a
+    standalone query, with a DuckDB value oracle (DuckDB ships
+    ``jaro_winkler_similarity``; the engine scores with
+    ``boost_threshold=0.7`` for convention-exact parity).
+
+    Plan: the reference's blocking discipline (src/main.rs:365-435) —
+    pairs are only scored INSIDE a block (names sharing all but their
+    last two characters), so a block of k names costs k^2/2 scores and
+    the all-pairs quadratic never materializes; one groupby on the block
+    key is the only shuffle."""
+    from ..functions.strsim import jaro_winkler
+
+    def add_block(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(np.int64),
+                "c_name": batch["c_name"],
+                "block": batch["c_name"].str.slice(0, -2),
+            }
+        )
+
+    def score_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("c_custkey", ignore_index=True)
+        keys = g["c_custkey"].to_numpy(np.int64)
+        names = g["c_name"].tolist()
+        rows_a, rows_b, sims = [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                s = jaro_winkler(names[i], names[j], boost_threshold=0.7)
+                if s >= threshold:
+                    rows_a.append(keys[i])
+                    rows_b.append(keys[j])
+                    sims.append(np.floor(s * 1e4 + 0.5) / 1e4)
+        return pd.DataFrame(
+            {
+                "key_a": np.asarray(rows_a, dtype=np.int64),
+                "key_b": np.asarray(rows_b, dtype=np.int64),
+                "sim": np.asarray(sims, dtype=np.float64),
+            }
+        )
+
+    out = (
+        read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(add_block, batch_format="pandas")
+        .groupby("block")
+        .map_groups(
+            lambda g: score_block(g.drop(columns=["block"])),
+            batch_format="pandas",
+        )
+    )
+    from .common import canonical_sort
+
+    return canonical_sort(out, ["key_a", "key_b"])
