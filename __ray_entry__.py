@@ -203,7 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": joins.q10_returned_items,
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "events_sliding_window": analytics.events_sliding_window,
-        "pivot_lang_by_source": reshape.pivot_lang_by_source,
+        "fuzzy_name_pairs": dedupe.fuzzy_name_pairs,
         "rollup_census": reshape.rollup_census,
         "corr_quantity_price": reshape.corr_quantity_price,
         "dedup_lines": curation.dedup_lines,
@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-green in round 2 — CORRECTNESS_r02.json — and keeps its
         # oracle_sql entry for local checks via scripts/check_oracle.py)
         "er_clusters_organic": er_clusters_organic,
+        "pivot_lang_by_source": reshape.pivot_lang_by_source,
         "census_by_source": analytics.census_by_source,
         "dup_group_sizes": analytics.dup_group_sizes,
         "top_tokens": textpipe.top_tokens,
@@ -265,7 +266,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_weighted_sample": curation.quality_weighted_sample,
         "conversion_funnel": sessions.conversion_funnel,
         "percent_rank_orders": joins.percent_rank_orders,
-        "fuzzy_name_pairs": dedupe.fuzzy_name_pairs,
     }
 
 
