@@ -52,7 +52,14 @@ def _run_queries() -> dict:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dedupe_rust_ray.config import ERConfig
-    from dedupe_rust_ray.pipelines import analytics, dedupe, multimodal, similarity
+    from dedupe_rust_ray.pipelines import (
+        analytics,
+        curation,
+        dedupe,
+        multimodal,
+        similarity,
+        textpipe,
+    )
     from dedupe_rust_ray.pipelines.er import er_pipeline
     from dedupe_rust_ray.sources.corpus import synth_corpus_distributed
 
@@ -170,6 +177,21 @@ def _run_queries() -> dict:
     )
     extra["er_cluster_rows"] = rowcounts["er_pipeline"]
     extra["er_docs_per_sec"] = round(n_docs / timings["er_pipeline"], 1)
+
+    # round-3 rewrite/search operators, timed once each OUTSIDE the
+    # comparable suite metric (so `value` stays r1/r2-comparable)
+    extras_t = {}
+    for name, fn in (
+        ("dedup_lines", lambda: curation.dedup_lines(SF_DIR).count()),
+        ("dedup_spans", lambda: curation.dedup_spans(SF_DIR).count()),
+        ("bm25_search", lambda: textpipe.bm25_search(SF_DIR).count()),
+        ("mixture_schedule", lambda: curation.mixture_schedule(SF_DIR).count()),
+    ):
+        gc.collect()
+        t0 = time.time()
+        fn()
+        extras_t[name] = round(time.time() - t0, 3)
+    extra["extra_queries"] = extras_t
 
     total = round(sum(timings.values()), 3)
     return {
