@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_weighted_sample": curation.quality_weighted_sample,
         "conversion_funnel": sessions.conversion_funnel,
         "percent_rank_orders": joins.percent_rank_orders,
+        "cube_census": reshape.cube_census,
     }
 
 
@@ -869,6 +870,13 @@ def oracle_sql() -> dict[str, str]:
             " AND a.c_custkey < b.c_custkey "
             "WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.98 "
             "ORDER BY key_a, key_b"
+        ),
+        "cube_census": (
+            "SELECT COALESCE(lang, '(all)') AS lang, "
+            " COALESCE(source, '(all)') AS source, "
+            " CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY CUBE(lang, source) "
+            "ORDER BY lang, source"
         ),
         "percent_rank_orders": (
             "SELECT o_orderkey, "

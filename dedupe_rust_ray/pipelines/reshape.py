@@ -316,3 +316,38 @@ def value_quantiles_dd(
             rows.append((et, q, est))
     out = pd.DataFrame(rows, columns=["event_type", "q", "value_est"])
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def cube_census(sf_dir: str) -> pd.DataFrame:
+    """CUBE(lang, source): counts at all four grouping sets —
+    (lang, source), (lang, *), (*, source) and (*, *) — completing the
+    grouping-sets family next to :func:`rollup_census` (which lacks the
+    source marginal). Same physical plan: ONE shuffle at the finest
+    granularity, every coarser set re-reduced from the finest partials
+    (|langs| x |sources| rows — driver-tiny at any input scale)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return t.rename_columns(["lang", "source", "partial"])
+
+    finest = (
+        read(sf_dir, "documents", columns=["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()
+    )
+    by_lang = finest.groupby("lang", as_index=False)["n"].sum()
+    by_lang["source"] = "(all)"
+    by_source = finest.groupby("source", as_index=False)["n"].sum()
+    by_source["lang"] = "(all)"
+    total = pd.DataFrame(
+        {"lang": ["(all)"], "source": ["(all)"], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat([finest, by_lang, by_source, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["lang", "source", "n"]]
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
