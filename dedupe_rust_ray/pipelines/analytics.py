@@ -22,7 +22,14 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.hashing import stable_hash64
-from .common import canonical_sort, read
+from .common import (
+    canonical_sort,
+    cents_to_money,
+    money_cents,
+    read,
+    revenue_units,
+    units_to_money,
+)
 
 
 def _h64_as_i64(batch: pa.Table) -> np.ndarray:
@@ -224,16 +231,31 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         # combiner: one partial row per (flag, status) per batch, so the
-        # groupby shuffles ~6 rows per batch instead of every lineitem row
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        # groupby shuffles ~6 rows per batch instead of every lineitem row.
+        # Money partials are EXACT int64 (cents / 1e-4 units): float
+        # accumulation order varies with block layout and can flip the
+        # final cent rounding (the round-3 q10 flake class).
+        base_cents = money_cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         )
-        t = batch.append_column("disc_price", disc_price)
+        disc_units = revenue_units(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "base_cents": pa.array(base_cents, type=pa.int64()),
+                "disc_units": pa.array(disc_units, type=pa.int64()),
+            }
+        )
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [
                 ("l_quantity", "sum"),
-                ("l_extendedprice", "sum"),
-                ("disc_price", "sum"),
+                ("base_cents", "sum"),
+                ("disc_units", "sum"),
                 ("l_quantity", "count"),
             ]
         ).rename_columns(
@@ -260,14 +282,30 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     out = canonical_sort(out, ["l_returnflag", "l_linestatus"])
 
     def finalize(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(
-            "avg_qty",
-            pc.round(pc.divide(batch["sum_qty"], batch["count_order"]), ndigits=2),
+        # avg_qty: FLOOR(x*100+0.5)/100 on the exact int-valued sums —
+        # identical float ops on both the Ray and the oracle side
+        sq = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        n = batch["count_order"].to_numpy(zero_copy_only=False)
+        avg_qty = np.floor(sq / n * 100 + 0.5) / 100
+        batch = batch.append_column("avg_qty", pa.array(avg_qty))
+        batch = batch.set_column(
+            batch.column_names.index("sum_base_price"),
+            "sum_base_price",
+            pa.array(
+                cents_to_money(
+                    batch["sum_base_price"].to_numpy(zero_copy_only=False)
+                )
+            ),
         )
-        for c in ("sum_base_price", "sum_disc_price"):
-            batch = batch.set_column(
-                batch.column_names.index(c), c, pc.round(batch[c], ndigits=2)
-            )
+        batch = batch.set_column(
+            batch.column_names.index("sum_disc_price"),
+            "sum_disc_price",
+            pa.array(
+                units_to_money(
+                    batch["sum_disc_price"].to_numpy(zero_copy_only=False)
+                )
+            ),
+        )
         return batch
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -277,10 +315,13 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
     """Top-10 customers by total order value — join + sort + limit.
 
     The customer dimension is the SMALL side: broadcast once with
-    ``ray.put`` and looked up per batch (no shuffle join), per the
-    broadcast-small-sides rule."""
+    ``ray.put`` as SORTED numpy key/name arrays probed with searchsorted
+    (no Python dict of boxed ints — SF-scaled and multi-GB per worker at
+    warehouse scale — and no per-row loop), per the q5/q14 pattern."""
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], cust["c_name"].to_numpy(dtype=object)[order]))
 
     per_cust = (
         read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -290,15 +331,20 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
 
     class AttachName:
         def __init__(self, ref):
-            self.names = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            names = [self.names.get(k, "") for k in keys]
+            from .common import sorted_int_lookup
+
+            probe = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            names, found = sorted_int_lookup(self.keys, self.names, probe)
+            names = np.where(found, names, "")
             return pa.table(
                 {
                     "c_custkey": batch["o_custkey"],
                     "c_name": pa.array(names, type=pa.string()),
+                    # plain 2-decimal money sum: the true value sits ON
+                    # the cent grid, so the rounding is order-safe
                     "revenue": pc.round(batch["revenue"], ndigits=2),
                 }
             )
@@ -382,16 +428,22 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
             ),
         )
         t = batch.filter(mask)
-        rev = pc.sum(
-            pc.multiply(t["l_extendedprice"], t["l_discount"])
-        ).as_py()
-        return pa.table({"partial": pa.array([rev or 0.0], type=pa.float64())})
+        # exact 1e-4-dollar units (price*disc: both 2-decimal) — order-free
+        units = int(
+            (
+                money_cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+                * money_cents(t["l_discount"].to_numpy(zero_copy_only=False))
+            ).sum()
+        )
+        return pa.table({"partial": pa.array([units], type=pa.int64())})
 
     total = (
         ds.map_batches(partial, batch_format="pyarrow")
         .aggregate(Sum("partial", alias_name="revenue"))
     )
-    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+    return pd.DataFrame(
+        {"revenue": [float(units_to_money(total["revenue"]))]}
+    )
 
 
 def part_type_census(sf_dir: str) -> ray.data.Dataset:
@@ -547,10 +599,12 @@ def q5_local_supplier_volume(
         keep = cfound & sfound & (cn == sn)
         if not keep.any():
             return pd.DataFrame({"n_name": pd.Series(dtype=object),
-                                 "partial": pd.Series(dtype=float)})
-        rev = (
-            batch["l_extendedprice"].to_numpy(np.float64)[keep]
-            * (1.0 - batch["l_discount"].to_numpy(np.float64)[keep])
+                                 "partial": pd.Series(dtype="int64")})
+        # exact int64 1e-4-dollar units: order-free summation (see
+        # common.revenue_units — the q10 cent-rounding flake class)
+        rev = revenue_units(
+            batch["l_extendedprice"].to_numpy(np.float64)[keep],
+            batch["l_discount"].to_numpy(np.float64)[keep],
         )
         names, _ = _lookup(nkeys, nnames, cn[keep])
         out = (
@@ -566,7 +620,7 @@ def q5_local_supplier_volume(
         .aggregate(Sum("partial", alias_name="revenue"))
         .to_pandas()
     )
-    agg["revenue"] = agg["revenue"].round(2)
+    agg["revenue"] = units_to_money(agg["revenue"].to_numpy(np.int64))
     return agg.sort_values(
         ["revenue", "n_name"], ascending=[False, True], ignore_index=True
     )
@@ -593,12 +647,19 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         hi = np.datetime64("1996-07-01")
         keep = (d >= lo) & (d < hi)
         if not keep.any():
-            return pa.table({"promo": pa.array([0.0]), "total": pa.array([0.0])})
+            return pa.table(
+                {
+                    "promo": pa.array([0], type=pa.int64()),
+                    "total": pa.array([0], type=pa.int64()),
+                }
+            )
         promo_keys = ray.get(promo_ref)  # sorted int64 array, zero-copy
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
-        rev = (
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
-            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep])
+        # exact int64 1e-4-dollar units: the promo share divides two
+        # order-free integer sums, so the 1e-4 rounding is deterministic
+        rev = revenue_units(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep],
         )
         pos = np.searchsorted(promo_keys, pk)
         pos_c = np.minimum(pos, max(len(promo_keys) - 1, 0))
@@ -609,8 +670,8 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         )
         return pa.table(
             {
-                "promo": pa.array([float(rev[is_promo].sum())]),
-                "total": pa.array([float(rev.sum())]),
+                "promo": pa.array([int(rev[is_promo].sum())], type=pa.int64()),
+                "total": pa.array([int(rev.sum())], type=pa.int64()),
             }
         )
 

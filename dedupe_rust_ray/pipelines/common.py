@@ -52,6 +52,46 @@ def canonical_sort(
     return m.sort(keys, descending=descending)
 
 
+def money_cents(x) -> np.ndarray:
+    """Exact int64 cents of a 2-decimal money column.
+
+    Every money column in the driver tables (prices, discounts, account
+    balances, event values) is generated on the 2-decimal grid, so
+    ``round(x*100)`` recovers the exact integer cents; float64 holds each
+    raw value within ~1e-9 of the grid point, far inside the rounding
+    radius."""
+    return np.rint(np.asarray(x, dtype=np.float64) * 100.0).astype(np.int64)
+
+
+def revenue_units(price, discount) -> np.ndarray:
+    """Exact int64 revenue ``price * (1 - discount)`` in 1e-4-dollar units.
+
+    The revenue partials of the TPC-H-shaped queries historically summed
+    ``float(price) * (1 - float(discount))`` — a float64 whose accumulation
+    ORDER varies with Ray block layout, flipping FLOOR(x*100+0.5) by one
+    cent when a group's sum lands on a .xx5 boundary (the round-3
+    q10_returned_items hash flake). Integer summation is exact and
+    order-free: sums fit int64 with ~1e6 headroom at sf100 (~1.05e9 max
+    per row x 6e9 rows ~ 6e18 < 2^63)."""
+    return money_cents(price) * (100 - money_cents(discount))
+
+
+def units_to_money(units) -> np.ndarray:
+    """1e-4-dollar int units -> half-up-rounded 2-decimal float dollars.
+
+    Bit-matches the oracles' ``FLOOR(x*100 + 0.5)/100`` on the exact
+    value: integer floor-division to cents, then one exact float divide
+    (cents < 2^53 are exactly representable)."""
+    u = np.asarray(units, dtype=np.int64)
+    return np.floor_divide(u + 50, 100).astype(np.float64) / 100.0
+
+
+def cents_to_money(cents) -> np.ndarray:
+    """Exact int64 cents -> float dollars (no rounding needed: the true
+    value already sits on the cent grid)."""
+    return np.asarray(cents, dtype=np.int64).astype(np.float64) / 100.0
+
+
 def sorted_int_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
     """Vectorized key->value probe against a SORTED int64 key array — the
     broadcast-dimension lookup shared by the relational pack and q5/q14.

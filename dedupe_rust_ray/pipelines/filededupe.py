@@ -264,7 +264,13 @@ def file_dedupe_query(sf_dir: str) -> pd.DataFrame:
     groups, _ = file_dedupe_groups(root)
     groups = groups.copy()
     groups["path"] = groups["path"].str.replace(root + "/", "", regex=False)
-    return groups
+    # pinned dtypes: the tree is a pure function of doc_id, so the driver
+    # value-checks this result against closed-form SQL over `documents`
+    # (every 7th doc has one byte-identical copy under dups/; member and
+    # group order are lexicographic on the zero-padded media id)
+    return groups.astype(
+        {"group_id": "int64", "width": "int32", "height": "int32"}
+    )
 
 
 def file_dedupe_results(

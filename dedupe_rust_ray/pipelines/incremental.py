@@ -67,6 +67,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import ERConfig
+from ..functions.hashing import stable_hash64
 from ..stages.blocking import emit_blocking_keys
 from ..stages.pairs import candidate_pairs_in_shard, dedup_pairs
 from ..stages.scoring import broadcast_score_batch, pack_profiles
@@ -378,13 +379,41 @@ def incremental_er_update(
     )
 
     # -- 8. merge with existing clusters (touch only affected ones) ----
+    # broadcast SORTED uint64 hash arrays, probed with searchsorted —
+    # never Python sets of strings (corpus-proportional boxed objects per
+    # worker) nor per-row membership loops. The touched set is bounded by
+    # the delta's candidate endpoints (broadcast_max_docs), so 8 B/key.
     clusters = read_state_clusters(state_dir)
-    touched_docs = set(new_edges["doc_a"]) | set(new_edges["doc_b"])
-    tref = ray.put(touched_docs)
+    touched_hs = (
+        np.unique(
+            np.concatenate(
+                [
+                    np.asarray(
+                        stable_hash64(new_edges["doc_a"].tolist()),
+                        dtype=np.uint64,
+                    ),
+                    np.asarray(
+                        stable_hash64(new_edges["doc_b"].tolist()),
+                        dtype=np.uint64,
+                    ),
+                ]
+            )
+        )
+        if len(new_edges)
+        else np.array([], dtype=np.uint64)
+    )
+    tref = ray.put(touched_hs)
+
+    def _sorted_hash_mask(keys: np.ndarray, values: list) -> np.ndarray:
+        if not len(keys) or not len(values):
+            return np.zeros(len(values), dtype=bool)
+        h = np.asarray(stable_hash64(values), dtype=np.uint64)
+        pos = np.minimum(np.searchsorted(keys, h), len(keys) - 1)
+        return keys[pos] == h
 
     def affected_ids(b: pa.Table) -> pa.Table:
-        docs = ray.get(tref)
-        mask = [d in docs for d in b["doc_id"].to_pylist()]
+        keys = ray.get(tref)
+        mask = _sorted_hash_mask(keys, b["doc_id"].to_pylist())
         return b.filter(pa.array(mask)).select(["cluster_id"])
 
     affected = set()
@@ -397,15 +426,16 @@ def incremental_er_update(
         )
         if "cluster_id" in names:
             affected.update(t["cluster_id"].to_pylist())
-    aref = ray.put(affected)
+    affected_hs = (
+        np.unique(np.asarray(stable_hash64(sorted(affected)), dtype=np.uint64))
+        if affected
+        else np.array([], dtype=np.uint64)
+    )
+    aref = ray.put(affected_hs)
 
     def split_mask(b: pa.Table, keep_affected: bool) -> pa.Table:
-        aff = ray.get(aref)
-        mask = np.fromiter(
-            (c in aff for c in b["cluster_id"].to_pylist()),
-            dtype=bool,
-            count=b.num_rows,
-        )
+        keys = ray.get(aref)
+        mask = _sorted_hash_mask(keys, b["cluster_id"].to_pylist())
         return b.filter(pa.array(mask if keep_affected else ~mask))
 
     untouched = clusters.map_batches(

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .common import join_partitions, read
+from .common import join_partitions, read, revenue_units, units_to_money
 
 _N_SHARDS = 32
 
@@ -330,9 +330,12 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
     )
 
     def rev_partial(batch: pa.Table) -> pa.Table:
-        rev = (
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+        # exact int64 1e-4-dollar units (common.revenue_units): float
+        # partials summed in block-layout order flipped the final cent at
+        # .xx5 boundaries — the round-3 hash flake on THIS query
+        rev = revenue_units(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
         )
         df = pd.DataFrame(
             {"c": batch["o_custkey"].to_numpy(zero_copy_only=False), "r": rev}
@@ -341,7 +344,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.table(
             {
                 "o_custkey": pa.array(g["c"].to_numpy(np.int64)),
-                "partial": pa.array(g["r"].to_numpy()),
+                "partial": pa.array(g["r"].to_numpy(np.int64)),
             }
         )
 
@@ -351,33 +354,40 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .aggregate(Sum("partial", alias_name="revenue"))
         .materialize()
     )
-    # cut by THRESHOLD, not count: rounding is monotone, so every row of
-    # the rounded top-k has unrounded revenue > round(v_k) - 0.005 where
-    # v_k is the k-th largest unrounded value — a count cut (limit(2k))
-    # can drop rounded-revenue ties that straddle the boundary
+    # cut by ROUNDED-CENT threshold, not count: every unit value whose
+    # half-up cent rounding ties the k-th winner's must survive to the
+    # final (rounded, custkey) sort — integer comparison, no epsilon
     kth = agg.sort("revenue", descending=True).limit(k).to_pandas()
     if len(kth) >= k:
-        vk = float(kth["revenue"].min())
-        thresh = np.floor(vk * 100 + 0.5) / 100 - 0.005
+        vk_cents = int((int(kth["revenue"].min()) + 50) // 100)
         top = agg.map_batches(
-            lambda b, t=thresh: b.filter(
-                pc.greater_equal(b["revenue"], pa.scalar(t))
+            lambda b, t=vk_cents: b.filter(
+                pc.greater_equal(
+                    pc.divide(
+                        pc.add(b["revenue"], pa.scalar(50, type=pa.int64())),
+                        pa.scalar(100, type=pa.int64()),
+                    ),
+                    pa.scalar(t, type=pa.int64()),
+                )
             ),
             batch_format="pyarrow",
         ).to_pandas()
     else:
         top = kth
-    top["revenue"] = np.floor(top["revenue"].to_numpy() * 100 + 0.5) / 100
+    top["revenue"] = units_to_money(top["revenue"].to_numpy(np.int64))
     top = (
         top.sort_values(["revenue", "o_custkey"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )
+    winner_keys = np.sort(top["o_custkey"].to_numpy(np.int64))
     cust = read(
         sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
     ).map_batches(
-        lambda b, keys=set(top["o_custkey"]): b.filter(
-            pa.array([int(v) in keys for v in b["c_custkey"].to_pylist()])
+        lambda b, keys=winner_keys: b.filter(
+            pa.array(
+                np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), keys)
+            )
         ),
         batch_format="pyarrow",
     ).to_pandas()

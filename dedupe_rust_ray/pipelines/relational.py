@@ -37,7 +37,11 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from .common import join_partitions, read
+from .common import cents_to_money as _cents_to_money
+from .common import money_cents as _money_cents
+from .common import revenue_units as _revenue_units
 from .common import sorted_int_lookup as _sorted_int_lookup
+from .common import units_to_money as _units_to_money
 
 
 def _round2(x: np.ndarray | float) -> np.ndarray | float:
@@ -120,8 +124,12 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
             pc.less(batch["l_shipdate"], pa.scalar(hi)),
         )
         t = batch.filter(m)
-        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact int64 1e-4-dollar units: the argmax compares EXACT
+        # integers after a deterministic rounding, so a one-cent float
+        # flip can no longer change the winner SET (round-3 advice)
+        rev = _revenue_units(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
         )
         df = pd.DataFrame(
             {"s": t["l_suppkey"].to_numpy(zero_copy_only=False), "r": rev}
@@ -130,7 +138,7 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "l_suppkey": pa.array(g["s"].to_numpy(np.int64)),
-                "partial": pa.array(g["r"].to_numpy()),
+                "partial": pa.array(g["r"].to_numpy(np.int64)),
             }
         )
 
@@ -145,14 +153,18 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("partial", alias_name="total_revenue"))
         .to_pandas()  # supplier-domain: a bounded dimension aggregate
     )
-    rev["total_revenue"] = _round2(rev["total_revenue"].to_numpy())
+    rev["total_revenue"] = _units_to_money(
+        rev["total_revenue"].to_numpy(np.int64)
+    )
     winners = rev[rev["total_revenue"] == rev["total_revenue"].max()]
-    keys = set(int(v) for v in winners["l_suppkey"])
+    keys = np.sort(winners["l_suppkey"].to_numpy(np.int64))
     names = (
         read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
         .map_batches(
             lambda b, ks=keys: b.filter(
-                pa.array([int(v) in ks for v in b["s_suppkey"].to_pylist()])
+                pa.array(
+                    np.isin(b["s_suppkey"].to_numpy(zero_copy_only=False), ks)
+                )
             ),
             batch_format="pyarrow",
         )
@@ -174,33 +186,28 @@ def q17_small_quantity_revenue(
     not taken — a correlated per-key aggregate consumed by a second scan.
 
     Plan: two STREAMING passes over a column-pruned lineitem, never a
-    self-join. Pass 1 computes per-part (sum, count) quantity for the
-    brand's parts; the resulting per-part thresholds are brand-selective
-    (|part|/25 rows) and ship as sorted arrays via one ``ray.put``. Pass
-    2 re-filters lineitem against the thresholds and partially sums the
-    surviving extendedprice. Both passes prune to the brand's partkeys
-    with a searchsorted probe. Above ``broadcast_max_rows`` the
-    threshold side would switch to a hash ``Dataset.join`` keyed on
-    l_partkey (the q5 ladder) — at that size pass 2's filter becomes the
-    join's probe side."""
-    import pyarrow.parquet as pq
+    self-join. The brand's partkeys come from a Ray scan (column-pruned,
+    filtered before anything reaches the driver) and the LADDER decides
+    each leg's physical shape: below ``broadcast_max_rows`` the keys /
+    per-part thresholds ship as sorted arrays via one ``ray.put`` and a
+    searchsorted probe; above it each leg switches to a hash
+    ``Dataset.join`` keyed on l_partkey (the q5 ladder) — no driver-side
+    read of an SF-scaled table on either path. Money sums are exact
+    int64 cents (order-free; see common.revenue_units)."""
+    part_keys_ds = read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.filter(pc.equal(b["p_brand"], pa.scalar(brand))).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_brand = part_keys_ds.count()
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li1 = read(sf_dir, "lineitem", columns=li_cols[:2])
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    )
-    bkeys = np.sort(
-        part.filter(pc.equal(part["p_brand"], pa.scalar(brand)))[
-            "p_partkey"
-        ].to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    bref = ray.put(bkeys)
-
-    def pass1(batch: pa.Table, ref=bref) -> pa.Table:
-        ks = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+    def agg_partial(batch: pa.Table) -> pa.Table:
         p = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        _, found = _sorted_int_lookup(ks, ks, p)
-        q = batch["l_quantity"].to_numpy(zero_copy_only=False)[found]
-        df = pd.DataFrame({"p": p[found], "q": q})
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"p": p, "q": q})
         g = df.groupby("p", as_index=False).agg(s=("q", "sum"), n=("q", "size"))
         return pa.table(
             {
@@ -210,41 +217,116 @@ def q17_small_quantity_revenue(
             }
         )
 
-    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
-    per_part = (
-        read(sf_dir, "lineitem", columns=li_cols[:2])
-        .map_batches(pass1, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("s", alias_name="sq"), Sum("n", alias_name="nq"))
-        .to_pandas()  # brand-selective: |part|/25 rows
-    )
-    assert len(per_part) <= broadcast_max_rows, "switch threshold side to join"
-    if per_part.empty:  # absent brand: empty threshold side, all-miss probe
-        tk, tv = np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+    if n_brand <= broadcast_max_rows:
+        parts_arrow = [
+            t
+            for t in ray.get(part_keys_ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        bkeys = (
+            np.sort(
+                np.concatenate(
+                    [
+                        t["p_partkey"].to_numpy(zero_copy_only=False)
+                        for t in parts_arrow
+                    ]
+                ).astype(np.int64)
+            )
+            if parts_arrow
+            else np.array([], dtype=np.int64)
+        )
+        bref = ray.put(bkeys)
+
+        def pass1(batch: pa.Table, ref=bref) -> pa.Table:
+            ks = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            _, found = _sorted_int_lookup(ks, ks, p)
+            return agg_partial(batch.filter(pa.array(found)))
+
+        pruned1 = li1.map_batches(pass1, batch_format="pyarrow")
     else:
-        tk = per_part["l_partkey"].to_numpy(np.int64)
-        order = np.argsort(tk)
-        tk = tk[order]
-        tv = (
-            0.2 * per_part["sq"].to_numpy() / per_part["nq"].to_numpy()
-        )[order]
-    tref = ray.put((tk, tv))
+        keyds = part_keys_ds.map_batches(
+            lambda b: b.rename_columns(["l_partkey"]), batch_format="pyarrow"
+        )
+        pruned1 = li1.join(
+            keyds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+        ).map_batches(agg_partial, batch_format="pyarrow")
 
-    def pass2(batch: pa.Table, ref=tref) -> pa.Table:
-        ks, vs = ref if isinstance(ref, tuple) else ray.get(ref)
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        thresh, found = _sorted_int_lookup(ks, vs, p)
-        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        m = found & (q < thresh)
-        s = float(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m].sum())
-        return pa.table({"partial": pa.array([s])})
-
-    total = (
-        read(sf_dir, "lineitem", columns=li_cols)
-        .map_batches(pass2, batch_format="pyarrow")
-        .sum("partial")
+    per_part = (
+        pruned1.groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="sq"), Sum("n", alias_name="nq"))
+        .materialize()  # brand-selective: |part|/25 rows
     )
-    return pd.DataFrame({"avg_yearly": [float(_round2(total / 7.0))]})
+
+    def thresh_col(batch: pa.Table) -> pa.Table:
+        # 0.2 * AVG(quantity): the SAME float ops as the oracle's
+        # 0.2 * (sum/count) on exact integer-valued inputs
+        tv = 0.2 * (
+            batch["sq"].to_numpy(zero_copy_only=False)
+            / batch["nq"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"l_partkey": batch["l_partkey"], "thresh": pa.array(tv)}
+        )
+
+    def pass2_sum(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        thr = batch["thresh"].to_numpy(zero_copy_only=False)
+        m = q < thr
+        cents = _money_cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"partial": pa.array([int(cents[m].sum())], type=pa.int64())}
+        )
+
+    li2 = read(sf_dir, "lineitem", columns=li_cols)
+    if per_part.count() <= broadcast_max_rows:
+        pp = per_part.to_pandas()
+        if pp.empty:  # absent brand: empty threshold side, all-miss probe
+            tk = np.array([], dtype=np.int64)
+            tv = np.array([], dtype=np.float64)
+        else:
+            tk = pp["l_partkey"].to_numpy(np.int64)
+            order = np.argsort(tk)
+            tk = tk[order]
+            tv = (0.2 * (pp["sq"].to_numpy() / pp["nq"].to_numpy()))[order]
+        tref = ray.put((tk, tv))
+
+        def pass2(batch: pa.Table, ref=tref) -> pa.Table:
+            ks, vs = ref if isinstance(ref, tuple) else ray.get(ref)
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            thresh, found = _sorted_int_lookup(ks, vs, p)
+            q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+            m = found & (q < thresh)
+            cents = _money_cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {"partial": pa.array([int(cents[m].sum())], type=pa.int64())}
+            )
+
+        total = li2.map_batches(pass2, batch_format="pyarrow").sum("partial")
+    else:
+        thr_ds = per_part.map_batches(thresh_col, batch_format="pyarrow")
+        total = (
+            li2.join(
+                thr_ds,
+                join_type="inner",
+                num_partitions=join_partitions(),
+                on=("l_partkey",),
+            )
+            .map_batches(pass2_sum, batch_format="pyarrow")
+            .sum("partial")
+        )
+    # FLOOR(cents/7.0 + 0.5)/100 == the oracle's FLOOR(sum/7*100+0.5)/100
+    # computed on the exact integer cents sum
+    return pd.DataFrame(
+        {"avg_yearly": [float(np.floor(float(total) / 7.0 + 0.5) / 100.0)]}
+    )
 
 
 def q18_large_orders(
@@ -314,12 +396,14 @@ def q18_large_orders(
     out = out.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True]
     ).head(k)
-    ckeys = set(int(v) for v in out["o_custkey"])
+    ckeys = np.sort(out["o_custkey"].to_numpy(np.int64))
     cust = (
         read(sf_dir, "customer", columns=["c_custkey", "c_name"])
         .map_batches(
             lambda b, ks=ckeys: b.filter(
-                pa.array([int(v) in ks for v in b["c_custkey"].to_pylist()])
+                pa.array(
+                    np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), ks)
+                )
             ),
             batch_format="pyarrow",
         )
@@ -386,6 +470,15 @@ def q22_idle_rich_customers(
                 }
             ),
             batch_format="pyarrow",
+        )
+    )
+    # sentinel on the KEYS side: a cutoff later than every order date
+    # leaves only empty blocks there, which degrade acero's join schema
+    # (the _with_sentinel hazard) — custkey -1 matches no real customer,
+    # so the left_anti result is unchanged
+    keys = keys.union(
+        ray.data.from_arrow(
+            pa.table({"o_custkey": pa.array([-1], type=pa.int64())})
         )
     )
     out = (
@@ -466,7 +559,7 @@ def q9_profit_by_nation_year(
                 {
                     "l_orderkey": pa.array([], type=pa.int64()),
                     "n_nationkey": pa.array([], type=pa.int64()),
-                    "partial": pa.array([], type=pa.float64()),
+                    "partial": pa.array([], type=pa.int64()),
                 }
             )
         s = t["l_suppkey"].to_numpy(zero_copy_only=False)
@@ -474,8 +567,10 @@ def q9_profit_by_nation_year(
         if not s_found.all():  # FK miss: drop like the oracle's inner join
             t = t.filter(pa.array(s_found))
             nat = nat[s_found]
-        profit = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact int64 1e-4-dollar units (order-free; common.revenue_units)
+        profit = _revenue_units(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
         )
         df = pd.DataFrame(
             {
@@ -489,7 +584,7 @@ def q9_profit_by_nation_year(
             {
                 "l_orderkey": pa.array(g["o"].to_numpy(np.int64)),
                 "n_nationkey": pa.array(g["nk"].to_numpy(np.int64)),
-                "partial": pa.array(g["pr"].to_numpy()),
+                "partial": pa.array(g["pr"].to_numpy(np.int64)),
             }
         )
 
@@ -518,7 +613,7 @@ def q9_profit_by_nation_year(
             {
                 "l_orderkey": pa.array([-1], type=pa.int64()),
                 "n_nationkey": pa.array([0], type=pa.int64()),
-                "partial": pa.array([0.0], type=pa.float64()),
+                "partial": pa.array([0], type=pa.int64()),
             }
         ),
     )
@@ -537,9 +632,11 @@ def q9_profit_by_nation_year(
         g = df.groupby(["nk", "y"], as_index=False)["pr"].sum()
         # (nation, year) packs into one int64 so the final groupby's key
         # stays a single numeric column (Arrow fast path)
-        key = g["nk"].to_numpy(np.int64) * np.int64(10_000) + g["y"].to_numpy(
-            np.int64
-        )
+        nk_arr = g["nk"].to_numpy(np.int64)
+        y_arr = g["y"].to_numpy(np.int64)
+        if len(y_arr):  # packing bounds: silent collisions are worse
+            assert y_arr.max() < 10_000 and y_arr.min() >= 0, "year overflow"
+        key = nk_arr * np.int64(10_000) + y_arr
         return pa.table(
             {"key": pa.array(key), "pr": pa.array(g["pr"].to_numpy())}
         )
@@ -556,7 +653,7 @@ def q9_profit_by_nation_year(
     name_vals, _ = _sorted_int_lookup(nat_keys, np.arange(len(nat_keys)), nk)
     agg["n_name"] = nat_names[name_vals]
     agg["o_year"] = (agg["key"].to_numpy(np.int64) % 10_000).astype(np.int64)
-    agg["profit"] = _round2(agg["profit"].to_numpy())
+    agg["profit"] = _units_to_money(agg["profit"].to_numpy(np.int64))
     return (
         agg.sort_values(["n_name", "o_year"], ascending=[True, False])
         .reset_index(drop=True)[["n_name", "o_year", "profit"]]
@@ -705,10 +802,18 @@ def q16_supplier_count_by_part_attr(
     t_idx = pd.Series(np.arange(len(types)), index=types)
     pk = part["p_partkey"].to_numpy(np.int64)
     order = np.argsort(pk)
+    sizes = part["p_size"].to_numpy(np.int64)
+    # packing bounds (the suppkey/partkey encodings assert theirs too):
+    # a p_size >= 1000 or >= 1000 distinct types would silently collide
+    assert len(types) < 1_000, "p_type vocabulary overflows pack slot"
+    if len(sizes):
+        assert 0 <= sizes.min() and sizes.max() < 1_000, (
+            "p_size overflows pack slot"
+        )
     attr_code = (
         part["p_brand"].map(b_idx).to_numpy(np.int64) * 1_000_000
         + part["p_type"].map(t_idx).to_numpy(np.int64) * 1_000
-        + part["p_size"].to_numpy(np.int64)
+        + sizes
     )
     ref = ray.put((pk[order], attr_code[order]))
 
@@ -780,86 +885,166 @@ def q19_bracket_revenue(
     of three (brand, size-range, quantity-range) brackets — the
     disjunctive-predicate join (container/shipmode columns absent).
 
-    Plan: part collapses to a broadcast partkey -> (bracket-bitmask)
-    probe — each bracket's part-side predicate is pre-evaluated once on
-    the dimension, so the per-line work is one probe + a quantity range
-    check; a single global Sum finishes it."""
-    import pyarrow.parquet as pq
+    Plan: part collapses to a partkey -> (bracket-bitmask) map — each
+    bracket's part-side predicate is pre-evaluated ONCE on the dimension
+    inside a Ray scan (never an unconditional driver-side read). Below
+    ``broadcast_max_rows`` the map ships as sorted arrays via ``ray.put``
+    and probes with searchsorted; above it, the bitmask attaches to
+    lineitem with a hash ``Dataset.join`` on l_partkey (the q5 ladder).
+    A single global Sum of exact int64 units finishes either leg."""
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
-    ).to_pandas()
-    masks = np.zeros(len(part), dtype=np.int64)
-    for i, (brand, max_size, _, _) in enumerate(_Q19_BRACKETS):
-        m = (part["p_brand"] == brand).to_numpy() & (
-            (part["p_size"] >= 1) & (part["p_size"] <= max_size)
-        ).to_numpy()
-        masks |= m.astype(np.int64) << i
-    sel = masks > 0
-    pk = part["p_partkey"].to_numpy(np.int64)[sel]
-    pm = masks[sel]
-    order = np.argsort(pk)
-    assert len(pk) <= broadcast_max_rows
-    ref = ray.put((pk[order], pm[order]))
+    def part_mask(batch: pa.Table) -> pa.Table:
+        brand_col = batch["p_brand"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False)
+        masks = np.zeros(len(size), dtype=np.int64)
+        for i, (brand, max_size, _, _) in enumerate(_Q19_BRACKETS):
+            m = (brand_col == brand) & (size >= 1) & (size <= max_size)
+            masks |= m.astype(np.int64) << i
+        sel = masks > 0
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    batch["p_partkey"].to_numpy(zero_copy_only=False)[
+                        sel
+                    ].astype(np.int64)
+                ),
+                "bmask": pa.array(masks[sel], type=pa.int64()),
+            }
+        )
 
-    def partial(batch: pa.Table, r=ref) -> pa.Table:
-        keys, pmask = ray.get(r) if not isinstance(r, tuple) else r
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask, found = _sorted_int_lookup(keys, pmask, p)
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+    pmask_ds = read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(part_mask, batch_format="pyarrow").materialize()
+
+    def bracket_sum(p, mask, qty, price, disc, found) -> pa.Table:
         ok = np.zeros(len(p), dtype=bool)
         for i, (_, _, qlo, qhi) in enumerate(_Q19_BRACKETS):
             ok |= found & ((mask >> i) & 1).astype(bool) & (qty >= qlo) & (
                 qty <= qhi
             )
-        rev = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+        # exact int64 1e-4-dollar units (order-free; common.revenue_units)
+        rev = _revenue_units(price, disc)
+        return pa.table(
+            {"partial": pa.array([int(rev[ok].sum())], type=pa.int64())}
         )
-        return pa.table({"partial": pa.array([float(rev[ok].sum())])})
 
-    total = (
-        read(
-            sf_dir,
-            "lineitem",
-            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .aggregate(Sum("partial", alias_name="revenue"))
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    return pd.DataFrame({"revenue": [float(_round2(total["revenue"]))]})
+    if pmask_ds.count() <= broadcast_max_rows:
+        parts_arrow = [
+            t for t in ray.get(pmask_ds.to_arrow_refs()) if t.num_rows
+        ]
+        if parts_arrow:
+            t = pa.concat_tables(parts_arrow)
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pm = t["bmask"].to_numpy(zero_copy_only=False)
+            order = np.argsort(pk)
+            ref = ray.put((pk[order], pm[order]))
+        else:
+            ref = ray.put(
+                (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+            )
+
+        def partial(batch: pa.Table, r=ref) -> pa.Table:
+            keys, pmask = ray.get(r) if not isinstance(r, tuple) else r
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            mask, found = _sorted_int_lookup(keys, pmask, p)
+            return bracket_sum(
+                p,
+                mask,
+                batch["l_quantity"].to_numpy(zero_copy_only=False),
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                batch["l_discount"].to_numpy(zero_copy_only=False),
+                found,
+            )
+
+        summed = li.map_batches(partial, batch_format="pyarrow")
+    else:
+
+        def joined_partial(batch: pa.Table) -> pa.Table:
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            mask = batch["bmask"].to_numpy(zero_copy_only=False)
+            return bracket_sum(
+                p,
+                mask,
+                batch["l_quantity"].to_numpy(zero_copy_only=False),
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                batch["l_discount"].to_numpy(zero_copy_only=False),
+                np.ones(len(p), dtype=bool),
+            )
+
+        summed = li.join(
+            pmask_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+        ).map_batches(joined_partial, batch_format="pyarrow")
+
+    total = summed.aggregate(Sum("partial", alias_name="revenue"))
+    return pd.DataFrame(
+        {"revenue": [float(_units_to_money(total["revenue"]))]}
+    )
 
 
 def _supp_cust_nation_maps(sf_dir: str, broadcast_max_rows: int):
-    """Driver-bounded dim prep shared by Q7/Q8: sorted suppkey->nationkey
-    and custkey->nationkey probe arrays plus the nation name vocabulary.
-    Customer is SF-scaled — the ceiling assert marks where the q5-style
-    hash-join fallback takes over at real scale."""
-    import pyarrow.parquet as pq
+    """Dim prep shared by Q7/Q8: a sorted suppkey->nationkey probe map,
+    the customer->nationkey side in LADDER form, and the nation name
+    vocabulary.
 
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    Customer is SF-scaled: below ``broadcast_max_rows`` it ships as
+    sorted (custkey, nationkey) arrays via ``ray.put`` (8 B/key probe);
+    above it, the returned cust leg is ``(None, cust_ds)`` and the
+    caller attaches c_nationkey with a hash ``Dataset.join`` on
+    o_custkey instead of probing a broadcast (the q5 ladder). Supplier
+    scales 1/10th of customer (below the ceiling through sf~500) and
+    must be resident for the EARLY lineitem filter, so it stays a
+    broadcast probe with an explicit ceiling assert."""
+    supp = read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
     ).to_pandas()
     nation = (
-        pq.read_table(f"{sf_dir}/nation.parquet")
+        read(sf_dir, "nation", columns=None)
         .to_pandas()
         .sort_values("n_nationkey")
         .reset_index(drop=True)
     )
-    assert len(cust) <= broadcast_max_rows, (
-        "customer side exceeds broadcast ceiling: switch to Dataset.join"
+    assert len(supp) <= broadcast_max_rows, (
+        "supplier side exceeds broadcast ceiling (sf >~ 500): raise the "
+        "ceiling or pre-filter lineitem with a supplier semi-join"
     )
     sk = supp["s_suppkey"].to_numpy(np.int64)
     sv = supp["s_nationkey"].to_numpy(np.int64)
     o = np.argsort(sk)
-    ck = cust["c_custkey"].to_numpy(np.int64)
-    cv = cust["c_nationkey"].to_numpy(np.int64)
-    oc = np.argsort(ck)
+
+    cust_ds = read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    )
+    n_cust = cust_ds.count()
+    if n_cust <= broadcast_max_rows:
+        cust = cust_ds.to_pandas()
+        ck = cust["c_custkey"].to_numpy(np.int64)
+        cv = cust["c_nationkey"].to_numpy(np.int64)
+        oc = np.argsort(ck)
+        cust_leg = ((ck[oc], cv[oc]), None)
+    else:
+        cust_leg = (
+            None,
+            cust_ds.map_batches(
+                # Ray's hash join keys both sides on the same column name
+                lambda b: b.rename_columns(["o_custkey", "c_nationkey"]),
+                batch_format="pyarrow",
+            ),
+        )
     return (
         (sk[o], sv[o]),
-        (ck[oc], cv[oc]),
+        cust_leg,
         nation["n_nationkey"].to_numpy(np.int64),
         nation["n_name"].to_numpy(dtype=object),
     )
@@ -880,23 +1065,27 @@ def q7_nation_trade_volume(
     aggregates to (orderkey, supp-nation, year) rows before the one
     fact x fact hash join with orders (which ships only (orderkey,
     custkey)); the customer-nation filter probes a broadcast map after
-    the join."""
-    (sk, sv), (ck, cv), nat_keys, nat_names = _supp_cust_nation_maps(
-        sf_dir, broadcast_max_rows
+    the join below ``broadcast_max_rows``, and above it c_nationkey is
+    attached to orders with a hash ``Dataset.join`` instead (the q5
+    ladder — _supp_cust_nation_maps)."""
+    (sk, sv), (cust_bcast, cust_ds), nat_keys, nat_names = (
+        _supp_cust_nation_maps(sf_dir, broadcast_max_rows)
     )
     name_to_key = {n: int(k) for k, n in zip(nat_keys, nat_names)}
     ka, kb = name_to_key[nation_a], name_to_key[nation_b]
-    ref = ray.put((sk, sv, ck, cv))
+    ref = ray.put((sk, sv, cust_bcast))
 
     def li_partial(batch: pa.Table, r=ref) -> pa.Table:
-        sks, svs, _, _ = ray.get(r) if not isinstance(r, tuple) else r
+        sks, svs, _ = ray.get(r) if not isinstance(r, tuple) else r
         s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
         nat, found = _sorted_int_lookup(sks, svs, s)
         m = found & ((nat == ka) | (nat == kb))
         t = batch.filter(pa.array(m))
         nat = nat[m]
-        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact int64 1e-4-dollar units (order-free; common.revenue_units)
+        rev = _revenue_units(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
         )
         year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False).astype(
             np.int64
@@ -915,7 +1104,7 @@ def q7_nation_trade_volume(
                 "o_orderkey": pa.array(g["o"].to_numpy(np.int64)),
                 "sn": pa.array(g["sn"].to_numpy(np.int64)),
                 "y": pa.array(g["y"].to_numpy(np.int64)),
-                "partial": pa.array(g["r"].to_numpy()),
+                "partial": pa.array(g["r"].to_numpy(np.int64)),
             }
         )
 
@@ -929,6 +1118,13 @@ def q7_nation_trade_volume(
     ).map_batches(li_partial, batch_format="pyarrow")
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if cust_bcast is None:
+        # over-ceiling leg: attach c_nationkey by hash join (orders and
+        # customer are both SF-scaled; keys-only columns on the exchange)
+        orders = orders.join(
+            cust_ds, join_type="inner", num_partitions=join_partitions(),
+            on=("o_custkey",),
+        )
     li = _with_sentinel(
         li,
         pa.table(
@@ -936,7 +1132,7 @@ def q7_nation_trade_volume(
                 "o_orderkey": pa.array([-1], type=pa.int64()),
                 "sn": pa.array([0], type=pa.int64()),
                 "y": pa.array([0], type=pa.int64()),
-                "partial": pa.array([0.0], type=pa.float64()),
+                "partial": pa.array([0], type=pa.int64()),
             }
         ),
     )
@@ -946,18 +1142,30 @@ def q7_nation_trade_volume(
     )
 
     def fold(batch: pa.Table, r=ref) -> pa.Table:
-        _, _, cks, cvs = ray.get(r) if not isinstance(r, tuple) else r
-        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        cnat, found = _sorted_int_lookup(cks, cvs, c)
+        _, _, cbc = ray.get(r) if not isinstance(r, tuple) else r
+        if cbc is None:
+            cnat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            found = np.ones(len(cnat), dtype=bool)
+        else:
+            cks, cvs = cbc
+            c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            cnat, found = _sorted_int_lookup(cks, cvs, c)
         sn = batch["sn"].to_numpy(zero_copy_only=False)
         m = found & (
             ((sn == ka) & (cnat == kb)) | ((sn == kb) & (cnat == ka))
         )
+        y_arr = batch["y"].to_numpy(zero_copy_only=False)[m]
+        cn_arr = cnat[m]
+        if len(y_arr):  # packing bounds: silent collisions are worse
+            assert y_arr.max() < 10_000 and y_arr.min() >= 0, "year overflow"
+            assert cn_arr.max() < 100 and cn_arr.min() >= 0, (
+                "nationkey overflows the 2-digit pack slot"
+            )
         df = pd.DataFrame(
             {
                 "k": sn[m] * np.int64(1_000_000)
-                + cnat[m] * np.int64(10_000)
-                + batch["y"].to_numpy(zero_copy_only=False)[m],
+                + cn_arr * np.int64(10_000)
+                + y_arr,
                 "r": batch["partial"].to_numpy(zero_copy_only=False)[m],
             }
         )
@@ -987,7 +1195,7 @@ def q7_nation_trade_volume(
             "supp_nation": nat_names[nk_pos],
             "cust_nation": nat_names[ck_pos],
             "l_year": (k % 10_000).astype(np.int64),
-            "revenue": _round2(agg["revenue"].to_numpy()),
+            "revenue": _units_to_money(agg["revenue"].to_numpy(np.int64)),
         }
     )
     return out.sort_values(
@@ -1010,8 +1218,8 @@ def q8_market_share(
     map; the share divides two rounded Sums per year."""
     import pyarrow.parquet as pq
 
-    (sk, sv), (ck, cv), nat_keys, nat_names = _supp_cust_nation_maps(
-        sf_dir, broadcast_max_rows
+    (sk, sv), (cust_bcast, cust_ds), nat_keys, nat_names = (
+        _supp_cust_nation_maps(sf_dir, broadcast_max_rows)
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     name_to_key = {n: int(k) for k, n in zip(nat_keys, nat_names)}
@@ -1025,16 +1233,19 @@ def q8_market_share(
         .tolist()
     )
     rn = np.sort(np.fromiter(region_nations, dtype=np.int64))
-    ref = ray.put((sk, sv, ck, cv, rn))
+    ref = ray.put((sk, sv, cust_bcast, rn))
 
     def li_partial(batch: pa.Table, r=ref) -> pa.Table:
-        sks, svs, _, _, _ = ray.get(r) if not isinstance(r, tuple) else r
+        sks, svs, _, _ = ray.get(r) if not isinstance(r, tuple) else r
         s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
         nat, found = _sorted_int_lookup(sks, svs, s)
         t = batch.filter(pa.array(found))
         is_t = (nat[found] == target).astype(np.int64)
-        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
-            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        # exact int64 1e-4-dollar units: the market share divides two
+        # order-free integer sums (deterministic 1e-4 rounding)
+        rev = _revenue_units(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
         )
         df = pd.DataFrame(
             {
@@ -1048,7 +1259,7 @@ def q8_market_share(
             {
                 "o_orderkey": pa.array(g["o"].to_numpy(np.int64)),
                 "it": pa.array(g["it"].to_numpy(np.int64)),
-                "partial": pa.array(g["r"].to_numpy()),
+                "partial": pa.array(g["r"].to_numpy(np.int64)),
             }
         )
 
@@ -1071,13 +1282,20 @@ def q8_market_share(
     orders = read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(o_prep, batch_format="pyarrow")
+    if cust_bcast is None:
+        # over-ceiling leg: attach c_nationkey by hash join (the q5
+        # ladder — see _supp_cust_nation_maps)
+        orders = orders.join(
+            cust_ds, join_type="inner", num_partitions=join_partitions(),
+            on=("o_custkey",),
+        )
     li = _with_sentinel(
         li,
         pa.table(
             {
                 "o_orderkey": pa.array([-1], type=pa.int64()),
                 "it": pa.array([0], type=pa.int64()),
-                "partial": pa.array([0.0], type=pa.float64()),
+                "partial": pa.array([0], type=pa.int64()),
             }
         ),
     )
@@ -1087,9 +1305,14 @@ def q8_market_share(
     )
 
     def fold(batch: pa.Table, r=ref) -> pa.Table:
-        _, _, cks, cvs, rns = ray.get(r) if not isinstance(r, tuple) else r
-        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        cnat, found = _sorted_int_lookup(cks, cvs, c)
+        _, _, cbc, rns = ray.get(r) if not isinstance(r, tuple) else r
+        if cbc is None:
+            cnat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            found = np.ones(len(cnat), dtype=bool)
+        else:
+            cks, cvs = cbc
+            c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            cnat, found = _sorted_int_lookup(cks, cvs, c)
         pos = np.minimum(np.searchsorted(rns, cnat), len(rns) - 1)
         in_region = found & (rns[pos] == cnat)
         y = batch["o_year"].to_numpy(zero_copy_only=False)[in_region]
@@ -1115,10 +1338,12 @@ def q8_market_share(
     agg["o_year"] = (agg["k"].to_numpy(np.int64) // 2).astype(np.int64)
     agg["it"] = (agg["k"].to_numpy(np.int64) % 2).astype(bool)
     piv = agg.pivot_table(
-        index="o_year", columns="it", values="rev", aggfunc="sum", fill_value=0.0
-    ).reindex(columns=[True, False], fill_value=0.0)
-    total = piv[True].to_numpy() + piv[False].to_numpy()
-    share = np.where(total > 0, piv[True].to_numpy() / total, 0.0)
+        index="o_year", columns="it", values="rev", aggfunc="sum", fill_value=0
+    ).reindex(columns=[True, False], fill_value=0)
+    # float division of two EXACT integer sums — identical ops to the
+    # oracle's SUM(CASE...)/SUM(units), so the 1e-4 rounding matches
+    total = piv[True].to_numpy(np.int64) + piv[False].to_numpy(np.int64)
+    share = np.where(total > 0, piv[True].to_numpy(np.int64) / total, 0.0)
     return pd.DataFrame(
         {"o_year": piv.index.to_numpy(np.int64), "mkt_share": _round4(share)}
     ).sort_values("o_year").reset_index(drop=True)
@@ -1161,7 +1386,11 @@ def q2_min_cost_supplier(
         df = pd.DataFrame(
             {
                 "pair": p * np.int64(1 << 20) + s,
-                "pr": batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+                # exact int64 cents: the per-pair unit cost feeds an
+                # argmin, so its 1e-4 rounding must be order-free
+                "pr": _money_cents(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                ),
                 "q": batch["l_quantity"].to_numpy(zero_copy_only=False),
             }
         )
@@ -1169,7 +1398,7 @@ def q2_min_cost_supplier(
         return pa.table(
             {
                 "pair": pa.array(g["pair"].to_numpy(np.int64)),
-                "pr": pa.array(g["pr"].to_numpy()),
+                "pr": pa.array(g["pr"].to_numpy(np.int64)),
                 "q": pa.array(g["q"].to_numpy()),
             }
         )
@@ -1190,8 +1419,11 @@ def q2_min_cost_supplier(
         pair = batch["pair"].to_numpy(zero_copy_only=False)
         p, s = pair >> 20, pair & ((1 << 20) - 1)
         tidx, found = _sorted_int_lookup(keys, tvs, p)
+        # cents/100.0/qty: the SAME float op sequence as the oracle on
+        # exact integer inputs -> bit-identical before the 1e-4 rounding
         cost = _round4(
-            batch["price"].to_numpy(zero_copy_only=False)
+            batch["price"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / 100.0
             / batch["qty"].to_numpy(zero_copy_only=False)
         )
         df = pd.DataFrame(
@@ -1267,16 +1499,21 @@ def q11_important_parts(
         df = pd.DataFrame(
             {
                 "p": batch["l_partkey"].to_numpy(zero_copy_only=False)[found],
-                "v": batch["l_extendedprice"].to_numpy(zero_copy_only=False)[
-                    found
-                ],
+                # exact int64 cents: the mean threshold cut compares
+                # integers against a float derived from exact integers,
+                # so the returned row SET is order-free
+                "v": _money_cents(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)[
+                        found
+                    ]
+                ),
             }
         )
         g = df.groupby("p", as_index=False)["v"].sum()
         return pa.table(
             {
                 "p_partkey": pa.array(g["p"].to_numpy(np.int64)),
-                "v": pa.array(g["v"].to_numpy()),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
             }
         )
 
@@ -1289,9 +1526,10 @@ def q11_important_parts(
     )
     if vals.empty:
         return pd.DataFrame({"p_partkey": [], "value": []})
-    thr = factor * vals["val"].mean()
+    # mean of exact integer cents == the oracle's AVG(hugeint) as DOUBLE
+    thr = factor * (vals["val"].to_numpy(np.int64).sum() / len(vals))
     out = vals[vals["val"] > thr].copy()
-    out["value"] = _round2(out["val"].to_numpy())
+    out["value"] = _cents_to_money(out["val"].to_numpy(np.int64))
     return (
         out[["p_partkey", "value"]]
         .sort_values(["value", "p_partkey"], ascending=[False, True])

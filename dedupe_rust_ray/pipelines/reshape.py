@@ -178,17 +178,33 @@ def supplier_directory(sf_dir: str) -> pd.DataFrame:
     """Per-nation supplier roster: count, comma-joined sorted names, and
     total account balance (string_agg / collect_list coverage).
 
-    The nation dimension (25 keys) is broadcast as a plain dict; the
-    group concat runs in ``map_groups`` with an in-group sort — sound
-    because the group domain is the bounded dimension table."""
+    The nation dimension (25 keys) is broadcast as sorted key/name
+    arrays and probed vectorized (searchsorted — the supplier scan is
+    SF-scaled, so no per-row Python loop); the group concat runs in
+    ``map_groups`` with an in-group sort — sound because the group
+    domain is the bounded dimension table."""
     import ray
 
-    nations = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    nmap_ref = ray.put(dict(zip(nations["n_nationkey"], nations["n_name"])))
+    from .common import sorted_int_lookup
+
+    nations = (
+        read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        .to_pandas()
+        .sort_values("n_nationkey")
+    )
+    nmap_ref = ray.put(
+        (
+            nations["n_nationkey"].to_numpy(np.int64),
+            nations["n_name"].to_numpy(dtype=object),
+        )
+    )
 
     def tag(batch: pa.Table) -> pa.Table:
-        nmap = ray.get(nmap_ref)
-        names = [nmap[k] for k in batch["s_nationkey"].to_pylist()]
+        nkeys, nnames = ray.get(nmap_ref)
+        names, _ = sorted_int_lookup(
+            nkeys, nnames,
+            batch["s_nationkey"].to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {
                 "n_name": pa.array(names, type=pa.string()),

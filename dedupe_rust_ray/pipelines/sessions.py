@@ -16,7 +16,15 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .common import join_partitions, read
+from .common import (
+    cents_to_money,
+    join_partitions,
+    money_cents,
+    read,
+    revenue_units,
+    sorted_int_lookup,
+    units_to_money,
+)
 
 _GAP = pd.Timedelta(minutes=30)
 _N_SHARDS = 32
@@ -70,17 +78,19 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataF
         .filter(expr=f"c_mktsegment == '{segment}'")
         .to_pandas()
     )
-    keys = ray.put(set(cust["c_custkey"].tolist()))
+    # broadcast a SORTED int64 numpy array (one ray.put, ~8 B/key), probed
+    # with searchsorted — never a Python set (multi-GB of boxed ints at
+    # sf100) nor a per-row membership loop (the q5/q14 pattern)
+    keys = ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
 
     class FilterOrders:
         def __init__(self, ref):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [k in self.keys for k in batch["o_custkey"].to_pylist()]
-            )
-            return batch.filter(mask)
+            probe = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            _, found = sorted_int_lookup(self.keys, self.keys, probe)
+            return batch.filter(pa.array(found))
 
     orders = (
         read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
@@ -93,11 +103,18 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataF
     )
 
     def revenue_partial(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch["l_extendedprice"],
-            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        # exact int64 1e-4-dollar units (common.revenue_units): float
+        # partials re-rounded later flip cents with accumulation order
+        rev = revenue_units(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
         )
-        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev": pa.array(rev, type=pa.int64()),
+            }
+        )
         return (
             t.group_by("l_orderkey")
             .aggregate([("rev", "sum")])
@@ -114,14 +131,28 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataF
         on=("o_orderkey",),
         right_on=("l_orderkey",),
     )
+    def to_money(batch: pa.Table) -> pa.Table:
+        # round BEFORE the top-k sort: the oracle orders by the rounded
+        # alias, and unit-level ties must break on o_orderkey, not units
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "revenue": pa.array(
+                    units_to_money(
+                        batch["revenue"].to_numpy(zero_copy_only=False)
+                    )
+                ),
+            }
+        )
+
     top = (
         joined.groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(to_money, batch_format="pyarrow")
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
-    top["revenue"] = top["revenue"].round(2)
     return top[["o_orderkey", "revenue"]]
 
 
@@ -153,7 +184,10 @@ def events_range_join(
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
         ts = g["ts"].to_numpy(dtype="datetime64[ns]")
-        val = g["value"].to_numpy(np.float64)
+        # exact integer cents: the windowed sum is a prefix-sum
+        # SUBTRACTION, where float cancellation error exceeds a plain
+        # sum's — integers make it exact and order-free
+        val = money_cents(g["value"].to_numpy(np.float64))
         uid = g["user_id"].to_numpy(np.int64)
         etype = g["event_type"].to_numpy(dtype=object)
         eid = g["event_id"].to_numpy(np.int64)
@@ -163,7 +197,7 @@ def events_range_join(
             np.append(0, bounds), np.append(bounds, len(uid))
         ):
             u_ts, u_val = ts[s:e], val[s:e]
-            cum = np.append(0.0, np.cumsum(u_val))
+            cum = np.append(np.int64(0), np.cumsum(u_val))
             anchor = np.flatnonzero(etype[s:e] == anchor_type)
             if not len(anchor):
                 continue
@@ -189,7 +223,7 @@ def events_range_join(
                 "event_id": np.concatenate(out_id),
                 "user_id": np.concatenate(out_uid),
                 "n_nearby": np.concatenate(out_n).astype(np.int64),
-                "nearby_value": np.floor(nearby * 100 + 0.5) / 100,
+                "nearby_value": cents_to_money(nearby),
             }
         )
 

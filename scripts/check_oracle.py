@@ -47,14 +47,19 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c], b[c]
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-                ok = np.allclose(
-                    av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-8,
-                    equal_nan=True,
-                )
+                # EXACT float comparison — the driver hashes exact values,
+                # and a tolerance here is how the round-3 q10 cent flake
+                # sailed through a green local sweep (nan == nan allowed)
+                x = av.astype(float).to_numpy()
+                y = bv.astype(float).to_numpy()
+                eq = (x == y) | (np.isnan(x) & np.isnan(y))
+                ok = bool(eq.all())
+                bad = (~eq).nonzero()[0][:3]
             else:
-                ok = av.astype(str).equals(bv.astype(str))
+                eq_s = av.astype(str) == bv.astype(str)
+                ok = bool(eq_s.all())
+                bad = (~eq_s).to_numpy().nonzero()[0][:3]
             if not ok:
-                bad = (av.astype(str) != bv.astype(str)).to_numpy().nonzero()[0][:3]
                 problems.append(
                     f"col {c} differs, e.g. rows {bad.tolist()}: "
                     f"ray={av.iloc[bad].tolist()} sql={bv.iloc[bad].tolist()}"
