@@ -323,10 +323,27 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
     order = np.argsort(ck)
     ref = ray.put((ck[order], cust["c_name"].to_numpy(dtype=object)[order]))
 
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # exact integer cents: pc.round on a float sum does NOT snap to
+        # the decimal grid (round-3 latent mismatch caught by the exact
+        # local comparator) — sum integers, divide once
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": pa.array(
+                    money_cents(
+                        batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     per_cust = (
         read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow")
         .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Sum("cents", alias_name="revenue"))
     )
 
     class AttachName:
@@ -343,9 +360,13 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
                 {
                     "c_custkey": batch["o_custkey"],
                     "c_name": pa.array(names, type=pa.string()),
-                    # plain 2-decimal money sum: the true value sits ON
-                    # the cent grid, so the rounding is order-safe
-                    "revenue": pc.round(batch["revenue"], ndigits=2),
+                    # exact cents -> one correctly-rounded float divide ==
+                    # the oracle's ROUND(SUM(...), 2) on the grid value
+                    "revenue": pa.array(
+                        cents_to_money(
+                            batch["revenue"].to_numpy(zero_copy_only=False)
+                        )
+                    ),
                 }
             )
 
@@ -375,7 +396,15 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             {
                 "event_type": batch["event_type"],
                 "hour": hour,
-                "value": batch["value"],
+                # exact integer cents (value is 2-decimal): order-free
+                # summation; the final divide reproduces the oracle's
+                # FLOOR(sum*1e4+0.5)/1e4 bitwise on the grid value
+                "cents": pa.array(
+                    money_cents(
+                        batch["value"].to_numpy(zero_copy_only=False)
+                    ),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -384,7 +413,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         .groupby(["event_type", "hour"])
         .aggregate(
             Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("cents", alias_name="sum_value"),
         )
     )
     out = canonical_sort(out, ["event_type", "hour"])
@@ -393,7 +422,11 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         return batch.set_column(
             batch.column_names.index("sum_value"),
             "sum_value",
-            pc.round(batch["sum_value"], ndigits=4),
+            pa.array(
+                cents_to_money(
+                    batch["sum_value"].to_numpy(zero_copy_only=False)
+                )
+            ),
         )
 
     return out.map_batches(round_cols, batch_format="pyarrow")
@@ -451,6 +484,17 @@ def part_type_census(sf_dir: str) -> ray.data.Dataset:
     reference's census pattern over a second dimension table."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # exact integer cents (order-free; see common.money_cents)
+        batch = batch.set_column(
+            batch.column_names.index("p_retailprice"),
+            "p_retailprice",
+            pa.array(
+                money_cents(
+                    batch["p_retailprice"].to_numpy(zero_copy_only=False)
+                ),
+                type=pa.int64(),
+            ),
+        )
         t = batch.group_by(["p_brand", "p_type"]).aggregate(
             [("p_partkey", "count"), ("p_retailprice", "sum")]
         )
@@ -468,15 +512,18 @@ def part_type_census(sf_dir: str) -> ray.data.Dataset:
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        # rounded SUM, not AVG: 2-decimal inputs keep the sum safely off
-        # the .005 round-half boundary that a sum/count division can hit
-        # depending on float accumulation order
+        # exact cents -> one correctly-rounded float divide == the
+        # oracle's ROUND(SUM(p_retailprice), 2) on the grid value
         return pa.table(
             {
                 "p_brand": batch["p_brand"],
                 "p_type": batch["p_type"],
                 "n": batch["n"],
-                "sum_price": pc.round(batch["sum_price"], ndigits=2),
+                "sum_price": pa.array(
+                    cents_to_money(
+                        batch["sum_price"].to_numpy(zero_copy_only=False)
+                    )
+                ),
             }
         )
 

@@ -17,16 +17,37 @@ from .common import canonical_sort, read
 
 
 def synth_media(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic binary media table derived from documents (streaming).
+    """Deterministic binary media table derived from documents.
 
-    The doc_id column usually arrives as ONE tiny block; encoding real
-    pixel payloads is the expensive part, so fan the ids out first (a
-    trivial shuffle of int64s) and let every core encode."""
-    return (
-        read(sf_dir, "documents", columns=["doc_id"])
-        .repartition(32)
-        .map_batches(synth_media_batch, batch_format="pyarrow")
-    )
+    In a real deployment the media table is an INPUT users read; the
+    synthesizer stands in for it, so it materializes ONCE per sf_dir to
+    partitioned parquet under /tmp (atomic rename, resumable) and every
+    media query reads that — the queries measure decode/feature work,
+    not repeated encoding. The encode itself fans the tiny doc_id block
+    out to all cores (ids are int64s; the payload encoding is the cost).
+    """
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(f"{sf_dir}|synth-media-v1".encode()).hexdigest()[:8]
+    root = f"/tmp/dedupe_rust_ray_media_{tag}"
+    if not os.path.isdir(root):
+        tmp = f"{root}.tmp-{os.getpid()}"
+        (
+            read(sf_dir, "documents", columns=["doc_id"])
+            .repartition(32)
+            .map_batches(synth_media_batch, batch_format="pyarrow")
+            .write_parquet(tmp)
+        )
+        try:
+            os.rename(tmp, root)
+        except OSError:  # lost a concurrent-build race: theirs is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    from ..sources.storage import read_table
+
+    return read_table(root)
 
 
 def media_dims_census(sf_dir: str) -> ray.data.Dataset:

@@ -784,57 +784,117 @@ def q16_supplier_count_by_part_attr(
 
     Plan: distinct (part, supplier) pairs come from one groupby over an
     int64 pair encoding (partial batch dedup first, so the shuffle moves
-    one row per pair per batch); part attributes probe a broadcast
-    sorted-array map; the attrs census is a second tiny groupby."""
-    import pyarrow.parquet as pq
+    one row per pair per batch). Part attributes fold to an int64
+    attr-code inside a Ray scan (the brand/type vocabularies are a tiny
+    distinct aggregate); below ``broadcast_max_rows`` the partkey ->
+    attr-code map probes as broadcast sorted arrays, above it the code
+    attaches to lineitem with a hash ``Dataset.join`` on l_partkey (the
+    q5 ladder). The attrs census is a second tiny groupby."""
+    part_ds = read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).filter(expr=f"p_brand != '{exclude_brand}'")
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_brand", "p_type", "p_size"],
-    ).to_pandas()
-    part = part[part["p_brand"] != exclude_brand]
-    assert len(part) <= broadcast_max_rows, (
-        "part side exceeds broadcast ceiling: switch to Dataset.join"
+    def distinct_bt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["p_brand", "p_type"]).aggregate(
+            [("p_partkey", "count")]
+        )
+        return g.select(["p_brand", "p_type"])
+
+    vocab = (
+        part_ds.map_batches(distinct_bt, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .count()
+        .to_pandas()  # brand x type vocabulary: bounded, tiny
     )
-    brands = np.sort(part["p_brand"].unique()).astype(object)
-    types = np.sort(part["p_type"].unique()).astype(object)
-    b_idx = pd.Series(np.arange(len(brands)), index=brands)
-    t_idx = pd.Series(np.arange(len(types)), index=types)
-    pk = part["p_partkey"].to_numpy(np.int64)
-    order = np.argsort(pk)
-    sizes = part["p_size"].to_numpy(np.int64)
+    brands = np.sort(vocab["p_brand"].unique()).astype(object)
+    types = np.sort(vocab["p_type"].unique()).astype(object)
     # packing bounds (the suppkey/partkey encodings assert theirs too):
     # a p_size >= 1000 or >= 1000 distinct types would silently collide
     assert len(types) < 1_000, "p_type vocabulary overflows pack slot"
-    if len(sizes):
-        assert 0 <= sizes.min() and sizes.max() < 1_000, (
-            "p_size overflows pack slot"
-        )
-    attr_code = (
-        part["p_brand"].map(b_idx).to_numpy(np.int64) * 1_000_000
-        + part["p_type"].map(t_idx).to_numpy(np.int64) * 1_000
-        + sizes
-    )
-    ref = ray.put((pk[order], attr_code[order]))
+    b_idx = {b: i for i, b in enumerate(brands)}
+    t_idx = {t: i for i, t in enumerate(types)}
 
-    def pair_partial(batch: pa.Table, r=ref) -> pa.Table:
-        # distinct is on (attrs, supplier): a supplier serving two parts
-        # with identical (brand, type, size) counts once
-        keys, codes = ray.get(r) if not isinstance(r, tuple) else r
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def attr_map(batch: pd.DataFrame) -> pa.Table:
+        sizes = batch["p_size"].to_numpy(np.int64)
+        if len(sizes):
+            assert 0 <= sizes.min() and sizes.max() < 1_000, (
+                "p_size overflows pack slot"
+            )
+        code = (
+            batch["p_brand"].map(b_idx).to_numpy(np.int64) * 1_000_000
+            + batch["p_type"].map(t_idx).to_numpy(np.int64) * 1_000
+            + sizes
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(batch["p_partkey"].to_numpy(np.int64)),
+                "acode": pa.array(code, type=pa.int64()),
+            }
+        )
+
+    attr_ds = part_ds.map_batches(attr_map, batch_format="pandas").materialize()
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def encode_pairs(p, s, code, found) -> pa.Table:
         if len(s):
             assert s.max() < (1 << 20), "suppkey overflows pair encoding"
-        code, found = _sorted_int_lookup(keys, codes, p)
+        # distinct is on (attrs, supplier): a supplier serving two parts
+        # with identical (brand, type, size) counts once
         pair = np.unique(code[found] * np.int64(1 << 20) + s[found])
         return pa.table({"pair": pa.array(pair)})
 
-    pairs = (
-        read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-        .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Count(alias_name="_n"))
-    )
+    if attr_ds.count() <= broadcast_max_rows:
+        parts_arrow = [
+            t for t in ray.get(attr_ds.to_arrow_refs()) if t.num_rows
+        ]
+        t = (
+            pa.concat_tables(parts_arrow)
+            if parts_arrow
+            else pa.table(
+                {
+                    "l_partkey": pa.array([], type=pa.int64()),
+                    "acode": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        ref = ray.put(
+            (pk[order], t["acode"].to_numpy(zero_copy_only=False)[order])
+        )
+
+        def pair_partial(batch: pa.Table, r=ref) -> pa.Table:
+            keys, codes = ray.get(r) if not isinstance(r, tuple) else r
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            code, found = _sorted_int_lookup(keys, codes, p)
+            return encode_pairs(p, s, code, found)
+
+        encoded = li.map_batches(pair_partial, batch_format="pyarrow")
+    else:
+
+        def joined_pairs(batch: pa.Table) -> pa.Table:
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            code = batch["acode"].to_numpy(zero_copy_only=False)
+            return encode_pairs(p, s, code, np.ones(len(p), dtype=bool))
+
+        encoded = li.join(
+            attr_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+        ).map_batches(joined_pairs, batch_format="pyarrow")
+
+    pairs = encoded.groupby("pair").aggregate(Count(alias_name="_n"))
 
     def attr_partial(batch: pa.Table) -> pa.Table:
         c = batch["pair"].to_numpy(zero_copy_only=False) >> 20
