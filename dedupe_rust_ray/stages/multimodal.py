@@ -364,6 +364,36 @@ def probe_dims_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def heic_pixel_decoder():
+    """libheif-backed HEIC grayscale decode, gated on ``pillow-heif``
+    being importable (it is NOT in this sandbox — no network, no
+    libheif). When available, pixels decode for real and HEIC rows flow
+    through the same feature path as every other format, mirroring the
+    reference's libheif decode with interleaved/grayscale fallbacks
+    (/root/reference/src/main.rs:684-792). When absent, callers keep the
+    per-row ``decode_unsupported:heic`` flag — the reference's
+    warn-and-skip (/root/reference/src/main.rs:674-680). Dims still parse
+    for real either way via the pure-bytes ISO-BMFF ispe walk
+    (stages/dims.py)."""
+    try:  # pragma: no cover - pillow-heif not installable here
+        import pillow_heif
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    pillow_heif.register_heif_opener()
+
+    def decode_heic(data: bytes):
+        try:
+            img = Image.open(io.BytesIO(data)).convert("L")
+            return np.asarray(img, dtype=np.float64)
+        except Exception:  # noqa: BLE001 - per-row error policy
+            return None
+
+    return decode_heic
+
+
 class MediaDecode:
     """Actor-pool decode + feature stage (stateful: format dispatch table
     built once per actor; a real deployment loads codecs/models here).
@@ -381,6 +411,9 @@ class MediaDecode:
             "jpeg": decode_jpeg,
             "webp": decode_webp,
         }
+        heic = heic_pixel_decoder()  # import-gated: None in this sandbox
+        if heic is not None:
+            self.decoders["heic"] = heic
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch["fmt"].to_pylist()

@@ -195,3 +195,44 @@ def test_heic_dims_box_walk():
     assert heic_dims(mp4) is None
     # truncated / missing ispe
     assert heic_dims(ftyp) is None
+
+
+def test_heic_pixel_gate_and_flag_policy():
+    """pillow-heif is import-gated (absent in this sandbox): the gate
+    returns None, and a MediaDecode row with a synthesized HEIC header
+    carries the reference's warn-and-skip flag while its dims parse for
+    real via the ispe walk (/root/reference/src/main.rs:674-680)."""
+    import struct
+
+    import pyarrow as pa
+
+    from dedupe_rust_ray.stages.multimodal import (
+        MediaDecode,
+        heic_pixel_decoder,
+    )
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"heic" + b"\x00" * 4 + b"mif1")
+    ispe = box(b"ispe", b"\x00" * 4 + struct.pack(">II", 64, 48))
+    meta = box(b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", ispe)))
+    data = ftyp + meta
+
+    gate = heic_pixel_decoder()
+    if gate is None:  # this sandbox: no libheif
+        out = MediaDecode()(
+            pa.table(
+                {
+                    "media_id": ["m-1"],
+                    "fmt": ["heic"],
+                    "payload": [data],
+                }
+            )
+        )
+        assert out["err"].to_pylist() == ["decode_unsupported:heic"]
+        assert out["ok"].to_pylist() == [False]
+        assert out["width"].to_pylist() == [64]
+        assert out["height"].to_pylist() == [48]
+    else:  # environments with pillow-heif: dispatch table gains heic
+        assert "heic" in MediaDecode().decoders
