@@ -35,10 +35,21 @@ _N_SHARDS = 32
 
 
 def _dedup_keys(name: str):
-    """Per-batch key dedup (combiner before the join shuffle)."""
+    """Per-batch key dedup (combiner before the join shuffle).
+
+    Every block gets a sentinel key -1 appended so no block is ever
+    empty: acero's hash join fails on partitions that received only
+    schema-less empty bundles (a one-row union is NOT enough — see
+    q22). No real key is negative, so the sentinel matches nothing in
+    a semi- or anti-join."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return pa.table({name: batch[name].unique()})
+        u = batch[name].unique().cast(pa.int64())
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table(
+            {name: pa.concat_arrays([u, pa.array([-1], type=pa.int64())])}
+        )
 
     return fn
 

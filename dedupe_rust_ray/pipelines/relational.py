@@ -459,28 +459,33 @@ def q22_idle_rich_customers(
         lambda b, a=avg_bal: b.filter(pc.greater(b["c_acctbal"], pa.scalar(a))),
         batch_format="pyarrow",
     )
-    keys = (
-        read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-        .map_batches(
-            lambda b, c=cutoff: pa.table(
-                {
-                    "o_custkey": b.filter(
-                        pc.greater_equal(b["o_orderdate"], pa.scalar(c))
-                    )["o_custkey"].unique()
-                }
-            ),
-            batch_format="pyarrow",
+    def keys_batch(b: pa.Table, c=cutoff) -> pa.Table:
+        u = (
+            b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(c)))[
+                "o_custkey"
+            ]
+            .unique()
+            .cast(pa.int64())
         )
-    )
-    # sentinel on the KEYS side: a cutoff later than every order date
-    # leaves only empty blocks there, which degrade acero's join schema
-    # (the _with_sentinel hazard) — custkey -1 matches no real customer,
-    # so the left_anti result is unchanged
-    keys = keys.union(
-        ray.data.from_arrow(
-            pa.table({"o_custkey": pa.array([-1], type=pa.int64())})
+        # per-BLOCK sentinel: a cutoff later than every order date makes
+        # every block here empty, and acero's hash join fails on any
+        # partition that received only schema-less empty bundles (a
+        # one-row union is NOT enough — partitions that get none of it
+        # still fail). custkey -1 matches no real customer, so the
+        # left_anti result is unchanged.
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table(
+            {
+                "o_custkey": pa.concat_arrays(
+                    [u, pa.array([-1], type=pa.int64())]
+                )
+            }
         )
-    )
+
+    keys = read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(keys_batch, batch_format="pyarrow")
     out = (
         rich.join(
             keys,

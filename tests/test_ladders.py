@@ -52,3 +52,31 @@ def test_q7_q8_customer_join_leg():
         q8_market_share(SF_DIR),
         q8_market_share(SF_DIR, broadcast_max_rows=50),
     )
+
+
+def test_q22_cutoff_after_all_orders_empty_keys_side():
+    """A cutoff later than every order date makes the anti-join's keys
+    side empty — the acero schema-degradation hazard the sentinel row
+    guards. All above-average-balance customers must come back."""
+    import duckdb
+
+    from dedupe_rust_ray.pipelines.relational import q22_idle_rich_customers
+
+    got = q22_idle_rich_customers(SF_DIR, cutoff="2099-01-01")
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+               COUNT(*) AS n_customers,
+               FLOOR(SUM(c_acctbal) * 100 + 0.5) / 100 AS sum_acctbal
+        FROM read_parquet('{SF_DIR}/customer.parquet')
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal)
+            FROM read_parquet('{SF_DIR}/customer.parquet')
+            WHERE c_acctbal > 0.0)
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert got["c_nationkey"].tolist() == want["c_nationkey"].tolist()
+    assert got["n_customers"].tolist() == want["n_customers"].tolist()
+    assert got["sum_acctbal"].tolist() == want["sum_acctbal"].tolist()
