@@ -557,20 +557,31 @@ def q5_local_supplier_volume(
     nation_keys = nation_keys[order_n]
     nation_names = asia_nations["n_name"].to_numpy(dtype=object)[order_n]
 
-    def _sorted_side(path: str, key: str, val: str) -> tuple:
-        t = pq.read_table(path, columns=[key, val]).to_pandas()
-        keep = np.isin(t[val].to_numpy(np.int64), nation_keys)
-        k = t[key].to_numpy(np.int64)[keep]
-        v = t[val].to_numpy(np.int64)[keep]
+    def _sorted_side(table: str, key: str, val: str) -> tuple:
+        # Ray scan, column-pruned, with the region filter applied in the
+        # workers — the driver only ever holds the Asia-side arrays
+        # (1/|regions| of the dimension), never the full table
+        t = (
+            read(sf_dir, table, columns=[key, val])
+            .map_batches(
+                lambda b, nk=nation_keys: b.filter(
+                    pa.array(
+                        np.isin(
+                            b[val].to_numpy(zero_copy_only=False), nk
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        k = t[key].to_numpy(np.int64)
+        v = t[val].to_numpy(np.int64)
         o = np.argsort(k, kind="stable")
         return k[o], v[o]
 
-    ckeys, cvals = _sorted_side(
-        f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey"
-    )
-    skeys, svals = _sorted_side(
-        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey"
-    )
+    ckeys, cvals = _sorted_side("customer", "c_custkey", "c_nationkey")
+    skeys, svals = _sorted_side("supplier", "s_suppkey", "s_nationkey")
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 

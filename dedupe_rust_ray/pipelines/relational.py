@@ -60,6 +60,32 @@ def _with_sentinel(ds: ray.data.Dataset, sentinel: pa.Table) -> ray.data.Dataset
     return ds.union(ray.data.from_arrow(sentinel))
 
 
+def _dim_rows_for_keys(
+    sf_dir: str,
+    table: str,
+    columns: list[str],
+    key: str,
+    keys: np.ndarray,
+) -> pd.DataFrame:
+    """Attach a bounded winner set to a dimension WITHOUT a driver-side
+    full-table read (the q10 discipline, joins.py:292): Ray scans the
+    dimension column-pruned, each batch keeps only rows whose ``key`` is
+    in the (small, sorted) winner set, and only the surviving rows reach
+    the driver — O(|keys|) driver memory at any SF."""
+    ks = np.sort(np.asarray(keys, dtype=np.int64))
+    out = read(sf_dir, table, columns=columns).map_batches(
+        lambda b, k=ks: b.filter(
+            pa.array(
+                np.isin(
+                    b[key].to_numpy(zero_copy_only=False).astype(np.int64), k
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out
+
+
 def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q13-shaped: the distribution of per-customer order counts,
     INCLUDING customers with zero orders (left-outer-join semantics).
@@ -1456,8 +1482,6 @@ def q2_min_cost_supplier(
     q15 discipline); the per-type argmin is a local-top-1 per batch, so
     the driver merges |types| x |batches| candidate rows, never the
     pair relation."""
-    import pyarrow.parquet as pq
-
     part_ds = read(sf_dir, "part", columns=["p_partkey", "p_type"])
     # INTENDED ceiling: the map is 16 B/part (~320 MB at sf100, under the
     # 5M-row default as 2 pruned columns); above it, attach p_type by
@@ -1548,9 +1572,13 @@ def q2_min_cost_supplier(
         .head(1)
         .reset_index(drop=True)
     )
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
-    ).to_pandas()
+    supp = _dim_rows_for_keys(
+        sf_dir,
+        "supplier",
+        ["s_suppkey", "s_name"],
+        "s_suppkey",
+        win["s"].to_numpy(np.int64),
+    )
     out = win.merge(supp, left_on="s", right_on="s_suppkey")
     out["p_type"] = types[out["t"].to_numpy(np.int64)]
     return (
@@ -1647,8 +1675,6 @@ def q20_heavy_shippers(
     Plan: pattern-selective partkeys broadcast once; lineitem partially
     sums quantity per suppkey; the supplier-domain aggregate, its mean
     threshold, and the name/nation attach are all driver-bounded."""
-    import pyarrow.parquet as pq
-
     part_keys_ds = read(
         sf_dir, "part", columns=["p_partkey", "p_name"]
     ).map_batches(
@@ -1709,12 +1735,14 @@ def q20_heavy_shippers(
         return pd.DataFrame({"s_suppkey": [], "s_name": [], "n_name": [], "qty": []})
     thr = 0.5 * qty["qty"].mean()
     win = qty[qty["qty"] > thr].copy()
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
-    ).to_pandas()
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    supp = _dim_rows_for_keys(
+        sf_dir,
+        "supplier",
+        ["s_suppkey", "s_name", "s_nationkey"],
+        "s_suppkey",
+        win["s_suppkey"].to_numpy(np.int64),
+    )
+    nation = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     out = win.merge(supp, on="s_suppkey").merge(
         nation, left_on="s_nationkey", right_on="n_nationkey"
     )
@@ -1826,11 +1854,13 @@ def q21_sole_returners(sf_dir: str) -> pd.DataFrame:
     )
     if agg.empty:
         return pd.DataFrame({"s_suppkey": [], "s_name": [], "numwait": []})
-    import pyarrow.parquet as pq
-
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
-    ).to_pandas()
+    supp = _dim_rows_for_keys(
+        sf_dir,
+        "supplier",
+        ["s_suppkey", "s_name"],
+        "s_suppkey",
+        agg["s_suppkey"].to_numpy(np.int64),
+    )
     out = agg.merge(supp, on="s_suppkey")
     out["numwait"] = out["numwait"].astype(np.int64)
     return (

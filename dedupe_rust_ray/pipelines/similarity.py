@@ -25,8 +25,13 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
+    # filter pushed into the read: row groups whose vec_id stats exclude
+    # [0, n_queries) are never deserialized — the driver reads O(1) row
+    # groups at any SF instead of the whole embeddings table
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
     t = t.filter(pc.less(t["vec_id"], n_queries))
     ids = t["vec_id"].to_numpy()
