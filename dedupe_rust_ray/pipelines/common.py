@@ -131,6 +131,32 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.
     return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Sanitize a dataset before it feeds a hash ``Dataset.join``.
+
+    Ray's map_batches forwards EMPTY input blocks as ZERO-COLUMN empty
+    blocks without invoking the UDF, so a per-block schema guard (a
+    sentinel row appended in the UDF) misses exactly the blocks that
+    need it; if the join's schema broadcast then samples such a block,
+    its partitions degrade and acero fails with 'No match ... for key
+    field reference'. This drops empty blocks by METADATA only — no
+    block is ever fetched to the driver — and returns the dataset
+    unchanged when every block is empty (callers keep a sentinel row /
+    ladder gate for that case). Use on any join input that descends
+    from a groupby/aggregate or a selective filter."""
+    bundles = list(ds.iter_internal_ref_bundles())
+    refs, dropped = [], 0
+    for bun in bundles:
+        for ref, meta in bun.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+            else:
+                dropped += 1
+    if not refs or not dropped:
+        return ds
+    return ray.data.from_arrow_refs(refs)
+
+
 def as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Convert a dataset's blocks to Arrow before a wide op.
 

@@ -36,7 +36,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .common import join_partitions, read
+from .common import drop_empty_blocks, join_partitions, read
 from .common import cents_to_money as _cents_to_money
 from .common import money_cents as _money_cents
 from .common import revenue_units as _revenue_units
@@ -84,6 +84,38 @@ def _dim_rows_for_keys(
         batch_format="pyarrow",
     ).to_pandas()
     return out
+
+
+def _keys_with_sentinel(
+    ds: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    block_filter=None,
+) -> ray.data.Dataset:
+    """Key side of an inner semi-join, renamed to the fact's column and
+    with a per-block sentinel key (-1) appended — EVERY block stays
+    schema-bearing, and no real key is negative so the sentinel joins
+    nothing.
+
+    ``ds`` must be a RAW scan (parquet read), with any selective
+    predicate passed as ``block_filter`` so it runs INSIDE this UDF:
+    Ray's map_batches never invokes the UDF on an already-empty input
+    block — it forwards a ZERO-COLUMN empty block instead — so a
+    sentinel appended in a map_batches placed AFTER a filter misses
+    exactly the blocks that need it, and one such block reaching the
+    hash-join schema broadcast poisons its partitions (acero:
+    'No match ... for key field reference'). Fusing filter + sentinel
+    over never-empty scan blocks guarantees every output block carries
+    the key column."""
+
+    def per_block(b: pa.Table) -> pa.Table:
+        if block_filter is not None:
+            b = block_filter(b)
+        k = b[src_col].cast(pa.int64()).combine_chunks()
+        k = pa.concat_arrays([k, pa.array([-1], type=pa.int64())])
+        return pa.table({dst_col: k})
+
+    return ds.map_batches(per_block, batch_format="pyarrow")
 
 
 def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
@@ -271,8 +303,13 @@ def q17_small_quantity_revenue(
 
         pruned1 = li1.map_batches(pass1, batch_format="pyarrow")
     else:
-        keyds = part_keys_ds.map_batches(
-            lambda b: b.rename_columns(["l_partkey"]), batch_format="pyarrow"
+        keyds = _keys_with_sentinel(
+            read(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+            "p_partkey",
+            "l_partkey",
+            block_filter=lambda b: b.filter(
+                pc.equal(b["p_brand"], pa.scalar(brand))
+            ),
         )
         pruned1 = li1.join(
             keyds,
@@ -337,7 +374,9 @@ def q17_small_quantity_revenue(
 
         total = li2.map_batches(pass2, batch_format="pyarrow").sum("partial")
     else:
-        thr_ds = per_part.map_batches(thresh_col, batch_format="pyarrow")
+        thr_ds = drop_empty_blocks(per_part).map_batches(
+            thresh_col, batch_format="pyarrow"
+        )
         total = (
             li2.join(
                 thr_ds,
@@ -547,72 +586,78 @@ def q9_profit_by_nation_year(
     parts whose name contains ``pattern`` — the five-table star join
     (lineitem x orders x supplier x nation x part).
 
-    Plan: the two dimension legs collapse to broadcast probes — part
-    filters to a sorted partkey array, supplier+nation fold to a
-    suppkey -> nation-index sorted map (both bounded or
-    pattern-selective and under the ceiling through sf~100; the assert
-    below documents where the q16/q19-style join leg takes over). The
-    one genuinely fact x fact leg
-    (filtered lineitem x orders) is a hash ``Dataset.join`` — but only
-    AFTER lineitem is partially aggregated to (orderkey, nation) profit
-    rows, so the join moves at most one row per (order, nation), never
-    raw lineitems. Orders ship only (orderkey, year)."""
-    pk_parts = [
-        t
-        for t in ray.get(
-            read(sf_dir, "part", columns=["p_partkey", "p_name"])
-            .map_batches(
-                lambda b: b.filter(
-                    pc.match_substring(b["p_name"], pattern)
-                ).select(["p_partkey"]),
-                batch_format="pyarrow",
-            )
-            .materialize()
-            .to_arrow_refs()
+    Plan: the two dimension legs are independent LADDERS — below
+    ``broadcast_max_rows`` the pattern-selective partkeys ship as a
+    sorted broadcast probe and supplier+nation fold to a suppkey ->
+    nation-index sorted map; above it each leg switches to a hash
+    ``Dataset.join`` on the fact (part keys as a sentinel'd semi-join on
+    l_partkey, supplier as a (l_suppkey, n_nationkey) attach — the
+    q16/q19 part-leg and q7/q8 customer-leg shapes). The one genuinely
+    fact x fact leg (filtered lineitem x orders) is a hash
+    ``Dataset.join`` — but only AFTER lineitem is partially aggregated
+    to (orderkey, nation) profit rows, so the join moves at most one
+    row per (order, nation), never raw lineitems. Orders ship only
+    (orderkey, year)."""
+    part_keys_ds = (
+        read(sf_dir, "part", columns=["p_partkey", "p_name"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.match_substring(b["p_name"], pattern)
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
         )
-        if t.num_rows
-    ]
-    pk = (
-        np.sort(
-            np.concatenate(
-                [
-                    t["p_partkey"].to_numpy(zero_copy_only=False)
-                    for t in pk_parts
-                ]
-            ).astype(np.int64)
-        )
-        if pk_parts
-        else np.array([], dtype=np.int64)
+        .materialize()
     )
-
-    supp = read(
-        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    supp_ds = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     nation = read(sf_dir, "nation", columns=None).to_pandas()
     nation = nation.sort_values("n_nationkey").reset_index(drop=True)
     nat_names = nation["n_name"].to_numpy(dtype=object)
     nat_keys = nation["n_nationkey"].to_numpy(np.int64)
-    sk = supp["s_suppkey"].to_numpy(np.int64)
-    sv = supp["s_nationkey"].to_numpy(np.int64)
-    o = np.argsort(sk)
-    sk, sv = sk[o], sv[o]
-    # INTENDED ceiling, not a stub: the q9 part leg is pattern-selective
-    # (~1/8 of part ~ 2.5M rows at sf100) and the supplier+nation map is
-    # |supplier| (~1M at sf100) — both under the default 5M ceiling. The
-    # executable join fallback for bigger dims is demonstrated by
-    # q16/q17/q19 (part legs) and q7/q8 (customer leg); wire the same
-    # shape here if a deployment raises SF past the ceiling.
-    assert len(sk) <= broadcast_max_rows and len(pk) <= broadcast_max_rows, (
-        "dimension leg exceeds broadcast ceiling: switch to Dataset.join "
-        "(see q16/q19 for the part-leg pattern)"
-    )
+
+    use_pk_bcast = part_keys_ds.count() <= broadcast_max_rows
+    use_supp_bcast = supp_ds.count() <= broadcast_max_rows
+    pk = sk = sv = None
+    if use_pk_bcast:
+        pk_parts = [
+            t for t in ray.get(part_keys_ds.to_arrow_refs()) if t.num_rows
+        ]
+        pk = (
+            np.sort(
+                np.concatenate(
+                    [
+                        t["p_partkey"].to_numpy(zero_copy_only=False)
+                        for t in pk_parts
+                    ]
+                ).astype(np.int64)
+            )
+            if pk_parts
+            else np.array([], dtype=np.int64)
+        )
+    if use_supp_bcast:
+        sp = [t for t in ray.get(supp_ds.to_arrow_refs()) if t.num_rows]
+        st = (
+            pa.concat_tables(sp)
+            if sp
+            else pa.table(
+                {
+                    "s_suppkey": pa.array([], type=pa.int64()),
+                    "s_nationkey": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        sk, sv = sk[o], sv[o]
     ref = ray.put((pk, sk, sv))
 
     def li_partial(batch: pa.Table, r=ref) -> pa.Table:
         pks, sks, svs = r if isinstance(r, tuple) else ray.get(r)
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        _, in_pat = _sorted_int_lookup(pks, pks, p)
-        t = batch.filter(pa.array(in_pat))
+        t = batch
+        if pks is not None:
+            p = t["l_partkey"].to_numpy(zero_copy_only=False)
+            _, in_pat = _sorted_int_lookup(pks, pks, p)
+            t = t.filter(pa.array(in_pat))
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -621,11 +666,14 @@ def q9_profit_by_nation_year(
                     "partial": pa.array([], type=pa.int64()),
                 }
             )
-        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        nat, s_found = _sorted_int_lookup(sks, svs, s)
-        if not s_found.all():  # FK miss: drop like the oracle's inner join
-            t = t.filter(pa.array(s_found))
-            nat = nat[s_found]
+        if sks is not None:
+            s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            nat, s_found = _sorted_int_lookup(sks, svs, s)
+            if not s_found.all():  # FK miss: drop like the inner join
+                t = t.filter(pa.array(s_found))
+                nat = nat[s_found]
+        else:  # join leg already attached n_nationkey
+            nat = t["n_nationkey"].to_numpy(zero_copy_only=False)
         # exact int64 1e-4-dollar units (order-free; common.revenue_units)
         profit = _revenue_units(
             t["l_extendedprice"].to_numpy(zero_copy_only=False),
@@ -647,7 +695,7 @@ def q9_profit_by_nation_year(
             }
         )
 
-    li = read(
+    li_ds = read(
         sf_dir,
         "lineitem",
         columns=[
@@ -657,7 +705,44 @@ def q9_profit_by_nation_year(
             "l_extendedprice",
             "l_discount",
         ],
-    ).map_batches(li_partial, batch_format="pyarrow")
+    )
+    if not use_pk_bcast:
+        li_ds = li_ds.join(
+            _keys_with_sentinel(
+                read(sf_dir, "part", columns=["p_partkey", "p_name"]),
+                "p_partkey",
+                "l_partkey",
+                block_filter=lambda b: b.filter(
+                    pc.match_substring(b["p_name"], pattern)
+                ),
+            ),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+        )
+    if not use_supp_bcast:
+
+        def supp_block(b: pa.Table) -> pa.Table:
+            k = b["s_suppkey"].cast(pa.int64()).combine_chunks()
+            v = b["s_nationkey"].cast(pa.int64()).combine_chunks()
+            return pa.table(
+                {
+                    "l_suppkey": pa.concat_arrays(
+                        [k, pa.array([-1], type=pa.int64())]
+                    ),
+                    "n_nationkey": pa.concat_arrays(
+                        [v, pa.array([0], type=pa.int64())]
+                    ),
+                }
+            )
+
+        li_ds = li_ds.join(
+            supp_ds.map_batches(supp_block, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_suppkey",),
+        )
+    li = li_ds.map_batches(li_partial, batch_format="pyarrow")
 
     def o_year(batch: pa.Table) -> pa.Table:
         y = pc.year(batch["o_orderdate"]).cast(pa.int64())
@@ -1483,19 +1568,63 @@ def q2_min_cost_supplier(
     the driver merges |types| x |batches| candidate rows, never the
     pair relation."""
     part_ds = read(sf_dir, "part", columns=["p_partkey", "p_type"])
-    # INTENDED ceiling: the map is 16 B/part (~320 MB at sf100, under the
-    # 5M-row default as 2 pruned columns); above it, attach p_type by
-    # hash join exactly as q16's attr-code leg does (same shape).
-    assert part_ds.count() <= broadcast_max_rows, (
-        "part side exceeds broadcast ceiling: switch to the q16 join leg"
-    )
-    part = part_ds.to_pandas()
-    types = np.sort(part["p_type"].unique()).astype(object)
-    t_idx = pd.Series(np.arange(len(types)), index=types)
-    pk = part["p_partkey"].to_numpy(np.int64)
-    tv = part["p_type"].map(t_idx).to_numpy(np.int64)
-    order = np.argsort(pk)
-    ref = ray.put((pk[order], tv[order]))
+    use_bcast = part_ds.count() <= broadcast_max_rows
+    if use_bcast:
+        part = part_ds.to_pandas()
+        types = np.sort(part["p_type"].unique()).astype(object)
+        t_idx = pd.Series(np.arange(len(types)), index=types)
+        pk = part["p_partkey"].to_numpy(np.int64)
+        tv = part["p_type"].map(t_idx).to_numpy(np.int64)
+        order = np.argsort(pk)
+        ref = ray.put((pk[order], tv[order]))
+    else:
+        # join leg (the q16 attr-code shape): the type VOCABULARY is a
+        # bounded domain folded from per-block distincts; the SF-scaled
+        # partkey -> type-index map stays a Ray dataset and attaches to
+        # the (part, supplier) pair aggregate by hash join on p
+        tparts = [
+            t
+            for t in ray.get(
+                part_ds.map_batches(
+                    lambda b: pa.table({"p_type": pc.unique(b["p_type"])}),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        types = np.sort(
+            np.unique(
+                np.concatenate(
+                    [
+                        t["p_type"].to_numpy(zero_copy_only=False)
+                        for t in tparts
+                    ]
+                )
+            )
+        ).astype(object)
+        tref = ray.put(types)
+
+        def attr_block(b: pa.Table, tr=tref) -> pa.Table:
+            tvoc = tr if isinstance(tr, np.ndarray) else ray.get(tr)
+            tarr = b["p_type"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(tvoc, tarr).astype(np.int64)
+            k = b["p_partkey"].cast(pa.int64()).combine_chunks()
+            # per-block sentinel: no real partkey is negative
+            return pa.table(
+                {
+                    "p": pa.concat_arrays(
+                        [k, pa.array([-1], type=pa.int64())]
+                    ),
+                    "tcode": pa.concat_arrays(
+                        [
+                            pa.array(idx, type=pa.int64()),
+                            pa.array([0], type=pa.int64()),
+                        ]
+                    ),
+                }
+            )
+
+        attr_ds = part_ds.map_batches(attr_block, batch_format="pyarrow")
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1535,18 +1664,14 @@ def q2_min_cost_supplier(
         .aggregate(Sum("pr", alias_name="price"), Sum("q", alias_name="qty"))
     )
 
-    def local_top1(batch: pa.Table, r=ref) -> pa.Table:
-        keys, tvs = ray.get(r) if not isinstance(r, tuple) else r
-        pair = batch["pair"].to_numpy(zero_copy_only=False)
+    def _top1(
+        pair: np.ndarray, price: np.ndarray, qty: np.ndarray,
+        tidx: np.ndarray, found: np.ndarray,
+    ) -> pa.Table:
         p, s = pair >> 20, pair & ((1 << 20) - 1)
-        tidx, found = _sorted_int_lookup(keys, tvs, p)
         # cents/100.0/qty: the SAME float op sequence as the oracle on
         # exact integer inputs -> bit-identical before the 1e-4 rounding
-        cost = _round4(
-            batch["price"].to_numpy(zero_copy_only=False).astype(np.float64)
-            / 100.0
-            / batch["qty"].to_numpy(zero_copy_only=False)
-        )
+        cost = _round4(price.astype(np.float64) / 100.0 / qty)
         df = pd.DataFrame(
             {"t": tidx[found], "cost": cost[found], "s": s[found], "p": p[found]}
         )
@@ -1560,7 +1685,62 @@ def q2_min_cost_supplier(
             }
         )
 
-    cand = pairs.map_batches(local_top1, batch_format="pyarrow").to_pandas()
+    if use_bcast:
+
+        def local_top1(batch: pa.Table, r=ref) -> pa.Table:
+            keys, tvs = ray.get(r) if not isinstance(r, tuple) else r
+            pair = batch["pair"].to_numpy(zero_copy_only=False)
+            tidx, found = _sorted_int_lookup(keys, tvs, pair >> 20)
+            return _top1(
+                pair,
+                batch["price"].to_numpy(zero_copy_only=False),
+                batch["qty"].to_numpy(zero_copy_only=False),
+                tidx,
+                found,
+            )
+
+        cand_ds = pairs.map_batches(local_top1, batch_format="pyarrow")
+    else:
+
+        def unpack_p(b: pa.Table) -> pa.Table:
+            pair = b["pair"].to_numpy(zero_copy_only=False)
+            t = b.append_column("p", pa.array(pair >> 20, type=pa.int64()))
+            # per-block sentinel p = -2 (NOT -1: the attr side's own
+            # sentinel is -1 and the two must never meet in the join)
+            s = pa.table(
+                {
+                    "pair": pa.array([0], type=pa.int64()),
+                    "price": pa.array([0], type=pa.int64()),
+                    "qty": pa.array([1.0], type=pa.float64()),
+                    "p": pa.array([-2], type=pa.int64()),
+                }
+            )
+            return pa.concat_tables([t, s.select(t.column_names)])
+
+        def local_top1_joined(batch: pa.Table) -> pa.Table:
+            pair = batch["pair"].to_numpy(zero_copy_only=False)
+            tidx = batch["tcode"].to_numpy(zero_copy_only=False)
+            return _top1(
+                pair,
+                batch["price"].to_numpy(zero_copy_only=False),
+                batch["qty"].to_numpy(zero_copy_only=False),
+                tidx,
+                np.ones(len(pair), dtype=bool),
+            )
+
+        cand_ds = (
+            drop_empty_blocks(pairs.materialize())
+            .map_batches(unpack_p, batch_format="pyarrow")
+            .join(
+                attr_ds,
+                join_type="inner",
+                num_partitions=join_partitions(),
+                on=("p",),
+            )
+            .map_batches(local_top1_joined, batch_format="pyarrow")
+        )
+
+    cand = cand_ds.to_pandas()
     if cand.empty:
         return pd.DataFrame(
             {"p_type": [], "s_suppkey": [], "s_name": [],
@@ -1600,40 +1780,31 @@ def q11_important_parts(
     the value relation; a data-derived mean threshold replaces the
     fixed fraction so the query returns rows at every SF).
 
-    Plan: the nation's suppkeys broadcast as a sorted probe; lineitem
-    partially sums per partkey; after the part-domain groupby the
-    threshold is one driver-side mean over the (bounded) per-part
-    aggregate, exactly the SQL scalar subquery."""
-    supp = read(
+    Plan: the nation's suppkeys (filtered INSIDE the Ray scan — the
+    driver never reads the supplier table) ship as a sorted broadcast
+    probe below ``broadcast_max_rows``, or semi-join lineitem via a hash
+    ``Dataset.join`` on l_suppkey above it (the q17 pass-1 shape);
+    lineitem partially sums per partkey either way; after the
+    part-domain groupby the threshold is one driver-side mean over the
+    (bounded) per-part aggregate, exactly the SQL scalar subquery."""
+    sk_ds = read(
         sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    sk = np.sort(
-        supp.loc[supp["s_nationkey"] == nationkey, "s_suppkey"].to_numpy(
-            np.int64
-        )
-    )
-    # INTENDED ceiling: one nation's suppliers = |supplier|/25 (~40k at
-    # sf100); the semi-join fallback shape for larger key sets is q17's
-    # pass-1 join leg.
-    assert len(sk) <= broadcast_max_rows, (
-        "supplier key set exceeds broadcast ceiling: use the q17 join leg"
-    )
-    ref = ray.put(sk)
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["s_nationkey"], pa.scalar(nationkey))
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    ).materialize()
 
-    def partial(batch: pa.Table, r=ref) -> pa.Table:
-        keys = ray.get(r) if not isinstance(r, np.ndarray) else r
-        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        _, found = _sorted_int_lookup(keys, keys, s)
+    def val_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                "p": batch["l_partkey"].to_numpy(zero_copy_only=False)[found],
+                "p": batch["l_partkey"].to_numpy(zero_copy_only=False),
                 # exact int64 cents: the mean threshold cut compares
                 # integers against a float derived from exact integers,
                 # so the returned row SET is order-free
                 "v": _money_cents(
-                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)[
-                        found
-                    ]
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
                 ),
             }
         )
@@ -1645,10 +1816,52 @@ def q11_important_parts(
             }
         )
 
+    li = read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    if sk_ds.count() <= broadcast_max_rows:
+        parts_arrow = [
+            t for t in ray.get(sk_ds.to_arrow_refs()) if t.num_rows
+        ]
+        sk = (
+            np.sort(
+                np.concatenate(
+                    [
+                        t["s_suppkey"].to_numpy(zero_copy_only=False)
+                        for t in parts_arrow
+                    ]
+                ).astype(np.int64)
+            )
+            if parts_arrow
+            else np.array([], dtype=np.int64)
+        )
+        ref = ray.put(sk)
+
+        def partial(batch: pa.Table, r=ref) -> pa.Table:
+            keys = ray.get(r) if not isinstance(r, np.ndarray) else r
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            _, found = _sorted_int_lookup(keys, keys, s)
+            return val_partial(batch.filter(pa.array(found)))
+
+        pruned = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        keys_ds = _keys_with_sentinel(
+            read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "l_suppkey",
+            block_filter=lambda b: b.filter(
+                pc.equal(b["s_nationkey"], pa.scalar(nationkey))
+            ),
+        )
+        pruned = li.join(
+            keys_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_suppkey",),
+        ).map_batches(val_partial, batch_format="pyarrow")
+
     vals = (
-        read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("p_partkey")
+        pruned.groupby("p_partkey")
         .aggregate(Sum("v", alias_name="val"))
         .to_pandas()  # part-domain: bounded
     )
@@ -1672,9 +1885,12 @@ def q20_heavy_shippers(
     ``pattern``-named parts exceeds half the per-supplier average — the
     nested-aggregate semi-join (who ships 'red' parts heavily).
 
-    Plan: pattern-selective partkeys broadcast once; lineitem partially
-    sums quantity per suppkey; the supplier-domain aggregate, its mean
-    threshold, and the name/nation attach are all driver-bounded."""
+    Plan: pattern-selective partkeys broadcast once below
+    ``broadcast_max_rows``, or semi-join lineitem via a hash
+    ``Dataset.join`` on l_partkey above it (the q17 pass-1 shape);
+    lineitem partially sums quantity per suppkey either way; the
+    supplier-domain aggregate, its mean threshold, and the name/nation
+    attach are all driver-bounded."""
     part_keys_ds = read(
         sf_dir, "part", columns=["p_partkey", "p_name"]
     ).map_batches(
@@ -1682,38 +1898,13 @@ def q20_heavy_shippers(
             pc.match_substring(b["p_name"], pattern)
         ).select(["p_partkey"]),
         batch_format="pyarrow",
-    )
-    parts_arrow = [
-        t for t in ray.get(part_keys_ds.materialize().to_arrow_refs())
-        if t.num_rows
-    ]
-    pk = (
-        np.sort(
-            np.concatenate(
-                [
-                    t["p_partkey"].to_numpy(zero_copy_only=False)
-                    for t in parts_arrow
-                ]
-            ).astype(np.int64)
-        )
-        if parts_arrow
-        else np.array([], dtype=np.int64)
-    )
-    # INTENDED ceiling: pattern-selective partkeys (~1/8 of part, 2.5M at
-    # sf100, 8 B/key); the semi-join fallback shape is q17's pass-1 leg.
-    assert len(pk) <= broadcast_max_rows, (
-        "pattern key set exceeds broadcast ceiling: use the q17 join leg"
-    )
-    ref = ray.put(pk)
+    ).materialize()
 
-    def partial(batch: pa.Table, r=ref) -> pa.Table:
-        keys = ray.get(r) if not isinstance(r, np.ndarray) else r
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        _, found = _sorted_int_lookup(keys, keys, p)
+    def qty_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                "s": batch["l_suppkey"].to_numpy(zero_copy_only=False)[found],
-                "q": batch["l_quantity"].to_numpy(zero_copy_only=False)[found],
+                "s": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "q": batch["l_quantity"].to_numpy(zero_copy_only=False),
             }
         )
         g = df.groupby("s", as_index=False)["q"].sum()
@@ -1724,10 +1915,52 @@ def q20_heavy_shippers(
             }
         )
 
+    li = read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+    if part_keys_ds.count() <= broadcast_max_rows:
+        parts_arrow = [
+            t for t in ray.get(part_keys_ds.to_arrow_refs()) if t.num_rows
+        ]
+        pk = (
+            np.sort(
+                np.concatenate(
+                    [
+                        t["p_partkey"].to_numpy(zero_copy_only=False)
+                        for t in parts_arrow
+                    ]
+                ).astype(np.int64)
+            )
+            if parts_arrow
+            else np.array([], dtype=np.int64)
+        )
+        ref = ray.put(pk)
+
+        def partial(batch: pa.Table, r=ref) -> pa.Table:
+            keys = ray.get(r) if not isinstance(r, np.ndarray) else r
+            p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            _, found = _sorted_int_lookup(keys, keys, p)
+            return qty_partial(batch.filter(pa.array(found)))
+
+        pruned = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        keys_ds = _keys_with_sentinel(
+            read(sf_dir, "part", columns=["p_partkey", "p_name"]),
+            "p_partkey",
+            "l_partkey",
+            block_filter=lambda b: b.filter(
+                pc.match_substring(b["p_name"], pattern)
+            ),
+        )
+        pruned = li.join(
+            keys_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+        ).map_batches(qty_partial, batch_format="pyarrow")
+
     qty = (
-        read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("s_suppkey")
+        pruned.groupby("s_suppkey")
         .aggregate(Sum("q", alias_name="qty"))
         .to_pandas()  # supplier-domain: bounded
     )

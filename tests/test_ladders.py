@@ -80,3 +80,40 @@ def test_q22_cutoff_after_all_orders_empty_keys_side():
     assert got["c_nationkey"].tolist() == want["c_nationkey"].tolist()
     assert got["n_customers"].tolist() == want["n_customers"].tolist()
     assert got["sum_acctbal"].tolist() == want["sum_acctbal"].tolist()
+
+
+def test_q9_both_dimension_join_legs():
+    from dedupe_rust_ray.pipelines.relational import q9_profit_by_nation_year
+
+    base = q9_profit_by_nation_year(SF_DIR)
+    # ceiling 0 forces BOTH legs to join; a mid ceiling (between the
+    # pattern-key count and |supplier|) mixes one broadcast + one join
+    _eq(base, q9_profit_by_nation_year(SF_DIR, broadcast_max_rows=0))
+    _eq(base, q9_profit_by_nation_year(SF_DIR, broadcast_max_rows=8))
+
+
+def test_q11_supplier_join_leg():
+    from dedupe_rust_ray.pipelines.relational import q11_important_parts
+
+    _eq(
+        q11_important_parts(SF_DIR),
+        q11_important_parts(SF_DIR, broadcast_max_rows=0),
+    )
+
+
+def test_q20_part_keys_join_leg():
+    from dedupe_rust_ray.pipelines.relational import q20_heavy_shippers
+
+    _eq(
+        q20_heavy_shippers(SF_DIR),
+        q20_heavy_shippers(SF_DIR, broadcast_max_rows=0),
+    )
+
+
+def test_q2_part_attr_join_leg():
+    from dedupe_rust_ray.pipelines.relational import q2_min_cost_supplier
+
+    _eq(
+        q2_min_cost_supplier(SF_DIR),
+        q2_min_cost_supplier(SF_DIR, broadcast_max_rows=0),
+    )
