@@ -47,6 +47,12 @@ _BROADCAST_MAX_DOCS = 1_000_000
 # below this, skip the candidate semi-join reduction (its two extra passes
 # cost more than just broadcasting every signature)
 _CANDIDATE_REDUCE_MIN_DOCS = 100_000
+# below this many BAND ROWS (20 B each — ≤10 MB), candidate enumeration
+# gathers the band-row relation once and enumerates in-process, eliding
+# BOTH exchanges (band-shard groupby + pair-dedup groupby) whose fixed
+# barrier cost dominates small corpora; the distributed path is unchanged
+# above the ceiling (the canonical_sort driver_max_rows pattern)
+_FUSED_BAND_ROWS_MAX = 500_000
 
 
 def _word_trigrams(text: str) -> set[str]:
@@ -139,10 +145,50 @@ class _VerifyEstJaccard:
         return out[est >= self.jaccard_min]
 
 
+_EMPTY_PAIRS = {
+    "doc_a": pa.array([], type=pa.int64()),
+    "doc_b": pa.array([], type=pa.int64()),
+}
+
+
+def _fused_minhash_pairs(profiles) -> "ray.data.Dataset":
+    """Size-gated fused candidate path: gather the 20 B/row band-row
+    relation (signature/band compute stays distributed in map_batches;
+    only (band_key, doc_id) rows move) and enumerate + dedup pairs in ONE
+    in-process pass. A band_key never spans shards in the distributed
+    path, so global enumeration yields the identical pair set."""
+    parts = [
+        t for t in ray.get(_band_rows(profiles).to_arrow_refs()) if t.num_rows
+    ]
+    if not parts:
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    t = pa.concat_tables(parts)
+    keys = t["band_key"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ia, ib = local_candidate_pairs(keys)
+    if not len(ia):
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+    a, b = ids[ia], ids[ib]
+    swap = a > b
+    a, b = np.where(swap, b, a), np.where(swap, a, b)
+    m = a != b
+    uniq = np.unique(np.stack([a[m], b[m]], axis=1), axis=0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(uniq[:, 0], type=pa.int64()),
+                "doc_b": pa.array(uniq[:, 1], type=pa.int64()),
+            }
+        )
+    )
+
+
 def _lsh_candidates(sf_dir: str):
     """Shared LSH front half: (profiles, deduped candidate pairs ds)."""
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
     profiles = _sig_profiles(ds).materialize()
+    if profiles.count() * _BANDS <= _FUSED_BAND_ROWS_MAX:
+        return profiles, _fused_minhash_pairs(profiles)
     cand = (
         _band_rows(profiles)
         .groupby("shard")
@@ -245,17 +291,27 @@ def minhash_lsh_dedup(
         # candidate semi-join reduction only pays once the corpus is big:
         # gathering candidate ids costs two extra (cheap) passes, so small
         # corpora just broadcast everything
-        if profiles.count() > _CANDIDATE_REDUCE_MIN_DOCS:
+        n_docs = profiles.count()
+        if n_docs > _CANDIDATE_REDUCE_MIN_DOCS:
             pairs = pairs.materialize()
             ref = _broadcast_sigs(profiles, _candidate_ids(pairs))
         else:
             ref = _broadcast_sigs(profiles)
-        out = pairs.map_batches(
-            _VerifyEstJaccard,
-            fn_constructor_args=(ref, jaccard_min),
-            batch_format="pandas",
-            concurrency=(1, 4),
-        )
+        if n_docs * _BANDS <= _FUSED_BAND_ROWS_MAX:
+            # tiny pair set (fused candidate path): a plain task avoids
+            # the actor pool's startup cost; the per-batch ray.get is one
+            # fetch of the already-broadcast signature pack
+            out = pairs.map_batches(
+                lambda b: _VerifyEstJaccard(ref, jaccard_min)(b),
+                batch_format="pandas",
+            )
+        else:
+            out = pairs.map_batches(
+                _VerifyEstJaccard,
+                fn_constructor_args=(ref, jaccard_min),
+                batch_format="pandas",
+                concurrency=(1, 4),
+            )
     return canonical_sort(out, ["doc_a", "doc_b"])
 
 
@@ -345,12 +401,19 @@ def ngram_jaccard_dedup(
                 out["jaccard"] = np.round(j, 4)
                 return out[j >= self.thresh]
 
-        out = pairs.map_batches(
-            VerifyExact,
-            fn_constructor_args=(ref, jaccard_min),
-            batch_format="pandas",
-            concurrency=(1, 4),
-        ).to_pandas()
+        if docs.count() * _BANDS <= _FUSED_BAND_ROWS_MAX:
+            # fused candidate path: plain task, no actor-pool startup
+            out = pairs.map_batches(
+                lambda b: VerifyExact(ref, jaccard_min)(b),
+                batch_format="pandas",
+            ).to_pandas()
+        else:
+            out = pairs.map_batches(
+                VerifyExact,
+                fn_constructor_args=(ref, jaccard_min),
+                batch_format="pandas",
+                concurrency=(1, 4),
+            ).to_pandas()
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True).astype(
         {"doc_a": "int64", "doc_b": "int64"}
     )
@@ -399,10 +462,45 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         return out.drop_duplicates(["doc_a", "doc_b"])
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(pairs_in_shard, batch_format="pandas")
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    if ds.count() * 4 <= _FUSED_BAND_ROWS_MAX:
+        # fused path (see _fused_minhash_pairs): simhash compute stays
+        # distributed; only 28 B/row (band_key, doc_id, simhash) gathers
+        parts = [t for t in ray.get(banded.to_arrow_refs()) if t.num_rows]
+        empty = pa.table(dict(_EMPTY_PAIRS, hamming=pa.array([], pa.int64())))
+        if not parts:
+            return ray.data.from_arrow(empty)
+        t = pa.concat_tables(parts)
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ia, ib = local_candidate_pairs(keys)
+        if not len(ia):
+            return ray.data.from_arrow(empty)
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        a2, b2 = np.where(swap, b, a), np.where(swap, a, b)
+        hd = hamming64(sh[ia], sh[ib])
+        keep = (a2 != b2) & (hd <= max_hamming)
+        # hd is a pure function of the pair, so 3-column unique == 2-column
+        uniq = np.unique(
+            np.stack([a2[keep], b2[keep], hd[keep].astype(np.int64)], axis=1),
+            axis=0,
+        )
+        return canonical_sort(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_a": pa.array(uniq[:, 0], type=pa.int64()),
+                        "doc_b": pa.array(uniq[:, 1], type=pa.int64()),
+                        "hamming": pa.array(uniq[:, 2], type=pa.int64()),
+                    }
+                )
+            ),
+            ["doc_a", "doc_b"],
+        )
+    cand = banded.groupby("shard").map_groups(
+        pairs_in_shard, batch_format="pandas"
     )
     return canonical_sort(_dedup_pairs_ds(cand), ["doc_a", "doc_b"])
 

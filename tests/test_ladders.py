@@ -117,3 +117,28 @@ def test_q2_part_attr_join_leg():
         q2_min_cost_supplier(SF_DIR),
         q2_min_cost_supplier(SF_DIR, broadcast_max_rows=0),
     )
+
+
+def test_lsh_fused_vs_sharded_candidate_paths(monkeypatch):
+    import dedupe_rust_ray.pipelines.dedupe as D
+
+    def run(q, **kw):
+        r = q(SF_DIR, **kw)
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return df.reset_index(drop=True)
+
+    fused_mh = run(D.minhash_lsh_dedup)
+    fused_ng = run(D.ngram_jaccard_dedup)
+    fused_sh = run(D.simhash_near_dups)
+    # ceiling 0 forces the sharded groupby path + actor-pool verify
+    monkeypatch.setattr(D, "_FUSED_BAND_ROWS_MAX", 0)
+    _eq(fused_mh, run(D.minhash_lsh_dedup))
+    _eq(fused_ng, run(D.ngram_jaccard_dedup))
+    sharded_sh = run(D.simhash_near_dups)
+    assert fused_sh[["doc_a", "doc_b"]].values.tolist() == (
+        sharded_sh[["doc_a", "doc_b"]].values.tolist()
+    )
+    assert (
+        fused_sh["hamming"].astype("int64").tolist()
+        == sharded_sh["hamming"].astype("int64").tolist()
+    )
