@@ -56,7 +56,7 @@ def census_by_lang(sf_dir: str) -> ray.data.Dataset:
         .groupby("lang")
         .aggregate(Sum("partial", alias_name="n"))
     )
-    return out.sort(["n", "lang"], descending=[True, False])
+    return canonical_sort(out, ["n", "lang"], descending=[True, False])
 
 
 def census_by_source(sf_dir: str) -> ray.data.Dataset:
@@ -64,12 +64,13 @@ def census_by_source(sf_dir: str) -> ray.data.Dataset:
         t = batch.group_by("source").aggregate([("source", "count")])
         return t.rename_columns(["source", "partial"])
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["source"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
-        .aggregate(Sum("partial", alias_name="n"))
-        .sort(["n", "source"], descending=[True, False])
+        .aggregate(Sum("partial", alias_name="n")),
+        ["n", "source"],
+        descending=[True, False],
     )
 
 
@@ -139,19 +140,19 @@ def dup_group_sizes(sf_dir: str) -> ray.data.Dataset:
             {"h": pa.array(_h64_as_i64(batch))}
         )
 
-    return (
+    return canonical_sort(
         ds.map_batches(hash_batch, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Count(alias_name="group_size"))
         .groupby("group_size")
-        .aggregate(Count(alias_name="n_groups"))
-        .sort("group_size")
+        .aggregate(Count(alias_name="n_groups")),
+        ["group_size"],
     )
 
 
 def doc_len_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-language n_chars aggregates (sum/avg/min/max)."""
-    out = (
+    out = canonical_sort(
         read(sf_dir, "documents", columns=["lang", "n_chars"])
         .groupby("lang")
         .aggregate(
@@ -159,8 +160,8 @@ def doc_len_stats(sf_dir: str) -> ray.data.Dataset:
             Mean("n_chars", alias_name="avg_chars"),
             Min("n_chars", alias_name="min_chars"),
             Max("n_chars", alias_name="max_chars"),
-        )
-        .sort("lang")
+        ),
+        ["lang"],
     )
 
     def round_avg(batch: pa.Table) -> pa.Table:
@@ -370,16 +371,16 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    top = (
+    top = canonical_sort(
         per_cust.map_batches(
             AttachName,
             fn_constructor_args=(ref,),
             batch_format="pyarrow",
             concurrency=(1, 4),
-        )
-        .sort(["revenue", "c_custkey"], descending=[True, False])
-        .limit(10)
-    )
+        ),
+        ["revenue", "c_custkey"],
+        descending=[True, False],
+    ).limit(10)
     return top.to_pandas()
 
 
@@ -500,15 +501,15 @@ def part_type_census(sf_dir: str) -> ray.data.Dataset:
         )
         return t.rename_columns(["p_brand", "p_type", "n_part", "sum_price"])
 
-    out = (
+    out = canonical_sort(
         read(sf_dir, "part", columns=["p_brand", "p_type", "p_partkey", "p_retailprice"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["p_brand", "p_type"])
         .aggregate(
             Sum("n_part", alias_name="n"),
             Sum("sum_price", alias_name="sum_price"),
-        )
-        .sort(["p_brand", "p_type"])
+        ),
+        ["p_brand", "p_type"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -801,8 +802,9 @@ def events_sliding_window(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ds.map_batches(finish, batch_format="pyarrow").sort(
-        ["event_type", "win_start"]
+    return canonical_sort(
+        ds.map_batches(finish, batch_format="pyarrow"),
+        ["event_type", "win_start"],
     )
 
 
@@ -863,7 +865,9 @@ def props_k_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ds.map_batches(finish, batch_format="pyarrow").sort("event_type")
+    return canonical_sort(
+        ds.map_batches(finish, batch_format="pyarrow"), ["event_type"]
+    )
 
 
 def spans_census(sf_dir: str) -> pd.DataFrame:

@@ -35,8 +35,20 @@ def canonical_sort(
     if m.count() <= driver_max_rows:
         # Arrow-to-Arrow round trip: a pandas detour would rewrite
         # nullable int64 columns to float64/NaN and flip the value hash
-        # between the two size-gated paths
-        parts = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
+        # between the two size-gated paths. Blocks CAN still arrive as
+        # pandas: map_batches forwards an already-empty input block
+        # without invoking the (Arrow-returning) UDF, so a pandas-block
+        # stage upstream leaks empty pandas blocks through to_arrow_refs.
+        import pandas as pd
+
+        parts = []
+        for t in ray.get(m.to_arrow_refs()):
+            if isinstance(t, pd.DataFrame):
+                if not len(t):  # the only case observed in practice
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows:
+                parts.append(t)
         if not parts:
             return m
         t = pa.concat_tables(parts, promote_options="default")

@@ -49,7 +49,7 @@ from ray.data.aggregate import Sum
 from ..functions.shingles import word_shingle_hashes
 from ..stages.blocking import shard_of_u64
 from ..stages.codec import list_col_matrix
-from .common import join_partitions, read
+from .common import canonical_sort, join_partitions, read
 
 
 def _md5_bucket(ids, mod: int) -> np.ndarray:
@@ -103,12 +103,12 @@ def hash_split(
             .rename(columns={"size": "partial"})
         )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id"])
         .map_batches(per_batch, batch_format="pandas")
         .groupby("split")
-        .aggregate(Sum("partial", alias_name="n_docs"))
-        .sort("split")
+        .aggregate(Sum("partial", alias_name="n_docs")),
+        ["split"],
     )
 
 
@@ -181,14 +181,14 @@ def dup_ngram_spans(
             }
         )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(grams, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(dup_partials, batch_format="pyarrow")
         .groupby("doc_id")
-        .aggregate(Sum("partial", alias_name="n_dup_grams"))
-        .sort("doc_id")
+        .aggregate(Sum("partial", alias_name="n_dup_grams")),
+        ["doc_id"],
     )
 
 
@@ -249,13 +249,14 @@ def decontaminate(
         def __repr__(self):
             return "DecontaminationProbe"
 
-    return (
+    return canonical_sort(
         docs.map_batches(
             Probe,
             fn_constructor_args=(bref, benchmark_max_id, n),
             batch_format="pandas",
             concurrency=(1, 8),
-        ).sort("doc_id")
+        ),
+        ["doc_id"],
     )
 
 
@@ -307,10 +308,10 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(per_batch, batch_format="pandas")
-        .sort("doc_id")
+        .map_batches(per_batch, batch_format="pandas"),
+        ["doc_id"],
     )
 
 
@@ -348,10 +349,10 @@ def pii_scrub(sf_dir: str) -> ray.data.Dataset:
         feats.insert(0, "doc_id", batch["doc_id"].to_numpy(np.int64))
         return feats
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(per_batch, batch_format="pandas")
-        .sort("doc_id")
+        .map_batches(per_batch, batch_format="pandas"),
+        ["doc_id"],
     )
 
 
@@ -397,8 +398,9 @@ def fit_spherical_centroids(
         )
 
     sample = (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .sort("key")
+        canonical_sort(
+            ds.map_batches(local_topk, batch_format="pyarrow"), ["key"]
+        )
         .limit(sample_max)
         .take_all()
     )
@@ -516,12 +518,12 @@ def semdedup(
         ]
         return pd.concat(parts, ignore_index=True)
 
-    return (
+    return canonical_sort(
         read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         .map_batches(AssignCell, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8))
         .groupby("cell")
-        .map_groups(prune, batch_format="pandas")
-        .sort("removed_id")
+        .map_groups(prune, batch_format="pandas"),
+        ["removed_id"],
     )
 
 
@@ -620,10 +622,9 @@ def pack_token_shards(
             }
         )
 
-    return (
-        ds.groupby("shard")
-        .map_groups(assign, batch_format="pandas")
-        .sort(["source", "doc_id"])
+    return canonical_sort(
+        ds.groupby("shard").map_groups(assign, batch_format="pandas"),
+        ["source", "doc_id"],
     )
 
 
@@ -858,7 +859,9 @@ def dedup_lines(
     # dup-winner table so pass 1 (the corpus scan + hash shuffle) runs once
 
     if dup.count() > broadcast_max_rows:
-        return _dedup_lines_join_path(docs, dup, seg_words).sort("doc_id")
+        return canonical_sort(
+            _dedup_lines_join_path(docs, dup, seg_words), ["doc_id"]
+        )
     else:
         small = dup.select_columns(["seg_hash", "min(enc)"]).to_pandas()
         hs = small["seg_hash"].to_numpy(np.int64)
@@ -895,7 +898,9 @@ def dedup_lines(
             }
         )
 
-    return docs.map_batches(rewrite, batch_format="pyarrow").sort("doc_id")
+    return canonical_sort(
+        docs.map_batches(rewrite, batch_format="pyarrow"), ["doc_id"]
+    )
 
 
 def _split_and_hash_words(batch: pa.Table, gram_words: int):
@@ -1255,12 +1260,11 @@ def mixture_schedule(
             }
         )
 
-    return (
-        ds.groupby("shard")
-        .map_groups(
+    return canonical_sort(
+        ds.groupby("shard").map_groups(
             lambda g: assign(g.drop(columns=["shard"])), batch_format="pandas"
-        )
-        .sort(["pos", "doc_id"])
+        ),
+        ["pos", "doc_id"],
     )
 
 
@@ -1301,13 +1305,13 @@ def stratified_sample(
         out = group.sort_values(["h", "doc_id"]).head(k)
         return out[["stratum", "doc_id"]]
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", stratum])
         .map_batches(_keyed, batch_format="pandas")
         .map_batches(local_topk, batch_format="pandas")
         .groupby("stratum")
-        .map_groups(merge_topk, batch_format="pandas")
-        .sort(["stratum", "doc_id"])
+        .map_groups(merge_topk, batch_format="pandas"),
+        ["stratum", "doc_id"],
     )
 
 
@@ -1441,10 +1445,10 @@ def embedding_clusters(
                 }
             )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(Assign, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8))
-        .sort("vec_id")
+        .map_batches(Assign, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8)),
+        ["vec_id"],
     )
 
 
@@ -1549,11 +1553,11 @@ def decontaminate_bloom(
             }
         )
 
-    return (
+    return canonical_sort(
         verified.map_batches(count_partial, batch_format="pyarrow")
         .groupby("doc_id")
-        .aggregate(Sum("partial", alias_name="n_contaminated_grams"))
-        .sort("doc_id")
+        .aggregate(Sum("partial", alias_name="n_contaminated_grams")),
+        ["doc_id"],
     )
 
 

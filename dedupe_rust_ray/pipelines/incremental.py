@@ -474,8 +474,11 @@ def incremental_er_update(
         updated = untouched.union(relabeled_ds)
     else:
         updated = untouched
-    updated = updated.select_columns(["cluster_id", "doc_id"]).sort(
-        ["cluster_id", "doc_id"]
+    from .common import canonical_sort
+
+    updated = canonical_sort(
+        updated.select_columns(["cluster_id", "doc_id"]),
+        ["cluster_id", "doc_id"],
     )
     n_rows = _write_clusters(updated, state_dir)
 

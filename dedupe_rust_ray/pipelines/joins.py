@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .common import join_partitions, read, revenue_units, units_to_money
+from .common import canonical_sort, join_partitions, read, revenue_units, units_to_money
 
 _N_SHARDS = 32
 
@@ -93,7 +93,7 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    out = (
+    out = canonical_sort(
         orders.join(
             keys,
             join_type="left_semi",
@@ -102,10 +102,9 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
             right_on=("l_orderkey",),
         )
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
-        .sort("o_orderpriority")
-        .to_pandas()
-    )
+        .aggregate(Count(alias_name="n_orders")),
+        ["o_orderpriority"],
+    ).to_pandas()
     return out[["o_orderpriority", "n_orders"]]
 
 
@@ -137,7 +136,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    out = (
+    out = canonical_sort(
         cust.join(
             keys,
             join_type="left_anti",
@@ -148,10 +147,9 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         .groupby("c_mktsegment")
         .aggregate(
             Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal")
-        )
-        .sort("c_mktsegment")
-        .to_pandas()
-    )
+        ),
+        ["c_mktsegment"],
+    ).to_pandas()
     out["sum_acctbal"] = out["sum_acctbal"].round(2)
     return out[["c_mktsegment", "n_customers", "sum_acctbal"]]
 
@@ -196,7 +194,7 @@ def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
         shard = (batch["user_id"].to_numpy() % np.int64(_N_SHARDS)).astype("int32")
         return batch.append_column("shard", pa.array(shard, type=pa.int32()))
 
-    return (
+    return canonical_sort(
         read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
         .filter(expr="event_type == 'view' or event_type == 'purchase'")
         .map_batches(add_shard, batch_format="pyarrow")
@@ -204,8 +202,8 @@ def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
         .map_groups(
             lambda g: _asof_per_shard(g.drop(columns=["shard"])),
             batch_format="pandas",
-        )
-        .sort("event_id")
+        ),
+        ["event_id"],
     )
 
 
@@ -229,14 +227,14 @@ def window_topk_orders(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         g["rnk"] = g.groupby("o_custkey").cumcount() + 1
         return g[g["rnk"] <= k].astype({"rnk": "int64"})
 
-    return (
+    return canonical_sort(
         read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
         .map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
             lambda g: per_shard(g.drop(columns=["shard"])), batch_format="pandas"
-        )
-        .sort(["o_custkey", "rnk"])
+        ),
+        ["o_custkey", "rnk"],
     )
 
 
@@ -267,14 +265,13 @@ def orders_by_quarter(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("q_start").aggregate([("n", "sum"), ("rev", "sum")])
         return g.rename_columns(["q_start", "n", "rev"])
 
-    out = (
+    out = canonical_sort(
         read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("q_start")
-        .aggregate(Sum("n", alias_name="n_orders"), Sum("rev", alias_name="revenue"))
-        .sort("q_start")
-        .to_pandas()
-    )
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("rev", alias_name="revenue")),
+        ["q_start"],
+    ).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     out["q_start"] = out["q_start"].astype("datetime64[us]")
     return out[["q_start", "n_orders", "revenue"]]
@@ -298,7 +295,7 @@ def running_total_orders(sf_dir: str) -> ray.data.Dataset:
         g["run_total"] = g.groupby("o_custkey")["o_totalprice"].cumsum().round(2)
         return g[["o_custkey", "o_orderkey", "run_total"]]
 
-    return (
+    return canonical_sort(
         read(
             sf_dir,
             "orders",
@@ -308,8 +305,8 @@ def running_total_orders(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(
             lambda g: per_shard(g.drop(columns=["shard"])), batch_format="pandas"
-        )
-        .sort(["o_custkey", "o_orderkey"])
+        ),
+        ["o_custkey", "o_orderkey"],
     )
 
 
@@ -381,7 +378,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
     # cut by ROUNDED-CENT threshold, not count: every unit value whose
     # half-up cent rounding ties the k-th winner's must survive to the
     # final (rounded, custkey) sort — integer comparison, no epsilon
-    kth = agg.sort("revenue", descending=True).limit(k).to_pandas()
+    kth = canonical_sort(agg, ["revenue"], descending=True).limit(k).to_pandas()
     if len(kth) >= k:
         vk_cents = int((int(kth["revenue"].min()) + 50) // 100)
         top = agg.map_batches(

@@ -53,12 +53,13 @@ def synth_media(sf_dir: str) -> ray.data.Dataset:
 def media_dims_census(sf_dir: str) -> ray.data.Dataset:
     """(fmt, width, height) -> count, sorted by count desc then key asc
     (the reference's census sort, /root/reference/src/main.rs:179-182)."""
-    return (
+    return canonical_sort(
         synth_media(sf_dir)
         .map_batches(probe_dims_batch, batch_format="pyarrow")
         .groupby(["fmt", "width", "height"])
-        .aggregate(Count(alias_name="n"))
-        .sort(["n", "fmt", "width", "height"], descending=[True, False, False, False])
+        .aggregate(Count(alias_name="n")),
+        ["n", "fmt", "width", "height"],
+        descending=[True, False, False, False],
     )
 
 
@@ -104,11 +105,11 @@ def media_decode_summary(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    return canonical_sort(
         feats.map_batches(per_batch, batch_format="pyarrow")
         .groupby(["fmt", "outcome"])
-        .aggregate(Sum("partial", alias_name="n"))
-        .sort(["fmt", "outcome"])
+        .aggregate(Sum("partial", alias_name="n")),
+        ["fmt", "outcome"],
     )
 
 
@@ -139,7 +140,9 @@ def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return out.map_batches(summarize, batch_format="pyarrow").sort("media_id")
+    return canonical_sort(
+        out.map_batches(summarize, batch_format="pyarrow"), ["media_id"]
+    )
 
 
 def video_frame_sample(sf_dir: str, every_n: int = 10) -> ray.data.Dataset:
@@ -168,8 +171,9 @@ def video_frame_sample(sf_dir: str, every_n: int = 10) -> ray.data.Dataset:
             }
         )
 
-    return frames.map_batches(summarize, batch_format="pyarrow").sort(
-        ["media_id", "frame_idx"]
+    return canonical_sort(
+        frames.map_batches(summarize, batch_format="pyarrow"),
+        ["media_id", "frame_idx"],
     )
 
 
@@ -193,7 +197,7 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
     path end-to-end. rms / zcr (not closed-form) are covered by pytest."""
     from ..stages.audio import AudioFeatures
 
-    return (
+    return canonical_sort(
         synth_audio(sf_dir)
         .map_batches(
             AudioFeatures,
@@ -201,8 +205,10 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
             batch_size=128,
             concurrency=(1, 16),
         )
-        .select_columns(["media_id", "n_samples", "duration_ms", "dom_freq_hz"])
-        .sort("media_id")
+        .select_columns(
+            ["media_id", "n_samples", "duration_ms", "dom_freq_hz"]
+        ),
+        ["media_id"],
     )
 
 
@@ -213,13 +219,13 @@ def media_phash(sf_dir: str) -> ray.data.Dataset:
     Returns (media_id, fmt, ok, err, phash) sorted by media_id."""
     from ..stages.multimodal import MediaPhash
 
-    return (
+    return canonical_sort(
         synth_media(sf_dir)
         .map_batches(
             MediaPhash,
             batch_format="pyarrow",
             batch_size=128,
             concurrency=(1, 16),
-        )
-        .sort("media_id")
+        ),
+        ["media_id"],
     )

@@ -36,7 +36,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .common import drop_empty_blocks, join_partitions, read
+from .common import canonical_sort, drop_empty_blocks, join_partitions, read
 from .common import cents_to_money as _cents_to_money
 from .common import money_cents as _money_cents
 from .common import revenue_units as _revenue_units
@@ -551,7 +551,7 @@ def q22_idle_rich_customers(
     keys = read(
         sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
     ).map_batches(keys_batch, batch_format="pyarrow")
-    out = (
+    out = canonical_sort(
         rich.join(
             keys,
             join_type="left_anti",
@@ -561,11 +561,11 @@ def q22_idle_rich_customers(
         )
         .groupby("c_nationkey")
         .aggregate(
-            Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal")
-        )
-        .sort("c_nationkey")
-        .to_pandas()
-    )
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="sum_acctbal"),
+        ),
+        ["c_nationkey"],
+    ).to_pandas()
     if out.empty:  # empty aggregates lose their schema
         return pd.DataFrame(
             {

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .common import read
+from .common import canonical_sort, read
 
 # the documents table's closed language domain (sources/corpus generator)
 _LANGS = ("de", "en", "es", "fr", "zh")
@@ -67,12 +67,12 @@ def pivot_lang_by_source(sf_dir: str) -> ray.data.Dataset:
 
     agg = [Sum(f"n_{lang}", alias_name=f"n_{lang}") for lang in _LANGS]
     agg.append(Sum("n_total", alias_name="n_total"))
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["source", "lang"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
-        .aggregate(*agg)
-        .sort("source")
+        .aggregate(*agg),
+        ["source"],
     )
 
 
@@ -272,7 +272,9 @@ def event_value_histogram(sf_dir: str, width: float = 25.0) -> ray.data.Dataset:
             }
         )
 
-    return ds.map_batches(finish, batch_format="pyarrow").sort("bin_lo")
+    return canonical_sort(
+        ds.map_batches(finish, batch_format="pyarrow"), ["bin_lo"]
+    )
 
 
 def value_quantiles_dd(

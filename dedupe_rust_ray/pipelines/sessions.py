@@ -17,6 +17,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from .common import (
+    canonical_sort,
     cents_to_money,
     join_partitions,
     money_cents,
@@ -50,15 +51,15 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
         )
         return out.astype({"n_sessions": "int64", "n_events": "int64"})
 
-    return (
+    return canonical_sort(
         read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
         .map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
             lambda g: per_shard(g.drop(columns=["shard"])),
             batch_format="pandas",
-        )
-        .sort("user_id")
+        ),
+        ["user_id"],
     )
 
 
@@ -145,14 +146,13 @@ def q3_shipping(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataF
             }
         )
 
-    top = (
+    top = canonical_sort(
         joined.groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
-        .map_batches(to_money, batch_format="pyarrow")
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
-    )
+        .map_batches(to_money, batch_format="pyarrow"),
+        ["revenue", "o_orderkey"],
+        descending=[True, False],
+    ).limit(k).to_pandas()
     return top[["o_orderkey", "revenue"]]
 
 

@@ -15,7 +15,7 @@ from ..functions.textstats import (
     token_count_batch,
     winnow_fingerprints,
 )
-from .common import join_partitions, read
+from .common import canonical_sort, join_partitions, read
 
 
 def token_counts_by_lang(sf_dir: str) -> ray.data.Dataset:
@@ -29,15 +29,15 @@ def token_counts_by_lang(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    out = (
+    out = canonical_sort(
         read(sf_dir, "documents", columns=["lang", "text"])
         .map_batches(per_doc, batch_format="pandas")
         .groupby("lang")
         .aggregate(
             Sum("n_tokens", alias_name="sum_tokens"),
             Mean("n_tokens", alias_name="avg_tokens"),
-        )
-        .sort("lang")
+        ),
+        ["lang"],
     )
 
     def round_cols(batch: pa.Table) -> pa.Table:
@@ -69,10 +69,10 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(per_doc, batch_format="pandas")
-        .sort("doc_id")
+        .map_batches(per_doc, batch_format="pandas"),
+        ["doc_id"],
     )
 
 
@@ -88,10 +88,10 @@ def quality_filter(sf_dir: str, min_score: float = 0.5) -> ray.data.Dataset:
         out = pd.DataFrame({"doc_id": batch["doc_id"], "quality_score": score})
         return out[q["quality_score"].to_numpy() >= min_score]
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(per_doc, batch_format="pandas")
-        .sort("doc_id")
+        .map_batches(per_doc, batch_format="pandas"),
+        ["doc_id"],
     )
 
 
@@ -108,12 +108,12 @@ def lang_id_census(sf_dir: str) -> ray.data.Dataset:
             .rename(columns={"size": "partial"})
         )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["text"])
         .map_batches(per_doc, batch_format="pandas")
         .groupby("pred_lang")
-        .aggregate(Sum("partial", alias_name="n"))
-        .sort("pred_lang")
+        .aggregate(Sum("partial", alias_name="n")),
+        ["pred_lang"],
     )
 
 
@@ -138,13 +138,13 @@ def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(per_doc, batch_format="pandas")
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-        .sort("doc_id")
+        .select_columns(["doc_id"]),
+        ["doc_id"],
     )
 
 
@@ -163,14 +163,14 @@ def bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    out = (
+    out = canonical_sort(
         ds.map_batches(per_doc, batch_format="pandas")
         .groupby("lang")
         .aggregate(
             Sum("n_bpe", alias_name="sum_bpe_tokens"),
             Mean("n_bpe", alias_name="avg_bpe_tokens"),
-        )
-        .sort("lang")
+        ),
+        ["lang"],
     )
 
     def round_cols(batch: pa.Table) -> pa.Table:
@@ -203,15 +203,14 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
         # Arrow out: token-domain groupby (see common.as_arrow)
         return pa.table({"tok": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
 
-    return (
+    return canonical_sort(
         read(sf_dir, "documents", columns=["text"])
         .map_batches(partial, batch_format="pandas")
         .groupby("tok")
-        .aggregate(Sum("cnt", alias_name="n"))
-        .sort(["n", "tok"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
-    )
+        .aggregate(Sum("cnt", alias_name="n")),
+        ["n", "tok"],
+        descending=[True, False],
+    ).limit(k).to_pandas()
 
 
 def distinct_texts_hll(sf_dir: str) -> pd.DataFrame:
@@ -353,7 +352,7 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1000) -> ray.data.Dataset:
     )
     n_total = int(census.sum("n"))
     vocab_pd = (
-        census.sort(["n", "tok"], descending=[True, False])
+        canonical_sort(census, ["n", "tok"], descending=[True, False])
         .limit(vocab_size)
         .to_pandas()
     )
@@ -402,13 +401,14 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1000) -> ray.data.Dataset:
                 }
             )
 
-    return (
+    return canonical_sort(
         docs.map_batches(
             Score,
             fn_constructor_args=(mref,),
             batch_format="pandas",
             concurrency=(1, 8),
-        ).sort("doc_id")
+        ),
+        ["doc_id"],
     )
 
 
