@@ -629,6 +629,12 @@ def pack_token_shards(
 
 
 _SEG_SHIFT = 20  # seg_idx bits in the (doc_id, seg_idx) encoding
+# below this many per-batch-combined (hash, ...) partial rows (16-24 B
+# each, <=50 MB), the dup-census fold gathers once and segment-reduces
+# in-process instead of a groupby exchange — the same size-gated elision
+# as common.canonical_sort / dedupe._FUSED_BAND_ROWS_MAX; the
+# distributed path is unchanged above the ceiling
+_FUSED_FOLD_MAX_ROWS = 2_000_000
 
 
 def _split_segments(batch: pa.Table, seg_words: int):
@@ -847,22 +853,42 @@ def dedup_lines(
             .rename_columns(["seg_hash", "enc", "n"])
         )
 
-    folded = (
-        docs.map_batches(seg_rows, batch_format="pyarrow")
-        .groupby("seg_hash")
-        .aggregate(Min("enc"), Sum("n"))
-    )
-    dup = folded.map_batches(
-        lambda t: t.filter(pc.greater(t["sum(n)"], 1)),
-        batch_format="pyarrow",
-    ).materialize()  # two consumers (count + winner read): pin the SMALL
-    # dup-winner table so pass 1 (the corpus scan + hash shuffle) runs once
-
-    if dup.count() > broadcast_max_rows:
-        return canonical_sort(
-            _dedup_lines_join_path(docs, dup, seg_words), ["doc_id"]
-        )
+    partial_ds = docs.map_batches(
+        seg_rows, batch_format="pyarrow"
+    ).materialize()
+    if partial_ds.count() <= _FUSED_FOLD_MAX_ROWS:
+        # fused fold: segment-reduce the gathered partials in-process
+        # (n_dup <= partial rows <= the fold ceiling < broadcast ceiling,
+        # so this path always broadcasts)
+        parts = [t for t in ray.get(partial_ds.to_arrow_refs()) if t.num_rows]
+        if parts:
+            t = pa.concat_tables(parts)
+            h = t["seg_hash"].to_numpy(zero_copy_only=False)
+            enc = t["enc"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            order = np.argsort(h, kind="stable")
+            hs_a, enc_a, n_a = h[order], enc[order], n[order]
+            b = np.flatnonzero(np.r_[True, hs_a[1:] != hs_a[:-1]])
+            tot = np.add.reduceat(n_a, b)
+            mn = np.minimum.reduceat(enc_a, b)
+            dupm = tot > 1
+            drop_ref = ray.put((hs_a[b][dupm], mn[dupm]))  # sorted by hash
+        else:
+            drop_ref = ray.put(
+                (np.empty(0, np.int64), np.empty(0, np.int64))
+            )
     else:
+        folded = partial_ds.groupby("seg_hash").aggregate(Min("enc"), Sum("n"))
+        dup = folded.map_batches(
+            lambda t: t.filter(pc.greater(t["sum(n)"], 1)),
+            batch_format="pyarrow",
+        ).materialize()  # two consumers (count + winner read): pin the
+        # SMALL dup-winner table so pass 1 runs once
+
+        if dup.count() > broadcast_max_rows:
+            return canonical_sort(
+                _dedup_lines_join_path(docs, dup, seg_words), ["doc_id"]
+            )
         small = dup.select_columns(["seg_hash", "min(enc)"]).to_pandas()
         hs = small["seg_hash"].to_numpy(np.int64)
         order = np.argsort(hs)
@@ -1126,26 +1152,41 @@ def dedup_spans(
             }
         )
 
-    folded = (
-        docs.map_batches(gram_rows, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("nd"))
-    )
-    dup = folded.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["sum(nd)"], 2)),
-        batch_format="pyarrow",
+    partial_ds = docs.map_batches(
+        gram_rows, batch_format="pyarrow"
     ).materialize()
-    from .common import canonical_sort
+    if partial_ds.count() <= _FUSED_FOLD_MAX_ROWS:
+        # fused fold (see dedup_lines): in-process segment-reduce of the
+        # gathered 16 B partial rows; always below the broadcast ceiling
+        parts = [t for t in ray.get(partial_ds.to_arrow_refs()) if t.num_rows]
+        if parts:
+            t = pa.concat_tables(parts)
+            h = t["h"].to_numpy(zero_copy_only=False)
+            nd = t["nd"].to_numpy(zero_copy_only=False)
+            order = np.argsort(h, kind="stable")
+            hs_a, nd_a = h[order], nd[order]
+            b = np.flatnonzero(np.r_[True, hs_a[1:] != hs_a[:-1]])
+            tot = np.add.reduceat(nd_a, b)
+            hs = hs_a[b][tot >= 2]  # sorted by construction
+        else:
+            hs = np.empty(0, np.int64)
+        ref = ray.put(hs)
+    else:
+        folded = partial_ds.groupby("h").aggregate(Sum("nd"))
+        dup = folded.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["sum(nd)"], 2)),
+            batch_format="pyarrow",
+        ).materialize()
 
-    if dup.count() > broadcast_max_rows:
-        dup = dup.select_columns(["h"])
-        return canonical_sort(
-            _dedup_spans_join_path(docs, dup, gram_words), ["doc_id"]
+        if dup.count() > broadcast_max_rows:
+            dup = dup.select_columns(["h"])
+            return canonical_sort(
+                _dedup_spans_join_path(docs, dup, gram_words), ["doc_id"]
+            )
+        hs = np.sort(
+            dup.select_columns(["h"]).to_pandas()["h"].to_numpy(np.int64)
         )
-    hs = np.sort(
-        dup.select_columns(["h"]).to_pandas()["h"].to_numpy(np.int64)
-    )
-    ref = ray.put(hs)
+        ref = ray.put(hs)
 
     def rewrite(batch: pa.Table) -> pa.Table:
         words, w_off, gh, g_off = _split_and_hash_words(batch, gram_words)

@@ -142,3 +142,18 @@ def test_lsh_fused_vs_sharded_candidate_paths(monkeypatch):
         fused_sh["hamming"].astype("int64").tolist()
         == sharded_sh["hamming"].astype("int64").tolist()
     )
+
+
+def test_dedup_fused_fold_vs_groupby_paths(monkeypatch):
+    import dedupe_rust_ray.pipelines.curation as C
+
+    def run():
+        a = C.dedup_lines(SF_DIR).to_pandas().reset_index(drop=True)
+        b = C.dedup_spans(SF_DIR).to_pandas().reset_index(drop=True)
+        return a, b
+
+    fused = run()
+    monkeypatch.setattr(C, "_FUSED_FOLD_MAX_ROWS", 0)
+    grouped = run()
+    for f, g in zip(fused, grouped):
+        _eq(f, g)
