@@ -551,11 +551,13 @@ def embedding_cosine_pairs(
                 }
             )
 
+    # plain tasks, not an actor pool: the only state is the broadcast
+    # (ids, matrix) pack, which ray.get resolves zero-copy from the
+    # local object store per batch — no per-actor derived state to
+    # amortize, and no actor-pool startup on the critical path
     out = ds.map_batches(
-        BlockSims,
-        fn_constructor_args=(ref, cos_min),
+        lambda b: BlockSims(ref, cos_min)(b),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).to_pandas()
     return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
 

@@ -85,11 +85,11 @@ def knn_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
         ).head(k)
         return g
 
+    # plain tasks (no actor pool): LocalTopK's only state is the
+    # broadcast (qids, Q) pack — ray.get is zero-copy per batch
     local = read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        LocalTopK,
-        fn_constructor_args=(ref, k),
+        lambda b: LocalTopK(ref, k)(b),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     # the local-top-k contract bounds candidates to n_queries x k x
     # n_blocks; below a ceiling the final merge is one driver-side pandas
