@@ -15,6 +15,32 @@ from ray.data.aggregate import Count, Sum
 from ..stages.multimodal import MediaDecode, probe_dims_batch, synth_media_batch
 from .common import canonical_sort, read
 
+# below this many payload rows, decode/feature stages dispatch as plain
+# tasks: the synthetic stage constructors are cheap by design (format
+# dispatch tables only), so the actor pool's startup (~2 s at suite
+# sizes, measured) buys nothing. The ACTOR-POOL path is the scale path —
+# a real deployment amortizes codec/model loads once per actor — and is
+# unchanged above the ceiling.
+_TASK_PATH_MAX_ROWS = 100_000
+
+
+def _payload_stage(ds, cls, *ctor_args, batch_size: int = 128):
+    """Size-gated decode/feature stage: task dispatch below
+    ``_TASK_PATH_MAX_ROWS``, actor pool (the scale path) above."""
+    if ds.count() <= _TASK_PATH_MAX_ROWS:
+        return ds.map_batches(
+            lambda b, _c=cls, _a=ctor_args: _c(*_a)(b),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    return ds.map_batches(
+        cls,
+        fn_constructor_args=ctor_args,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 16),
+    )
+
 
 def synth_media(sf_dir: str) -> ray.data.Dataset:
     """Deterministic binary media table derived from documents.
@@ -68,12 +94,7 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
     JPEG rows carry per-row error flags). Returns (media_id, fmt, ok, err,
     width, height, mean_brightness) sorted by media_id; thumbs dropped
     from the query result to keep the driver comparison compact."""
-    out = synth_media(sf_dir).map_batches(
-        MediaDecode,
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=(1, 16),
-    )
+    out = _payload_stage(synth_media(sf_dir), MediaDecode)
     return canonical_sort(
         out.select_columns(
             ["media_id", "fmt", "ok", "err", "width", "height",
@@ -89,9 +110,7 @@ def media_decode_summary(sf_dir: str) -> ray.data.Dataset:
     — which derives the expected (fmt, 'ok', n) census from the
     deterministic doc_id -> fmt mapping — value-checks the entire
     synth -> encode -> sniff -> decode path for every codec."""
-    feats = synth_media(sf_dir).map_batches(
-        MediaDecode, batch_format="pyarrow", batch_size=128, concurrency=(1, 16)
-    )
+    feats = _payload_stage(synth_media(sf_dir), MediaDecode)
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.select(["fmt", "err"]).to_pandas()
@@ -121,12 +140,7 @@ def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
     driver comparison stays compact."""
     from ..stages.multimodal import MediaResize
 
-    out = synth_media(sf_dir).map_batches(
-        MediaResize,
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=(1, 16),
-    )
+    out = _payload_stage(synth_media(sf_dir), MediaResize)
 
     def summarize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -151,13 +165,7 @@ def video_frame_sample(sf_dir: str, every_n: int = 10) -> ray.data.Dataset:
     One output row per sampled frame."""
     from ..stages.multimodal import VideoFrameSample
 
-    frames = synth_media(sf_dir).map_batches(
-        VideoFrameSample,
-        fn_constructor_args=(every_n,),
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=(1, 16),
-    )
+    frames = _payload_stage(synth_media(sf_dir), VideoFrameSample, every_n)
 
     def summarize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -198,14 +206,7 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
     from ..stages.audio import AudioFeatures
 
     return canonical_sort(
-        synth_audio(sf_dir)
-        .map_batches(
-            AudioFeatures,
-            batch_format="pyarrow",
-            batch_size=128,
-            concurrency=(1, 16),
-        )
-        .select_columns(
+        _payload_stage(synth_audio(sf_dir), AudioFeatures).select_columns(
             ["media_id", "n_samples", "duration_ms", "dom_freq_hz"]
         ),
         ["media_id"],
@@ -220,12 +221,6 @@ def media_phash(sf_dir: str) -> ray.data.Dataset:
     from ..stages.multimodal import MediaPhash
 
     return canonical_sort(
-        synth_media(sf_dir)
-        .map_batches(
-            MediaPhash,
-            batch_format="pyarrow",
-            batch_size=128,
-            concurrency=(1, 16),
-        ),
+        _payload_stage(synth_media(sf_dir), MediaPhash),
         ["media_id"],
     )
