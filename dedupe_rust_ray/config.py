@@ -55,6 +55,15 @@ class ERConfig:
     # (zero-copy numpy) by every scorer worker (~1.3 KB/doc -> 1.3 GB);
     # beyond it, the hash-join path runs.
 
+    fused_band_rows_max: int = 2_000_000
+    # below this many exploded blocking-key rows (~26 B each, <=52 MB) the
+    # candidate stage gathers the band-row relation once and enumerates +
+    # cross-band-dedups pairs in ONE in-process pass — eliding the two
+    # groupby exchanges (band-shard pair enumeration + pair dedup) whose
+    # fixed barrier cost dominates small corpora. A block key never spans
+    # shards, so global enumeration yields the identical pair set; the
+    # distributed path is unchanged above the ceiling (set 0 to force it).
+
     # --- execution -------------------------------------------------------
     batch_size: int = 1024        # rows per signature batch
     sig_concurrency: int | tuple[int, int] | None = None  # actor pool size; None = tasks decide

@@ -34,37 +34,86 @@ def local_candidate_pairs(
     Groups larger than ``max_group`` degrade to neighbor chaining (each row
     paired with its next ``neighbor_w`` neighbors in sorted-row order) —
     the documented skew cap; any connected overlay preserves union-find
-    transitivity."""
+    transitivity. ``max_pairs`` cuts at group granularity (groups are
+    consumed in sorted-key order; the crossing group is kept whole) and
+    then trims the tail to exactly ``max_pairs``.
+
+    Fully vectorized: per-group work is O(1) numpy segment arithmetic, so
+    a shard of a million tiny LSH bands costs no Python-loop iteration per
+    band (only oversized chained groups — rare by construction — take a
+    short per-group loop)."""
     n = len(keys)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     if n < 2:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return empty
     order = np.argsort(keys, kind="stable")
     sk = keys[order]
-    bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
-    ia_parts: list[np.ndarray] = []
-    ib_parts: list[np.ndarray] = []
-    total = 0
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        g = e - s
-        if g < 2:
-            continue
-        idx = np.sort(order[s:e])
-        if max_group is not None and g > max_group:
-            for w in range(1, min(neighbor_w, g - 1) + 1):
-                ia_parts.append(idx[:-w])
-                ib_parts.append(idx[w:])
-                total += g - w
-        else:
-            i, j = np.triu_indices(g, 1)
-            ia_parts.append(idx[i])
-            ib_parts.append(idx[j])
-            total += g * (g - 1) // 2
-        if max_pairs is not None and total >= max_pairs:
-            break
-    if not ia_parts:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    ia = np.concatenate(ia_parts)
-    ib = np.concatenate(ib_parts)
-    if max_pairs is not None and len(ia) > max_pairs:
+    boundary = np.r_[True, sk[1:] != sk[:-1]]
+    gid = np.cumsum(boundary) - 1  # group id per sorted position
+    sizes = np.bincount(gid)
+    # within-group ASCENDING ORIGINAL indices, groups contiguous in key
+    # order (matches the reference loop's np.sort(order[s:e]) per group)
+    perm = np.lexsort((order, gid))
+    ord2 = order[perm]
+    offs = np.r_[0, np.cumsum(sizes)][:-1]
+
+    g = sizes.astype(np.int64)
+    big = (
+        (g > max_group)
+        if max_group is not None
+        else np.zeros(len(g), dtype=bool)
+    )
+    w_of = np.minimum(neighbor_w, g - 1)
+    # pairs per group: triu for small, sum_{x=1..w}(g-x) for chained
+    L = np.where(big, w_of * g - w_of * (w_of + 1) // 2, g * (g - 1) // 2)
+    L[g < 2] = 0
+
+    if max_pairs is not None and L.sum() > 0:
+        cum = np.cumsum(L)
+        # groups strictly after the first cumulative crossing are dropped
+        # (the crossing group stays whole; the final slice trims exactly)
+        cross = int(np.searchsorted(cum, max_pairs, side="left"))
+        L[cross + 1 :] = 0
+
+    total = int(L.sum())
+    if total == 0:
+        return empty
+    out_off = np.r_[0, np.cumsum(L)][:-1]
+    ia = np.empty(total, np.int64)
+    ib = np.empty(total, np.int64)
+
+    sm = np.flatnonzero((L > 0) & ~big)
+    if len(sm):
+        gs, go, gl = g[sm], offs[sm], L[sm]
+        # "a" elements: within each group, position i in [0, g-2],
+        # repeated (g-1-i) times; runs laid out in group order
+        a_counts = gs - 1
+        seg_start = np.r_[0, np.cumsum(a_counts)][:-1]
+        i_in_g = np.arange(int(a_counts.sum())) - np.repeat(
+            seg_start, a_counts
+        )
+        a_pos = np.repeat(go, a_counts) + i_in_g
+        reps = np.repeat(gs, a_counts) - 1 - i_in_g
+        A = np.repeat(a_pos, reps)
+        run_starts = np.r_[0, np.cumsum(reps)][:-1]
+        off_in_run = np.arange(int(reps.sum())) - np.repeat(run_starts, reps)
+        B = A + 1 + off_in_run
+        # splice each group's block into its global output slot
+        dest = np.arange(int(gl.sum())) + np.repeat(
+            out_off[sm] - np.r_[0, np.cumsum(gl)][:-1], gl
+        )
+        ia[dest] = ord2[A]
+        ib[dest] = ord2[B]
+
+    for k in np.flatnonzero((L > 0) & big):  # rare by construction
+        idx = ord2[offs[k] : offs[k] + g[k]]
+        pos = out_off[k]
+        for w in range(1, int(w_of[k]) + 1):
+            m = g[k] - w
+            ia[pos : pos + m] = idx[:-w]
+            ib[pos : pos + m] = idx[w:]
+            pos += m
+
+    if max_pairs is not None and total > max_pairs:
         ia, ib = ia[:max_pairs], ib[:max_pairs]
     return ia, ib

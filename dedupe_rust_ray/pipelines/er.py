@@ -387,11 +387,34 @@ def er_pipeline(
 
     bands = profiles.map_batches(
         lambda b: emit_blocking_keys(b, cfg), batch_format="pyarrow"
-    )
-    cand = bands.groupby("shard").map_groups(
-        lambda g: candidate_pairs_in_shard(g, cfg), batch_format="pandas"
-    )
-    pairs = dedup_pairs(cand, cfg.n_shards)
+    ).materialize()
+    if bands.count() <= cfg.fused_band_rows_max:
+        # fused candidate path (cfg.fused_band_rows_max): the blocking-key
+        # compute above stays distributed; only the ~26 B/row exploded key
+        # relation gathers, and candidate_pairs_in_shard runs ONCE over it
+        # (block keys never span shards, so the pair set is identical)
+        parts = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows]
+        if parts:
+            gdf = pa.concat_tables(parts).to_pandas()
+            pdf = candidate_pairs_in_shard(gdf, cfg).drop_duplicates(
+                ["doc_a", "doc_b"]
+            )
+        else:
+            pdf = pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="uint64"),
+                    "doc_b": pd.Series(dtype="uint64"),
+                }
+            )
+        pairs = ray.data.from_arrow(
+            pa.Table.from_pandas(pdf, preserve_index=False)
+        )
+        _tr(f"fused candidates: {len(pdf)} pairs")
+    else:
+        cand = bands.groupby("shard").map_groups(
+            lambda g: candidate_pairs_in_shard(g, cfg), batch_format="pandas"
+        )
+        pairs = dedup_pairs(cand, cfg.n_shards)
 
     def broadcast_scored(prof_ds):
         # ship packed profiles once and score pairs in a fused stage — no

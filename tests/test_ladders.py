@@ -157,3 +157,18 @@ def test_dedup_fused_fold_vs_groupby_paths(monkeypatch):
     grouped = run()
     for f, g in zip(fused, grouped):
         _eq(f, g)
+
+
+def test_er_fused_vs_sharded_candidate_paths():
+    import ray
+
+    from dedupe_rust_ray.config import ERConfig
+    from dedupe_rust_ray.pipelines.er import er_pipeline
+    from dedupe_rust_ray.sources.corpus import synth_corpus_distributed
+
+    corpus = synth_corpus_distributed(800, blocks=4).materialize()
+    fused = er_pipeline(corpus, ERConfig()).to_pandas()
+    sharded = er_pipeline(
+        corpus, ERConfig(fused_band_rows_max=0)
+    ).to_pandas()
+    _eq(fused, sharded)
