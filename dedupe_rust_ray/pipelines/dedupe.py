@@ -120,13 +120,23 @@ def _pairs_in_shard(group: pd.DataFrame) -> pd.DataFrame:
 
 
 class _VerifyEstJaccard:
-    """Scores candidate pairs against the broadcast signature matrix."""
+    """Scores candidate pairs against the broadcast signature matrix.
+    Row lookup is a sorted-array searchsorted (no per-row Python dict
+    probe on the verify hot path)."""
 
     def __init__(self, ref, jaccard_min):
         ids, blob = ray.get(ref)
         self.sig = np.frombuffer(blob, dtype="<u8").reshape(len(ids), _NUM_PERM)
-        self.row = {int(v): i for i, v in enumerate(ids)}
+        ids = np.asarray(ids, dtype=np.int64)
+        self.order = np.argsort(ids)
+        self.sorted_ids = ids[self.order]
         self.jaccard_min = jaccard_min
+
+    def _rows(self, col: pd.Series) -> np.ndarray:
+        v = col.to_numpy(dtype=np.int64)
+        pos = np.searchsorted(self.sorted_ids, v)
+        # every candidate endpoint is in the pack by construction
+        return self.order[pos]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -137,9 +147,10 @@ class _VerifyEstJaccard:
                     "est_jaccard": pd.Series(dtype="float64"),
                 }
             )
-        ra = np.fromiter((self.row[int(x)] for x in batch["doc_a"]), np.int64)
-        rb = np.fromiter((self.row[int(x)] for x in batch["doc_b"]), np.int64)
-        est = estimate_jaccard(self.sig[ra], self.sig[rb])
+        est = estimate_jaccard(
+            self.sig[self._rows(batch["doc_a"])],
+            self.sig[self._rows(batch["doc_b"])],
+        )
         out = batch[["doc_a", "doc_b"]].copy()
         out["est_jaccard"] = np.round(est, 4)
         return out[est >= self.jaccard_min]
