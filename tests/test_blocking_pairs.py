@@ -145,3 +145,60 @@ def test_pathological_skew_hot_key_10k_docs():
     tight = ERConfig(max_pairs_per_shard=1000)
     capped = candidate_pairs_in_shard(g, tight)
     assert len(capped) <= 1000
+
+
+def test_local_candidate_pairs_matches_per_group_reference():
+    """Differential pin: the vectorized kernel must reproduce the
+    per-group reference loop BIT-FOR-BIT (same pairs, same order),
+    including neighbor chaining and the max_pairs group-cut + trim."""
+    import numpy as np
+
+    from dedupe_rust_ray.functions.grouping import local_candidate_pairs
+
+    def reference(keys, *, max_group=None, neighbor_w=4, max_pairs=None):
+        n = len(keys)
+        if n < 2:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+        ia_parts, ib_parts, total = [], [], 0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            idx = np.sort(order[s:e])
+            if max_group is not None and g > max_group:
+                for w in range(1, min(neighbor_w, g - 1) + 1):
+                    ia_parts.append(idx[:-w])
+                    ib_parts.append(idx[w:])
+                    total += g - w
+            else:
+                i, j = np.triu_indices(g, 1)
+                ia_parts.append(idx[i])
+                ib_parts.append(idx[j])
+                total += g * (g - 1) // 2
+            if max_pairs is not None and total >= max_pairs:
+                break
+        if not ia_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        if max_pairs is not None and len(ia) > max_pairs:
+            ia, ib = ia[:max_pairs], ib[:max_pairs]
+        return ia, ib
+
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        n = int(rng.integers(0, 300))
+        keys = rng.integers(0, int(rng.integers(1, 40)), n).astype(np.uint64)
+        mg = [None, 3, 8][trial % 3]
+        mp = [None, 1, 7, 1000][trial % 4]
+        nw = int(rng.integers(1, 6))
+        a1, b1 = reference(keys, max_group=mg, neighbor_w=nw, max_pairs=mp)
+        a2, b2 = local_candidate_pairs(
+            keys, max_group=mg, neighbor_w=nw, max_pairs=mp
+        )
+        assert np.array_equal(a1, a2) and np.array_equal(b1, b2), (
+            trial, n, mg, mp, nw,
+        )
