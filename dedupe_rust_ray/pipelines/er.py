@@ -80,7 +80,10 @@ def compute_profiles(docs_ds: ray.data.Dataset, cfg: ERConfig) -> ray.data.Datas
 
 
 def exact_edges_from_profiles(
-    profiles: ray.data.Dataset, n_shards: int = 64
+    profiles: ray.data.Dataset,
+    n_shards: int = 64,
+    n_rows: int | None = None,
+    fused_max_rows: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Star edges per equal-content group, sharded — ALL NUMERIC: rows are
     (shard, idh, content_hash), so even the exact path's full-corpus pass
@@ -133,9 +136,21 @@ def exact_edges_from_profiles(
         )
         return pd.DataFrame({"doc_a": roots, "doc_b": ids[member_idx]})
 
+    cols = profiles.select_columns(["idh", "content_hash"])
+    if n_rows is not None and n_rows <= fused_max_rows:
+        # fused fold: the (idh, content_hash) relation is 16 B/row
+        # (<=32 MB under the ceiling) — gather once and run the SAME
+        # vectorized star kernel globally, eliding the shard exchange.
+        # A content_hash never spans shards, so the edge set is identical.
+        parts = [t for t in ray.get(cols.to_arrow_refs()) if len(t)]
+        if not parts:
+            return _empty_uint64_edges()
+        df = pa.concat_tables(parts).to_pandas()
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(star_in_shard(df), preserve_index=False)
+        )
     return (
-        profiles.select_columns(["idh", "content_hash"])
-        .map_batches(add_shard, batch_format="pyarrow")
+        cols.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(star_in_shard, batch_format="pandas")
         .select_columns(["doc_a", "doc_b"])
@@ -154,6 +169,17 @@ def _attach_profiles(
     broadcast scorer in :func:`er_pipeline`."""
     return attach_to_pairs(
         pairs, profiles, _PROFILE_DATA_COLS, num_partitions, side_key="idh"
+    )
+
+
+def _empty_uint64_edges() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], type=pa.uint64()),
+                "doc_b": pa.array([], type=pa.uint64()),
+            }
+        )
     )
 
 
@@ -383,7 +409,16 @@ def er_pipeline(
     if n_profiles == 0:
         return _empty_clusters()
 
-    exact_h = exact_edges_from_profiles(profiles)
+    # the exact fold's fused ceiling is LOWER than the candidate one: at
+    # a few hundred k rows the driver fold costs the same as the shard
+    # exchange (~0.55 s measured at 468k) but loses the streaming
+    # executor's overlap with candidate generation — fuse only where the
+    # exchange's fixed barrier dominates outright
+    exact_h = exact_edges_from_profiles(
+        profiles,
+        n_rows=n_profiles,
+        fused_max_rows=min(200_000, cfg.fused_band_rows_max),
+    )
 
     bands = profiles.map_batches(
         lambda b: emit_blocking_keys(b, cfg), batch_format="pyarrow"
@@ -413,8 +448,37 @@ def er_pipeline(
     else:
         cand = bands.groupby("shard").map_groups(
             lambda g: candidate_pairs_in_shard(g, cfg), batch_format="pandas"
-        )
-        pairs = dedup_pairs(cand, cfg.n_shards)
+        ).materialize()
+        if cand.count() <= cfg.fused_band_rows_max:
+            # pairs are per-shard-deduped already and tiny relative to
+            # the band rows: collapse cross-band duplicates in-process
+            # instead of paying the pair-shard exchange
+            parts = []
+            for t in ray.get(cand.to_arrow_refs()):
+                if not len(t):
+                    continue
+                if isinstance(t, pd.DataFrame):  # map_groups pandas blocks
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                parts.append(t)
+            if parts:
+                pdf = (
+                    pa.concat_tables(parts)
+                    .to_pandas()
+                    .drop_duplicates(["doc_a", "doc_b"])
+                )
+            else:
+                pdf = pd.DataFrame(
+                    {
+                        "doc_a": pd.Series(dtype="uint64"),
+                        "doc_b": pd.Series(dtype="uint64"),
+                    }
+                )
+            pairs = ray.data.from_arrow(
+                pa.Table.from_pandas(pdf, preserve_index=False)
+            )
+            _tr(f"in-process pair dedup: {len(pdf)} pairs")
+        else:
+            pairs = dedup_pairs(cand, cfg.n_shards)
 
     def broadcast_scored(prof_ds):
         # ship packed profiles once and score pairs in a fused stage — no
