@@ -270,6 +270,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_funnel": sessions.conversion_funnel,
         "percent_rank_orders": joins.percent_rank_orders,
         "cube_census": reshape.cube_census,
+        "user_churn": sessions.user_churn,
+        "event_gap_stats": sessions.event_gap_stats,
+        "customer_reconcile": joins.customer_reconcile,
+        "rolling_order_sum": joins.rolling_order_sum,
+        "boilerplate_prefixes": textpipe.boilerplate_prefixes,
     }
 
 
@@ -1169,6 +1174,68 @@ def oracle_sql() -> dict[str, str]:
             " FROM marked GROUP BY doc_id) "
             "SELECT doc_id, COALESCE(text_clean, '') AS text_clean, "
             " n_kept, n_dropped FROM agg ORDER BY doc_id"
+        ),
+        "user_churn": (
+            "WITH b AS (SELECT MIN(epoch_us(ts)) + "
+            " (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 9 // 10 AS cut "
+            " FROM events), "
+            "u AS (SELECT user_id, event_type, "
+            " SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) "
+            "  THEN 1 ELSE 0 END) AS n_first, "
+            " SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) "
+            "  THEN 1 ELSE 0 END) AS n_second "
+            " FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type, "
+            " CAST(n_first AS BIGINT) AS n_events_first "
+            "FROM u WHERE n_first > 0 AND n_second = 0 "
+            "ORDER BY user_id, event_type"
+        ),
+        "event_gap_stats": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - "
+            " LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id) AS gap FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+            " CAST(MAX(gap) AS BIGINT) AS max_gap_us, "
+            " CAST(SUM(gap) AS BIGINT) AS sum_gap_us, "
+            " CAST(SUM(CASE WHEN gap < 60000000 THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_rapid "
+            "FROM g WHERE gap IS NOT NULL "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        "customer_reconcile": (
+            "WITH o AS (SELECT o_custkey AS k, "
+            " CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            " SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS oc "
+            " FROM orders GROUP BY o_custkey), "
+            "e AS (SELECT user_id AS k, "
+            " CAST(COUNT(*) AS BIGINT) AS n_events, "
+            " SUM(CAST(ROUND(value * 100) AS BIGINT)) AS ec "
+            " FROM events GROUP BY user_id) "
+            "SELECT COALESCE(o.k, e.k) AS custkey, "
+            " CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders, "
+            " CAST(COALESCE(oc, 0) AS DOUBLE) / 100 AS orders_total, "
+            " CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events, "
+            " CAST(COALESCE(ec, 0) AS DOUBLE) / 100 AS events_value, "
+            " CASE WHEN o.k IS NOT NULL AND e.k IS NOT NULL THEN 'both' "
+            "  WHEN o.k IS NOT NULL THEN 'orders_only' "
+            "  ELSE 'events_only' END AS presence "
+            "FROM o FULL OUTER JOIN e ON o.k = e.k ORDER BY custkey"
+        ),
+        "rolling_order_sum": (
+            "SELECT o_orderkey, CAST(COUNT(*) OVER w AS BIGINT) AS window_n, "
+            " CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w "
+            "  AS DOUBLE) / 100 AS window_sum "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+            " ORDER BY o_orderdate, o_orderkey "
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+            "ORDER BY o_orderkey"
+        ),
+        "boilerplate_prefixes": (
+            "SELECT substr(text, 1, 80) AS prefix, "
+            " CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            " CAST(MIN(doc_id) AS BIGINT) AS first_doc "
+            "FROM documents GROUP BY prefix HAVING COUNT(*) > 1 "
+            "ORDER BY first_doc"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

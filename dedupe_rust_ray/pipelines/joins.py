@@ -470,3 +470,197 @@ def percent_rank_orders(sf_dir: str) -> ray.data.Dataset:
         .map_groups(per_quarter, batch_format="pandas")
     )
     return canonical_sort(out, ["o_orderkey"])
+
+
+def customer_reconcile(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER JOIN shape, expressed join-free: per-key order activity
+    (orders fact) reconciled against per-key event activity (events
+    fact) on the shared customer/user id — keys present on either side
+    survive, each tagged ``both`` / ``orders_only`` / ``events_only``
+    (the two-systems reconciliation report).
+
+    Plan: each side pre-aggregates per batch into 4-int partials
+    (combiner), the two partial streams UNION into ONE bounded-domain
+    groupby — a full outer join with no all-to-all join operator and no
+    payload columns on the exchange.  Money sums are exact int64 cents
+    (:func:`~.common.money_cents`)."""
+    from ray.data.aggregate import Max
+
+    from .common import cents_to_money, money_cents
+
+    def o_part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "n_orders": np.ones(batch.num_rows, np.int64),
+                "o_cents": money_cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        g = df.groupby("custkey", as_index=False).sum()
+        n = len(g)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy(np.int64)),
+                "n_orders": pa.array(g["n_orders"].to_numpy(np.int64)),
+                "o_cents": pa.array(g["o_cents"].to_numpy(np.int64)),
+                "n_events": pa.array(z),
+                "e_cents": pa.array(z),
+                "has_o": pa.array(np.ones(n, np.int64)),
+                "has_e": pa.array(z),
+            }
+        )
+
+    def e_part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "custkey": batch["user_id"].to_numpy(zero_copy_only=False),
+                "n_events": np.ones(batch.num_rows, np.int64),
+                "e_cents": money_cents(
+                    batch["value"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        g = df.groupby("custkey", as_index=False).sum()
+        n = len(g)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy(np.int64)),
+                "n_orders": pa.array(z),
+                "o_cents": pa.array(z),
+                "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+                "e_cents": pa.array(g["e_cents"].to_numpy(np.int64)),
+                "has_o": pa.array(z),
+                "has_e": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        o_part, batch_format="pyarrow"
+    )
+    events = read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        e_part, batch_format="pyarrow"
+    )
+    per = (
+        orders.union(events)
+        .groupby("custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("o_cents", alias_name="o_cents"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("e_cents", alias_name="e_cents"),
+            Max("has_o", alias_name="has_o"),
+            Max("has_e", alias_name="has_e"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ho = batch["has_o"].to_numpy(zero_copy_only=False).astype(bool)
+        he = batch["has_e"].to_numpy(zero_copy_only=False).astype(bool)
+        presence = np.where(
+            ho & he, "both", np.where(ho, "orders_only", "events_only")
+        )
+        return pa.table(
+            {
+                "custkey": batch["custkey"],
+                "n_orders": batch["n_orders"],
+                "orders_total": pa.array(
+                    cents_to_money(
+                        batch["o_cents"].to_numpy(zero_copy_only=False)
+                    )
+                ),
+                "n_events": batch["n_events"],
+                "events_value": pa.array(
+                    cents_to_money(
+                        batch["e_cents"].to_numpy(zero_copy_only=False)
+                    )
+                ),
+                "presence": pa.array(presence, pa.string()),
+            }
+        )
+
+    return canonical_sort(
+        per.map_batches(finish, batch_format="pyarrow"), ["custkey"]
+    )
+
+
+def rolling_order_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
+    """ROWS-frame window aggregate: for every order, the sum and count of
+    ``o_totalprice`` over the current + ``window-1`` preceding orders of
+    the SAME customer ordered by (o_orderdate, o_orderkey) — the moving
+    basket-size signal (SQL ``ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW``), a frame shape none of the other window queries cover.
+
+    Plan: shard on ``o_custkey % n_shards`` (a customer never spans
+    shards), one in-shard sort, then a segmented prefix-sum resolves
+    every frame vectorized (``cs[i+1] - cs[max(i-w+1, run_start)]``) —
+    no per-row loop, no pairwise frame expansion.  Sums are exact int64
+    cents; the float conversion is one exact divide at the end."""
+    from .common import cents_to_money, money_cents
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["o_custkey"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "d": batch["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "cents": pa.array(
+                    money_cents(
+                        batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                    )
+                ),
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "window_n": pd.Series([], dtype="int64"),
+                    "window_sum": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(["o_custkey", "d", "o_orderkey"], ignore_index=True)
+        cust = g["o_custkey"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        lo = np.maximum(idx - (window - 1), run_start)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        wsum = cs[idx + 1] - cs[lo]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "window_n": (idx + 1 - lo).astype(np.int64),
+                "window_sum": cents_to_money(wsum),
+            }
+        )
+
+    out = (
+        read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["o_orderkey"])

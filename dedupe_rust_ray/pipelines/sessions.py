@@ -316,3 +316,166 @@ def conversion_funnel(sf_dir: str) -> pd.DataFrame:
             "conv_rate": [rate],
         }
     )
+
+
+def user_churn(sf_dir: str) -> ray.data.Dataset:
+    """Temporal set-difference (the EXCEPT / churn shape): (user_id,
+    event_type) pairs active in the first 90% of the event-log time range
+    with NO event of that type in the final 10% — "behavior the user
+    stopped doing".  The reference has no temporal operators; this is the
+    retention-analysis companion to :func:`conversion_funnel`.
+
+    Plan: pass 1 folds the global time bounds (two int64 scalars from
+    per-block partials).  Pass 2 emits per-batch per-(user, type)
+    activity partials; ONE bounded-domain groupby sums them and the
+    anti condition is a vectorized filter — no join, no second scan of
+    the fact table carrying payload.  The cutoff arithmetic is exact
+    integer microseconds, mirrored verbatim by the SQL oracle (no float
+    timestamp math on either side)."""
+    from ray.data.aggregate import Max, Min
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def ts_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())}
+        )
+
+    b = ev.map_batches(ts_us, batch_format="pyarrow").aggregate(
+        Min("us"), Max("us")
+    )
+    lo, hi = int(b["min(us)"]), int(b["max(us)"])
+    cutoff = lo + (hi - lo) * 9 // 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        first = us < cutoff
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+                "n_first": first.astype(np.int64),
+                "n_second": (~first).astype(np.int64),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            {"n_first": "sum", "n_second": "sum"}
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n_first": pa.array(g["n_first"].to_numpy(np.int64)),
+                "n_second": pa.array(g["n_second"].to_numpy(np.int64)),
+            }
+        )
+
+    per = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(
+            Sum("n_first", alias_name="n_first"),
+            Sum("n_second", alias_name="n_second"),
+        )
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater(batch["n_first"], 0), pc.equal(batch["n_second"], 0)
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "n_events_first": t["n_first"],
+            }
+        )
+
+    return canonical_sort(
+        per.map_batches(keep, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+    )
+
+
+def event_gap_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user LAG-window statistics: the gap (µs) between consecutive
+    events of a user ordered by (ts, event_id) — n_gaps / max / sum plus
+    the count of "rapid" gaps under 60 s (the bot-burst signal).  Users
+    with a single event have no gap and drop out (SQL LAG semantics).
+
+    Plan: shard on ``user_id % n_shards`` (a user never spans shards),
+    one vectorized in-shard sort + diff; every output is an exact int64
+    so the value hash is stable by construction."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    _EMPTY = {
+        "user_id": pd.Series([], dtype="int64"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "max_gap_us": pd.Series([], dtype="int64"),
+        "sum_gap_us": pd.Series([], dtype="int64"),
+        "n_rapid": pd.Series([], dtype="int64"),
+    }
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        if len(uid) < 2:
+            return pd.DataFrame(_EMPTY)
+        gap = np.diff(us)
+        same = uid[1:] == uid[:-1]  # a gap exists only within one user
+        gu, gv = uid[1:][same], gap[same]
+        if not len(gv):
+            return pd.DataFrame(_EMPTY)
+        df = pd.DataFrame(
+            {
+                "user_id": gu,
+                "gap": gv,
+                "rapid": (gv < 60_000_000).astype(np.int64),
+            }
+        )
+        out = df.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            max_gap_us=("gap", "max"),
+            sum_gap_us=("gap", "sum"),
+            n_rapid=("rapid", "sum"),
+        )
+        return out.astype(
+            {
+                "n_gaps": "int64",
+                "max_gap_us": "int64",
+                "sum_gap_us": "int64",
+                "n_rapid": "int64",
+            }
+        )
+
+    out = (
+        read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["user_id"])

@@ -586,3 +586,63 @@ def bm25_search(
         score, batch_format="pandas"
     )
     return canonical_sort(out, ["score", "doc_id"], descending=[True, False])
+
+
+def boilerplate_prefixes(sf_dir: str, prefix_len: int = 80) -> ray.data.Dataset:
+    """Boilerplate detection: exact-prefix census over the documents
+    table — every distinct first-``prefix_len``-character prefix shared
+    by more than one document, with its document count and the earliest
+    doc carrying it.  Shared openings at corpus scale are template /
+    boilerplate text (license headers, scraped nav chrome); this is the
+    cheap screen a curation pipeline runs before the heavier dedup
+    family.
+
+    Plan: a per-batch combiner pre-aggregates (prefix → n, min doc_id)
+    so the groupby shuffle moves one short partial per distinct prefix
+    per batch, never document text.  The group key is the prefix STRING
+    itself, not a 64-bit hash: at trillion-doc scale 64-bit prefix-hash
+    collisions are expected (birthday bound ~4B keys) and would silently
+    merge unrelated groups — an 80-byte key on a partial-sized exchange
+    is the honest trade."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        pre = batch["text"].fillna("").str.slice(0, prefix_len)
+        g = (
+            pd.DataFrame({"prefix": pre, "doc_id": batch["doc_id"]})
+            .groupby("prefix", as_index=False)
+            .agg(n_docs=("doc_id", "size"), first_doc=("doc_id", "min"))
+        )
+        return pa.table(
+            {
+                "prefix": pa.array(g["prefix"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "first_doc": pa.array(g["first_doc"].to_numpy(np.int64)),
+            }
+        )
+
+    per = (
+        read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("prefix")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("first_doc", alias_name="first_doc"),
+        )
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater(batch["n_docs"], 1))
+        return pa.table(
+            {
+                "prefix": t["prefix"],
+                "n_docs": t["n_docs"],
+                "first_doc": t["first_doc"],
+            }
+        )
+
+    return canonical_sort(
+        per.map_batches(keep, batch_format="pyarrow"), ["first_doc"]
+    )
