@@ -1231,7 +1231,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_orderkey"
         ),
         "boilerplate_prefixes": (
-            "SELECT substr(text, 1, 80) AS prefix, "
+            # COALESCE mirrors the pipeline's fillna(''): a NULL text joins
+            # the empty-prefix group instead of forming a NULL group
+            "SELECT substr(COALESCE(text, ''), 1, 80) AS prefix, "
             " CAST(COUNT(*) AS BIGINT) AS n_docs, "
             " CAST(MIN(doc_id) AS BIGINT) AS first_doc "
             "FROM documents GROUP BY prefix HAVING COUNT(*) > 1 "

@@ -134,8 +134,19 @@ class _VerifyEstJaccard:
 
     def _rows(self, col: pd.Series) -> np.ndarray:
         v = col.to_numpy(dtype=np.int64)
-        pos = np.searchsorted(self.sorted_ids, v)
-        # every candidate endpoint is in the pack by construction
+        pos = np.minimum(
+            np.searchsorted(self.sorted_ids, v), len(self.sorted_ids) - 1
+        )
+        # every candidate endpoint is in the pack by construction — but a
+        # silent miss would score against a NEIGHBOR's signature row, so
+        # fail loudly instead (a probe past the array end would otherwise
+        # also IndexError)
+        if not (self.sorted_ids[pos] == v).all():
+            missing = v[self.sorted_ids[pos] != v]
+            raise KeyError(
+                f"candidate endpoint(s) missing from signature pack: "
+                f"{missing[:5].tolist()}"
+            )
         return self.order[pos]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import ERConfig
-from ..stages.blocking import emit_blocking_keys
+from ..stages.blocking import count_blocking_keys, emit_blocking_keys
 from ..stages.pairs import attach_to_pairs, candidate_pairs_in_shard, dedup_pairs
 from ..stages.scoring import PairScorer, broadcast_score_batch, pack_profiles
 from ..stages.signatures import SpanSignatures, span_signatures_batch
@@ -46,6 +46,11 @@ _PROFILE_DATA_COLS = [
     "phashes",
     "text_head",
 ]
+
+
+@ray.remote(num_cpus=1)
+def _count_keys_task(tbl: pa.Table, cfg: ERConfig) -> int:
+    return count_blocking_keys(tbl, cfg)
 
 
 @ray.remote(num_cpus=1)
@@ -420,18 +425,36 @@ def er_pipeline(
         fused_max_rows=min(200_000, cfg.fused_band_rows_max),
     )
 
+    # size-gate WITHOUT executing/pinning the exploded key relation: the
+    # exact emitted-row count is derivable from the materialized profile
+    # blocks (text docs x lsh_bands + 4 x pHash spans) by tiny remote
+    # tasks — at scale the ~26 B/row band relation previously pinned here
+    # just to call .count() is corpus-linear and spills
+    n_bands = sum(
+        ray.get(
+            [_count_keys_task.remote(r, cfg) for r in profiles.to_arrow_refs()]
+        )
+    )
+    _tr(f"blocking keys (counted, not pinned): {n_bands}")
     bands = profiles.map_batches(
         lambda b: emit_blocking_keys(b, cfg), batch_format="pyarrow"
-    ).materialize()
-    if bands.count() <= cfg.fused_band_rows_max:
+    )
+    if n_bands <= cfg.fused_band_rows_max:
         # fused candidate path (cfg.fused_band_rows_max): the blocking-key
         # compute above stays distributed; only the ~26 B/row exploded key
-        # relation gathers, and candidate_pairs_in_shard runs ONCE over it
-        # (block keys never span shards, so the pair set is identical)
+        # relation gathers. candidate_pairs_in_shard runs once PER SHARD
+        # GROUP of the gathered relation — identical grouping AND identical
+        # per-shard cfg.max_pairs_per_shard cap semantics to the
+        # distributed map_groups path (a single global call would apply
+        # the cap globally, shrinking the pair set whenever it binds)
         parts = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows]
         if parts:
             gdf = pa.concat_tables(parts).to_pandas()
-            pdf = candidate_pairs_in_shard(gdf, cfg).drop_duplicates(
+            shard_pdfs = [
+                candidate_pairs_in_shard(g, cfg)
+                for _, g in gdf.groupby("shard", sort=True)
+            ]
+            pdf = pd.concat(shard_pdfs, ignore_index=True).drop_duplicates(
                 ["doc_a", "doc_b"]
             )
         else:
@@ -445,7 +468,10 @@ def er_pipeline(
             pa.Table.from_pandas(pdf, preserve_index=False)
         )
         _tr(f"fused candidates: {len(pdf)} pairs")
-    else:
+    elif n_bands <= 8 * cfg.fused_band_rows_max:
+        # mid regime: the pair relation is plausibly small enough for the
+        # in-process cross-band dedup fold, so materializing it to count
+        # is affordable (pairs are 16 B/row and per-shard capped)
         cand = bands.groupby("shard").map_groups(
             lambda g: candidate_pairs_in_shard(g, cfg), batch_format="pandas"
         ).materialize()
@@ -479,6 +505,14 @@ def er_pipeline(
             _tr(f"in-process pair dedup: {len(pdf)} pairs")
         else:
             pairs = dedup_pairs(cand, cfg.n_shards)
+    else:
+        # scale path: no materialize anywhere — candidate enumeration
+        # streams from the shard exchange straight into the pair-shard
+        # dedup exchange, overlapping with the broadcast pack below
+        cand = bands.groupby("shard").map_groups(
+            lambda g: candidate_pairs_in_shard(g, cfg), batch_format="pandas"
+        )
+        pairs = dedup_pairs(cand, cfg.n_shards)
 
     def broadcast_scored(prof_ds):
         # ship packed profiles once and score pairs in a fused stage — no

@@ -934,12 +934,21 @@ def q16_supplier_count_by_part_attr(
     attr-code map probes as broadcast sorted arrays, above it the code
     attaches to lineitem with a hash ``Dataset.join`` on l_partkey (the
     q5 ladder). The attrs census is a second tiny groupby."""
+    # RAW scan; the brand filter is fused INSIDE each UDF so no consumer
+    # ever sees an already-empty input block (which map_batches forwards
+    # as a zero-column block — the acero join-schema hazard documented at
+    # _keys_with_sentinel)
     part_ds = read(
         sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
-    ).filter(expr=f"p_brand != '{exclude_brand}'")
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["p_brand"], pa.scalar(exclude_brand))
+        )
 
     def distinct_bt(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["p_brand", "p_type"]).aggregate(
+        g = _keep(batch).group_by(["p_brand", "p_type"]).aggregate(
             [("p_partkey", "count")]
         )
         return g.select(["p_brand", "p_type"])
@@ -959,6 +968,7 @@ def q16_supplier_count_by_part_attr(
     t_idx = {t: i for i, t in enumerate(types)}
 
     def attr_map(batch: pd.DataFrame) -> pa.Table:
+        batch = batch[batch["p_brand"] != exclude_brand]
         sizes = batch["p_size"].to_numpy(np.int64)
         if len(sizes):
             assert 0 <= sizes.min() and sizes.max() < 1_000, (
@@ -969,10 +979,15 @@ def q16_supplier_count_by_part_attr(
             + batch["p_type"].map(t_idx).to_numpy(np.int64) * 1_000
             + sizes
         )
+        # per-block sentinel (-1, 0): keeps every block non-empty for the
+        # over-ceiling hash-join leg (acero hazard, _keys_with_sentinel);
+        # no real l_partkey is negative so it joins/probes nothing
         return pa.table(
             {
-                "l_partkey": pa.array(batch["p_partkey"].to_numpy(np.int64)),
-                "acode": pa.array(code, type=pa.int64()),
+                "l_partkey": pa.array(
+                    np.r_[batch["p_partkey"].to_numpy(np.int64), -1]
+                ),
+                "acode": pa.array(np.r_[code, 0], type=pa.int64()),
             }
         )
 
@@ -1105,14 +1120,21 @@ def q19_bracket_revenue(
             m = (brand_col == brand) & (size >= 1) & (size <= max_size)
             masks |= m.astype(np.int64) << i
         sel = masks > 0
+        # per-block sentinel (-1, 0): a block containing none of the
+        # bracket brands would otherwise emit an all-empty block into the
+        # over-ceiling hash-join leg (acero hazard, _keys_with_sentinel);
+        # bmask 0 matches no bracket and partkey -1 joins/probes nothing
         return pa.table(
             {
                 "l_partkey": pa.array(
-                    batch["p_partkey"].to_numpy(zero_copy_only=False)[
-                        sel
-                    ].astype(np.int64)
+                    np.r_[
+                        batch["p_partkey"]
+                        .to_numpy(zero_copy_only=False)[sel]
+                        .astype(np.int64),
+                        -1,
+                    ]
                 ),
-                "bmask": pa.array(masks[sel], type=pa.int64()),
+                "bmask": pa.array(np.r_[masks[sel], 0], type=pa.int64()),
             }
         )
 

@@ -48,6 +48,18 @@ def shard_of_u64(keys: np.ndarray, n_shards: int) -> np.ndarray:
     )
 
 
+def count_blocking_keys(batch: pa.Table, cfg: ERConfig) -> int:
+    """Exact number of rows ``emit_blocking_keys`` would emit for ``batch``,
+    without building them: text docs emit ``lsh_bands`` keys each, every
+    media pHash emits 4 chunk keys. Lets the pipeline size-gate the fused
+    candidate path from the (already materialized) profile blocks instead
+    of executing and pinning the exploded key relation just to count it."""
+    sig = decode_sig_matrix(batch["minhash_sig"], cfg.num_perm)
+    n_text = int((sig[:, 0] != UINT64_MAX).sum()) if len(sig) else 0
+    ph_flat, _ = decode_varlen_u64(batch["phashes"])
+    return n_text * cfg.lsh_bands + 4 * len(ph_flat)
+
+
 def emit_blocking_keys(batch: pa.Table, cfg: ERConfig) -> pa.Table:
     """profile batch -> exploded (block_key, idh, content_hash) rows.
 

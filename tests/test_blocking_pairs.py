@@ -202,3 +202,37 @@ def test_local_candidate_pairs_matches_per_group_reference():
         assert np.array_equal(a1, a2) and np.array_equal(b1, b2), (
             trial, n, mg, mp, nw,
         )
+
+
+def test_count_blocking_keys_matches_emit():
+    cfg = ERConfig()
+    prof = _profiles(80)
+    from dedupe_rust_ray.stages.blocking import count_blocking_keys
+
+    assert count_blocking_keys(prof, cfg) == emit_blocking_keys(prof, cfg).num_rows
+    empty = prof.slice(0, 0)
+    assert count_blocking_keys(empty, cfg) == 0 == emit_blocking_keys(empty, cfg).num_rows
+
+
+def test_pair_cap_is_per_shard_not_global():
+    # two shards, each demanding > cap pairs: a per-shard cap keeps ~cap
+    # pairs in EACH shard; the (buggy, pre-fix) single global call over the
+    # concatenated relation truncates the union at one cap's worth
+    cfg = ERConfig(max_pairs_per_shard=40, max_block_size=512)
+    rng = np.random.default_rng(3)
+    rows = []
+    for shard in (0, 1):
+        for blk in range(8):  # 8 blocks of 6 rows -> 15 pairs each = 120 > 40
+            key = np.uint64((shard + 1) * 1000 + blk)
+            for r in range(6):
+                rows.append((shard, key, len(rows) + 1))
+    gdf = pd.DataFrame(rows, columns=["shard", "block_key", "idh"])
+    gdf["idh"] = gdf["idh"].astype(np.uint64)
+    gdf["content_hash"] = np.arange(len(gdf), dtype=np.uint64)  # all distinct
+    per_shard = pd.concat(
+        [candidate_pairs_in_shard(g, cfg) for _, g in gdf.groupby("shard", sort=True)],
+        ignore_index=True,
+    ).drop_duplicates(["doc_a", "doc_b"])
+    global_once = candidate_pairs_in_shard(gdf, cfg)
+    assert len(per_shard) == 2 * cfg.max_pairs_per_shard
+    assert len(global_once) == cfg.max_pairs_per_shard  # why the fix matters

@@ -172,3 +172,25 @@ def test_er_fused_vs_sharded_candidate_paths():
         corpus, ERConfig(fused_band_rows_max=0)
     ).to_pandas()
     _eq(fused, sharded)
+
+
+def test_er_fused_path_calls_pair_kernel_per_shard(monkeypatch):
+    # the fused (gathered) candidate path must apply cfg.max_pairs_per_shard
+    # with the SAME granularity as the distributed map_groups path: one
+    # kernel call per shard group, never one global call over the gather
+    import dedupe_rust_ray.pipelines.er as er_mod
+    from dedupe_rust_ray.config import ERConfig
+    from dedupe_rust_ray.sources.corpus import synth_corpus_distributed
+
+    calls = []
+    orig = er_mod.candidate_pairs_in_shard
+
+    def spy(group, cfg):
+        calls.append(int(group["shard"].nunique()))
+        return orig(group, cfg)
+
+    monkeypatch.setattr(er_mod, "candidate_pairs_in_shard", spy)
+    corpus = synth_corpus_distributed(300, blocks=2).materialize()
+    er_mod.er_pipeline(corpus, ERConfig()).to_pandas()
+    assert calls, "fused path not taken at 300 docs"
+    assert all(c == 1 for c in calls)
