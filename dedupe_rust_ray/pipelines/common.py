@@ -120,6 +120,73 @@ def sorted_int_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
     return vals[idx], found
 
 
+def gather_sorted_arrays(
+    ds: ray.data.Dataset, key_col: str, val_cols: tuple[str, ...] = ()
+) -> tuple[np.ndarray, ...]:
+    """Gather a ladder-gated SMALL key(/value) dataset driver-side as numpy
+    arrays sorted by ``key_col`` — the broadcast leg of the q5 ladder,
+    used as ``ray.put(gather_sorted_arrays(...))`` + ``sorted_int_lookup``
+    probes inside ``map_batches``. Returns ``(keys, *vals)`` with keys
+    int64-sorted and value arrays aligned; empty datasets yield empty
+    int64 arrays (all probes miss)."""
+    import ray as _ray
+
+    parts = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        e = np.array([], dtype=np.int64)
+        return (e, *(e.copy() for _ in val_cols))
+    import pyarrow as _pa
+
+    t = _pa.concat_tables(parts)
+    keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys)
+    out = [keys[order]]
+    for c in val_cols:
+        out.append(t[c].to_numpy(zero_copy_only=False)[order])
+    return tuple(out)
+
+
+def keys_with_sentinel(
+    ds: ray.data.Dataset,
+    src_col: str,
+    dst_col: str | None = None,
+    block_filter=None,
+    dedup: bool = False,
+) -> ray.data.Dataset:
+    """Key side of a semi-/anti-/inner join, renamed to ``dst_col`` and
+    with a per-block sentinel key (-1) appended so EVERY block stays
+    schema-bearing and non-empty — acero's hash join fails on partitions
+    fed only schema-less empty bundles, and a one-row union is not enough
+    (partitions that receive none of it still fail). No real key is
+    negative, so the sentinel matches nothing.
+
+    ``ds`` must be a RAW scan, with any selective predicate passed as
+    ``block_filter`` so it runs INSIDE this UDF: Ray's map_batches never
+    invokes the UDF on an already-empty input block — it forwards a
+    ZERO-COLUMN block instead — so a sentinel appended in a map_batches
+    placed AFTER a separate filter stage misses exactly the blocks that
+    need it. ``dedup=True`` additionally uniques keys per block (the
+    combiner before a join shuffle)."""
+    import pyarrow as _pa
+
+    dst = dst_col or src_col
+
+    def per_block(b):
+        if block_filter is not None:
+            b = block_filter(b)
+        col = b[src_col]
+        if dedup:
+            col = col.unique()
+        k = col.cast(_pa.int64())
+        if isinstance(k, _pa.ChunkedArray):
+            k = k.combine_chunks()
+        return _pa.table(
+            {dst: _pa.concat_arrays([k, _pa.array([-1], type=_pa.int64())])}
+        )
+
+    return ds.map_batches(per_block, batch_format="pyarrow")
+
+
 def _collect_stale_plans() -> None:
     """Throttled driver-side collect at query entry.
 

@@ -29,38 +29,16 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .common import canonical_sort, join_partitions, read, revenue_units, units_to_money
+from .common import (
+    canonical_sort,
+    join_partitions,
+    keys_with_sentinel,
+    read,
+    revenue_units,
+    units_to_money,
+)
 
 _N_SHARDS = 32
-
-
-def _dedup_keys(name: str, block_filter=None):
-    """Per-batch key dedup (combiner before the join shuffle).
-
-    Every block gets a sentinel key -1 appended so no block is ever
-    empty: acero's hash join fails on partitions that received only
-    schema-less empty bundles (a one-row union is NOT enough — see
-    q22). No real key is negative, so the sentinel matches nothing in
-    a semi- or anti-join.
-
-    Any selective predicate must be passed as ``block_filter`` so it
-    runs INSIDE this UDF over never-empty raw scan blocks: Ray's
-    map_batches forwards an already-empty input block as a ZERO-COLUMN
-    block without calling the UDF, so a sentinel appended in a
-    map_batches placed AFTER a separate filter stage misses exactly
-    the blocks that need it."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if block_filter is not None:
-            batch = block_filter(batch)
-        u = batch[name].unique().cast(pa.int64())
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
-        return pa.table(
-            {name: pa.concat_arrays([u, pa.array([-1], type=pa.int64())])}
-        )
-
-    return fn
 
 
 def q4_order_priority(sf_dir: str) -> pd.DataFrame:
@@ -82,16 +60,13 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
         ).select(["o_orderkey", "o_orderpriority"]),
         batch_format="pyarrow",
     )
-    keys = read(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
-    ).map_batches(
-        _dedup_keys(
-            "l_orderkey",
-            block_filter=lambda b: b.filter(
-                pc.greater(b["l_quantity"], pa.scalar(45.0))
-            ),
+    keys = keys_with_sentinel(
+        read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
+        "l_orderkey",
+        block_filter=lambda b: b.filter(
+            pc.greater(b["l_quantity"], pa.scalar(45.0))
         ),
-        batch_format="pyarrow",
+        dedup=True,
     )
     out = canonical_sort(
         orders.join(
@@ -118,23 +93,20 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     cust = read(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
     )
-    keys = read(
-        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
-    ).map_batches(
-        _dedup_keys(
-            "o_custkey",
-            block_filter=lambda b: b.filter(
-                pc.and_(
-                    pc.greater_equal(
-                        b["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))
-                    ),
-                    pc.less(
-                        b["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))
-                    ),
-                )
-            ),
+    keys = keys_with_sentinel(
+        read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]),
+        "o_custkey",
+        block_filter=lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))
+                ),
+                pc.less(
+                    b["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))
+                ),
+            )
         ),
-        batch_format="pyarrow",
+        dedup=True,
     )
     out = canonical_sort(
         cust.join(

@@ -38,6 +38,8 @@ from ray.data.aggregate import Count, Sum
 
 from .common import canonical_sort, drop_empty_blocks, join_partitions, read
 from .common import cents_to_money as _cents_to_money
+from .common import gather_sorted_arrays as _gather_sorted
+from .common import keys_with_sentinel as _sentinel_keys
 from .common import money_cents as _money_cents
 from .common import revenue_units as _revenue_units
 from .common import sorted_int_lookup as _sorted_int_lookup
@@ -92,30 +94,10 @@ def _keys_with_sentinel(
     dst_col: str,
     block_filter=None,
 ) -> ray.data.Dataset:
-    """Key side of an inner semi-join, renamed to the fact's column and
-    with a per-block sentinel key (-1) appended — EVERY block stays
-    schema-bearing, and no real key is negative so the sentinel joins
-    nothing.
-
-    ``ds`` must be a RAW scan (parquet read), with any selective
-    predicate passed as ``block_filter`` so it runs INSIDE this UDF:
-    Ray's map_batches never invokes the UDF on an already-empty input
-    block — it forwards a ZERO-COLUMN empty block instead — so a
-    sentinel appended in a map_batches placed AFTER a filter misses
-    exactly the blocks that need it, and one such block reaching the
-    hash-join schema broadcast poisons its partitions (acero:
-    'No match ... for key field reference'). Fusing filter + sentinel
-    over never-empty scan blocks guarantees every output block carries
-    the key column."""
-
-    def per_block(b: pa.Table) -> pa.Table:
-        if block_filter is not None:
-            b = block_filter(b)
-        k = b[src_col].cast(pa.int64()).combine_chunks()
-        k = pa.concat_arrays([k, pa.array([-1], type=pa.int64())])
-        return pa.table({dst_col: k})
-
-    return ds.map_batches(per_block, batch_format="pyarrow")
+    """Key side of an inner semi-join, renamed to the fact's column, with
+    a per-block sentinel appended (see ``common.keys_with_sentinel`` for
+    the full acero empty-block rationale)."""
+    return _sentinel_keys(ds, src_col, dst_col, block_filter=block_filter)
 
 
 def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
@@ -276,23 +258,7 @@ def q17_small_quantity_revenue(
         )
 
     if n_brand <= broadcast_max_rows:
-        parts_arrow = [
-            t
-            for t in ray.get(part_keys_ds.to_arrow_refs())
-            if t.num_rows
-        ]
-        bkeys = (
-            np.sort(
-                np.concatenate(
-                    [
-                        t["p_partkey"].to_numpy(zero_copy_only=False)
-                        for t in parts_arrow
-                    ]
-                ).astype(np.int64)
-            )
-            if parts_arrow
-            else np.array([], dtype=np.int64)
-        )
+        (bkeys,) = _gather_sorted(part_keys_ds, "p_partkey")
         bref = ray.put(bkeys)
 
         def pass1(batch: pa.Table, ref=bref) -> pa.Table:
@@ -618,37 +584,10 @@ def q9_profit_by_nation_year(
     use_supp_bcast = supp_ds.count() <= broadcast_max_rows
     pk = sk = sv = None
     if use_pk_bcast:
-        pk_parts = [
-            t for t in ray.get(part_keys_ds.to_arrow_refs()) if t.num_rows
-        ]
-        pk = (
-            np.sort(
-                np.concatenate(
-                    [
-                        t["p_partkey"].to_numpy(zero_copy_only=False)
-                        for t in pk_parts
-                    ]
-                ).astype(np.int64)
-            )
-            if pk_parts
-            else np.array([], dtype=np.int64)
-        )
+        (pk,) = _gather_sorted(part_keys_ds, "p_partkey")
     if use_supp_bcast:
-        sp = [t for t in ray.get(supp_ds.to_arrow_refs()) if t.num_rows]
-        st = (
-            pa.concat_tables(sp)
-            if sp
-            else pa.table(
-                {
-                    "s_suppkey": pa.array([], type=pa.int64()),
-                    "s_nationkey": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sv = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(sk)
-        sk, sv = sk[o], sv[o]
+        sk, sv = _gather_sorted(supp_ds, "s_suppkey", ("s_nationkey",))
+        sv = sv.astype(np.int64)
     ref = ray.put((pk, sk, sv))
 
     def li_partial(batch: pa.Table, r=ref) -> pa.Table:
@@ -1003,24 +942,7 @@ def q16_supplier_count_by_part_attr(
         return pa.table({"pair": pa.array(pair)})
 
     if attr_ds.count() <= broadcast_max_rows:
-        parts_arrow = [
-            t for t in ray.get(attr_ds.to_arrow_refs()) if t.num_rows
-        ]
-        t = (
-            pa.concat_tables(parts_arrow)
-            if parts_arrow
-            else pa.table(
-                {
-                    "l_partkey": pa.array([], type=pa.int64()),
-                    "acode": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-        order = np.argsort(pk)
-        ref = ray.put(
-            (pk[order], t["acode"].to_numpy(zero_copy_only=False)[order])
-        )
+        ref = ray.put(_gather_sorted(attr_ds, "l_partkey", ("acode",)))
 
         def pair_partial(batch: pa.Table, r=ref) -> pa.Table:
             keys, codes = ray.get(r) if not isinstance(r, tuple) else r
@@ -1160,19 +1082,7 @@ def q19_bracket_revenue(
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
     if pmask_ds.count() <= broadcast_max_rows:
-        parts_arrow = [
-            t for t in ray.get(pmask_ds.to_arrow_refs()) if t.num_rows
-        ]
-        if parts_arrow:
-            t = pa.concat_tables(parts_arrow)
-            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-            pm = t["bmask"].to_numpy(zero_copy_only=False)
-            order = np.argsort(pk)
-            ref = ray.put((pk[order], pm[order]))
-        else:
-            ref = ray.put(
-                (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
-            )
+        ref = ray.put(_gather_sorted(pmask_ds, "l_partkey", ("bmask",)))
 
         def partial(batch: pa.Table, r=ref) -> pa.Table:
             keys, pmask = ray.get(r) if not isinstance(r, tuple) else r
@@ -1842,21 +1752,7 @@ def q11_important_parts(
         sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
     )
     if sk_ds.count() <= broadcast_max_rows:
-        parts_arrow = [
-            t for t in ray.get(sk_ds.to_arrow_refs()) if t.num_rows
-        ]
-        sk = (
-            np.sort(
-                np.concatenate(
-                    [
-                        t["s_suppkey"].to_numpy(zero_copy_only=False)
-                        for t in parts_arrow
-                    ]
-                ).astype(np.int64)
-            )
-            if parts_arrow
-            else np.array([], dtype=np.int64)
-        )
+        (sk,) = _gather_sorted(sk_ds, "s_suppkey")
         ref = ray.put(sk)
 
         def partial(batch: pa.Table, r=ref) -> pa.Table:
@@ -1941,21 +1837,7 @@ def q20_heavy_shippers(
         sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]
     )
     if part_keys_ds.count() <= broadcast_max_rows:
-        parts_arrow = [
-            t for t in ray.get(part_keys_ds.to_arrow_refs()) if t.num_rows
-        ]
-        pk = (
-            np.sort(
-                np.concatenate(
-                    [
-                        t["p_partkey"].to_numpy(zero_copy_only=False)
-                        for t in parts_arrow
-                    ]
-                ).astype(np.int64)
-            )
-            if parts_arrow
-            else np.array([], dtype=np.int64)
-        )
+        (pk,) = _gather_sorted(part_keys_ds, "p_partkey")
         ref = ray.put(pk)
 
         def partial(batch: pa.Table, r=ref) -> pa.Table:
