@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
+        "ntile_customers": reshape.ntile_customers,
+        "mode_quantity_by_flag": reshape.mode_quantity_by_flag,
+        "supplier_share_of_nation": reshape.supplier_share_of_nation,
+        "golden_records": analytics.golden_records,
     }
 
 
@@ -1238,6 +1242,54 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MIN(doc_id) AS BIGINT) AS first_doc "
             "FROM documents GROUP BY prefix HAVING COUNT(*) > 1 "
             "ORDER BY first_doc"
+        ),
+        "ntile_customers": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+            " CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)"
+            "  AS tile "
+            "FROM customer ORDER BY c_custkey"
+        ),
+        "mode_quantity_by_flag": (
+            # deterministic mode: (count DESC, value ASC) — SQL mode()'s
+            # tie-break is unspecified, so both sides pin the same rule
+            "SELECT l_returnflag, CAST(qty AS BIGINT) AS mode_qty, "
+            " CAST(n_rows AS BIGINT) AS n_rows FROM ("
+            " SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, "
+            "  COUNT(*) AS n_rows, "
+            "  ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "   ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC) AS rn"
+            " FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)"
+            ") WHERE rn = 1 ORDER BY l_returnflag"
+        ),
+        "supplier_share_of_nation": (
+            f"WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, "
+            f" SUM({_REV_UNITS}) AS u FROM lineitem GROUP BY 1), "
+            f"j AS (SELECT rev.s_suppkey, "
+            f" CAST(s.s_nationkey AS BIGINT) AS s_nationkey, rev.u "
+            f" FROM rev JOIN supplier s ON s.s_suppkey = rev.s_suppkey) "
+            f"SELECT s_suppkey, s_nationkey, {_money('u')} AS supp_rev, "
+            f" {_money('SUM(u) OVER (PARTITION BY s_nationkey)')} "
+            f"  AS nation_rev "
+            f"FROM j ORDER BY s_suppkey"
+        ),
+        "golden_records": (
+            # survivorship over exact-dup text clusters: canonical id,
+            # member census, majority source (ties -> lexicographic min)
+            "WITH d AS (SELECT doc_id, source, "
+            "  substr(COALESCE(text, ''), 1, 80) AS pre FROM documents), "
+            "g AS (SELECT pre, "
+            "  CAST(MIN(doc_id) AS BIGINT) AS cluster_id, "
+            "  CAST(COUNT(*) AS BIGINT) AS n_members, "
+            "  CAST(MAX(doc_id) AS BIGINT) AS max_doc "
+            " FROM d GROUP BY pre HAVING COUNT(*) > 1), "
+            "v AS (SELECT pre, source, COUNT(*) AS c "
+            " FROM d GROUP BY pre, source), "
+            "p AS (SELECT pre, source, ROW_NUMBER() OVER ("
+            "  PARTITION BY pre ORDER BY c DESC, source ASC) AS rn FROM v) "
+            "SELECT g.cluster_id, g.n_members, g.max_doc, "
+            " p.source AS rep_source "
+            "FROM g JOIN p ON g.pre = p.pre AND p.rn = 1 "
+            "ORDER BY g.cluster_id"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

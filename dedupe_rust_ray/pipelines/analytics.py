@@ -931,3 +931,77 @@ def spans_census(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("kind", ignore_index=True).astype(
         {"n_spans": "int64", "n_docs": "int64", "total_chars": "int64"}
     )
+
+
+def golden_records(sf_dir: str, prefix_len: int = 80) -> ray.data.Dataset:
+    """Survivorship merge — the entity-resolution post-step that picks one
+    golden record per duplicate block: for every first-``prefix_len``-char
+    text prefix shared by more than one document (the
+    :func:`~.textpipe.boilerplate_prefixes` blocking key), emit the
+    canonical id (min doc_id), the member count, the max member id, and
+    the MAJORITY ``source`` with ties broken lexicographically —
+    deterministic rules, never "any value".
+
+    Plan: the shuffle moves (prefix, doc_id, source) — the prefix STRING
+    itself, not a 64-bit hash, for the collision reason documented at
+    boilerplate_prefixes — under a coarse shard groupby (hash(prefix) %
+    n_shards: millions of tiny clusters would pay per-group overhead in a
+    per-prefix map_groups); inside the shard every survivorship rule is
+    one vectorized pandas pass."""
+    n_shards = 64
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def keyed(batch: pd.DataFrame) -> pa.Table:
+        pre = batch["text"].fillna("").str.slice(0, prefix_len)
+        h = np.asarray(stable_hash64(pre.tolist()), dtype=np.uint64)
+        return pa.table(
+            {
+                "prefix": pa.array(pre, pa.string()),
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int32)),
+                "doc_id": pa.array(batch["doc_id"].to_numpy(np.int64)),
+                "source": pa.array(batch["source"], pa.string()),
+            }
+        )
+
+    def survivorship(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g.groupby("prefix").agg(
+            cluster_id=("doc_id", "min"),
+            max_doc=("doc_id", "max"),
+            n_members=("doc_id", "size"),
+        )
+        stats = stats[stats["n_members"] > 1]
+        if stats.empty:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "n_members": pd.Series(dtype="int64"),
+                    "max_doc": pd.Series(dtype="int64"),
+                    "rep_source": pd.Series(dtype=object),
+                }
+            )
+        votes = g.groupby(["prefix", "source"], as_index=False).size()
+        votes = votes.sort_values(
+            ["prefix", "size", "source"], ascending=[True, False, True]
+        )
+        rep = votes.groupby("prefix", as_index=False).first()[
+            ["prefix", "source"]
+        ]
+        out = stats.reset_index().merge(rep, on="prefix")
+        return pd.DataFrame(
+            {
+                "cluster_id": out["cluster_id"].astype("int64"),
+                "n_members": out["n_members"].astype("int64"),
+                "max_doc": out["max_doc"].astype("int64"),
+                "rep_source": out["source"],
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(
+            lambda g: survivorship(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["cluster_id"])

@@ -369,3 +369,259 @@ def cube_census(sf_dir: str) -> pd.DataFrame:
         .sort_values(["lang", "source"])
         .reset_index(drop=True)
     )
+
+
+def ntile_customers(sf_dir: str, k: int = 4, span_cents: int = 10_000) -> ray.data.Dataset:
+    """Global NTILE(k): equi-depth bucketing of every customer by
+    (c_acctbal, c_custkey) order — NTILE(k) OVER (ORDER BY ...) without a
+    global sort barrier.
+
+    The rank is a distributed prefix sum over VALUE-RANGE buckets (the
+    :func:`~.curation.pack_token_shards` pattern): acctbal lives on a
+    bounded 2-decimal grid, so ``bucket = cents // span_cents`` has a
+    fixed ~1.1k-bucket domain at any input scale. Pass 1 combines
+    per-batch bucket counts into exact per-bucket rank OFFSETS on the
+    driver (a table bounded by the DOMAIN, not the row count); pass 2
+    co-locates whole buckets under a coarse shard groupby, sorts each
+    bucket vectorized, and adds offset + local position. Tile boundaries
+    follow SQL NTILE exactly: the first ``n % k`` tiles get one extra
+    row. ``span_cents`` trades offset-table size against per-bucket task
+    size — shrink it for a skewed balance distribution."""
+    from ..functions.shingles import splitmix64
+    from .common import money_cents
+
+    n_shards = 64
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        cents = money_cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        # floor division keeps negative balances ordered before positives
+        bucket = cents // span_cents
+        shard = (
+            splitmix64(bucket.astype(np.uint64)) % np.uint64(n_shards)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "cents": pa.array(cents, type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    ds = (
+        read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+        .map_batches(bucketed, batch_format="pyarrow")
+        .materialize()  # reused by both passes; compact 28 B/row
+    )
+    counts = (
+        ds.map_batches(
+            lambda b: b.groupby("bucket", as_index=False).size(),
+            batch_format="pandas",
+        )
+        .to_pandas()  # domain-bounded (~1.1k rows), never row-scaled
+        .groupby("bucket", as_index=False)["size"]
+        .sum()
+        .sort_values("bucket")
+    )
+    offsets = dict(
+        zip(
+            counts["bucket"].to_numpy(np.int64),
+            (counts["size"].cumsum() - counts["size"]).to_numpy(np.int64),
+        )
+    )
+    n_total = int(counts["size"].sum())
+    q, r0 = divmod(n_total, k)
+
+    import ray
+
+    oref = ray.put(offsets)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "cents", "c_custkey"], ignore_index=True)
+        local = g.groupby("bucket").cumcount().to_numpy(np.int64)
+        off = g["bucket"].map(ray.get(oref)).to_numpy(np.int64)
+        rank = off + local  # exact global 0-based rank
+        cut = r0 * (q + 1)
+        tile = np.where(
+            rank < cut,
+            rank // (q + 1),
+            r0 + (rank - cut) // max(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(np.int64),
+                "tile": tile.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["c_custkey"])
+
+
+def mode_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-group MODE: the most frequent l_quantity per
+    l_returnflag, ties broken toward the SMALLEST quantity (SQL mode()
+    leaves ties unspecified, so the pipeline and the oracle both pin the
+    (count DESC, value ASC) rule).
+
+    Plan: per-batch (flag, qty) count combiner, one groupby over the
+    BOUNDED (flag x quantity) domain (~150 rows at any scale), argmax on
+    the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "qty"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counts = (
+        read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()  # |flags| x |quantities|: domain-bounded
+    )
+    counts = counts.sort_values(
+        ["l_returnflag", "n_rows", "qty"], ascending=[True, False, True]
+    )
+    out = counts.groupby("l_returnflag", as_index=False).first()
+    out = out.rename(columns={"qty": "mode_qty"})
+    out["mode_qty"] = out["mode_qty"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (
+        out[["l_returnflag", "mode_qty", "n_rows"]]
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def supplier_share_of_nation(
+    sf_dir: str, broadcast_max_rows: int = 5_000_000
+) -> ray.data.Dataset:
+    """Partition-total window aggregate: each supplier's lineitem revenue
+    next to its NATION's total — SUM() OVER (PARTITION BY s_nationkey)
+    broadcast back onto every row, with no self-join and no window sort.
+
+    Plan: revenue folds to one exact int64-unit row per supplier (8-byte
+    keys on the shuffle); s_nationkey attaches via the q5 ladder (sorted
+    broadcast probe below ``broadcast_max_rows``, hash Dataset.join
+    above); nation totals are a second groupby over the attached rows
+    whose output is bounded by the nation domain (25), so the broadcast
+    back is always a tiny sorted probe. Money converts from exact units
+    to dollars once, at the very end (no float accumulation anywhere)."""
+    import ray
+
+    from .common import (
+        drop_empty_blocks,
+        gather_sorted_arrays,
+        join_partitions,
+        revenue_units,
+        sorted_int_lookup,
+        units_to_money,
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        units = revenue_units(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        df = pd.DataFrame(
+            {
+                "s_suppkey": batch["l_suppkey"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "units": units,
+            }
+        )
+        g = df.groupby("s_suppkey", as_index=False)["units"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = (
+        read(
+            sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("units", alias_name="units"))
+    )
+
+    supp_ds = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    if supp_ds.count() <= broadcast_max_rows:
+        ref = ray.put(gather_sorted_arrays(supp_ds, "s_suppkey", ("s_nationkey",)))
+
+        def attach(batch: pa.Table, r=ref) -> pa.Table:
+            keys, nats = ray.get(r) if not isinstance(r, tuple) else r
+            nk, found = sorted_int_lookup(
+                keys,
+                np.asarray(nats, dtype=np.int64),
+                batch["s_suppkey"].to_numpy(zero_copy_only=False),
+            )
+            assert found.all(), "supplier missing for lineitem suppkey"
+            return batch.append_column(
+                "s_nationkey", pa.array(nk, type=pa.int64())
+            )
+
+        tagged = per_supp.map_batches(attach, batch_format="pyarrow")
+    else:
+        tagged = drop_empty_blocks(per_supp).join(
+            supp_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                        "s_nationkey": b["s_nationkey"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("s_suppkey",),
+        )
+    tagged = tagged.materialize()  # reused: nation totals + final attach
+
+    nat_tot = (
+        tagged.groupby("s_nationkey")
+        .aggregate(Sum("units", alias_name="nat_units"))
+        .to_pandas()  # bounded by the 25-nation domain
+        .sort_values("s_nationkey")
+    )
+    nref = ray.put(
+        (
+            nat_tot["s_nationkey"].to_numpy(np.int64),
+            nat_tot["nat_units"].to_numpy(np.int64),
+        )
+    )
+
+    def finish(batch: pa.Table, r=nref) -> pa.Table:
+        keys, tots = ray.get(r) if not isinstance(r, tuple) else r
+        nt, _ = sorted_int_lookup(
+            keys, tots, batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"].cast(pa.int64()),
+                "s_nationkey": batch["s_nationkey"].cast(pa.int64()),
+                "supp_rev": pa.array(
+                    units_to_money(batch["units"].to_numpy(zero_copy_only=False))
+                ),
+                "nation_rev": pa.array(units_to_money(nt)),
+            }
+        )
+
+    return canonical_sort(
+        tagged.map_batches(finish, batch_format="pyarrow"), ["s_suppkey"]
+    )
