@@ -49,11 +49,6 @@ _PROFILE_DATA_COLS = [
 
 
 @ray.remote(num_cpus=1)
-def _count_keys_task(tbl: pa.Table, cfg: ERConfig) -> int:
-    return count_blocking_keys(tbl, cfg)
-
-
-@ray.remote(num_cpus=1)
 def _pack_profiles_task(*tables: pa.Table) -> tuple:
     """Remote broadcast pack: concat + pack happen in ONE worker whose
     output lands directly in the object store — the driver never
@@ -426,14 +421,18 @@ def er_pipeline(
     )
 
     # size-gate WITHOUT executing/pinning the exploded key relation: the
-    # exact emitted-row count is derivable from the materialized profile
-    # blocks (text docs x lsh_bands + 4 x pHash spans) by tiny remote
-    # tasks — at scale the ~26 B/row band relation previously pinned here
-    # just to call .count() is corpus-linear and spills
-    n_bands = sum(
-        ray.get(
-            [_count_keys_task.remote(r, cfg) for r in profiles.to_arrow_refs()]
-        )
+    # exact emitted-row count is derivable per profile block (text docs x
+    # lsh_bands + 4 x pHash spans) and summed as a STREAMING one-int-per-
+    # block aggregate — at scale the ~26 B/row band relation previously
+    # pinned here just to call .count() is corpus-linear and spills, and
+    # gathering profile block refs would transiently pin the (also
+    # corpus-linear) profile table on the checkpointed path
+    n_bands = int(
+        profiles.map_batches(
+            lambda b: pa.table({"n_keys": [count_blocking_keys(b, cfg)]}),
+            batch_format="pyarrow",
+        ).sum("n_keys")
+        or 0
     )
     _tr(f"blocking keys (counted, not pinned): {n_bands}")
     bands = profiles.map_batches(
