@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_quantity_by_flag": reshape.mode_quantity_by_flag,
         "supplier_share_of_nation": reshape.supplier_share_of_nation,
         "golden_records": analytics.golden_records,
+        "quantile_quantity_by_flag": reshape.quantile_quantity_by_flag,
+        "event_transitions": sessions.event_transitions,
+        "retention_cohorts": sessions.retention_cohorts,
     }
 
 
@@ -1290,6 +1293,36 @@ def oracle_sql() -> dict[str, str]:
             " p.source AS rep_source "
             "FROM g JOIN p ON g.pre = p.pre AND p.rn = 1 "
             "ORDER BY g.cluster_id"
+        ),
+        # exact grouped PERCENTILE_CONT from the bounded-domain histogram:
+        # interpolation is quarter-fractions x small integer gaps, exact in
+        # float64, so it matches quantile_cont bit-for-bit
+        "quantile_quantity_by_flag": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "quantile_cont(l_quantity, 0.25) AS p25_qty, "
+            "quantile_cont(l_quantity, 0.5) AS median_qty, "
+            "quantile_cont(l_quantity, 0.75) AS p75_qty "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            " LAG(event_type) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id) AS prev_type FROM events) "
+            "SELECT prev_type, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM o WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type ORDER BY prev_type, event_type"
+        ),
+        "retention_cohorts": (
+            "WITH cq AS (SELECT DISTINCT o_custkey AS cust, "
+            " CAST(YEAR(o_orderdate) * 10 + QUARTER(o_orderdate) AS BIGINT) "
+            "  AS q FROM orders), "
+            "f AS (SELECT cust, MIN(q) AS cohort_q FROM cq GROUP BY cust) "
+            "SELECT cohort_q, q AS order_q, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM cq JOIN f USING (cust) "
+            "GROUP BY cohort_q, order_q ORDER BY cohort_q, order_q"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

@@ -625,3 +625,69 @@ def supplier_share_of_nation(
     return canonical_sort(
         tagged.map_batches(finish, batch_format="pyarrow"), ["s_suppkey"]
     )
+
+
+def quantile_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group PERCENTILE_CONT (p25 / median / p75) of
+    ``l_quantity`` by ``l_returnflag`` — the grouped-quantile shape —
+    computed from the bounded-domain histogram, never a per-group sort.
+
+    Plan: the same (flag, qty) count combiner as ``mode_quantity_by_flag``
+    (quantities live on a closed integer domain, so partials are bounded
+    by |flags| x |quantities| per batch at ANY scale); the quantiles read
+    off the merged cumulative counts on the driver. The interpolation
+    ``v_lo + frac * (v_hi - v_lo)`` is exact in float64 here (quarter
+    fractions x small integer gaps), so the value hash matches DuckDB's
+    ``quantile_cont`` bit-for-bit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "qty"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counts = (
+        read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()  # bounded: |flags| x |quantities|
+        .sort_values(["l_returnflag", "qty"], ignore_index=True)
+    )
+
+    def qcont(vals: np.ndarray, cum: np.ndarray, q: float) -> float:
+        n = int(cum[-1])
+        h = q * (n - 1)  # 0-based continuous rank
+        lo = int(np.floor(h))
+        hi = int(np.ceil(h))
+        v_lo = vals[np.searchsorted(cum, lo, side="right")]
+        v_hi = vals[np.searchsorted(cum, hi, side="right")]
+        return float(v_lo + (h - lo) * (v_hi - v_lo))
+
+    rows = []
+    for flag, g in counts.groupby("l_returnflag"):
+        vals = g["qty"].to_numpy(np.int64)
+        cum = np.cumsum(g["n_rows"].to_numpy(np.int64))
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n_rows": int(cum[-1]),
+                "p25_qty": qcont(vals, cum, 0.25),
+                "median_qty": qcont(vals, cum, 0.5),
+                "p75_qty": qcont(vals, cum, 0.75),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"n_rows": "int64"})
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )

@@ -479,3 +479,141 @@ def event_gap_stats(sf_dir: str) -> ray.data.Dataset:
         )
     )
     return canonical_sort(out, ["user_id"])
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user sequential bigram census: for every consecutive pair of
+    events of a user (ordered by ts, event_id), count the
+    (prev_type -> event_type) transition and the number of distinct
+    users that ever make it — the Markov-transition / session-flow
+    analytic (LAG over a partition, then a census of the lagged pairs).
+
+    Plan: shard on ``user_id % n_shards`` exactly like
+    ``event_gap_stats`` (a user never spans shards), one vectorized
+    in-shard sort + shift, then a per-shard combiner that folds each
+    shard to at most |event_type|^2 partial rows (n_pairs plus exact
+    distinct-user counts — distinctness is resolvable inside the shard
+    because the shard owns the whole user) before a tiny groupby-sum
+    over the bounded transition domain."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "prev_type": pd.Series([], dtype="object"),
+            "event_type": pd.Series([], dtype="object"),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        if len(uid) < 2:
+            return _EMPTY.copy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return _EMPTY.copy()
+        df = pd.DataFrame(
+            {
+                "prev_type": et[:-1][same],
+                "event_type": et[1:][same],
+                "user_id": uid[1:][same],
+            }
+        )
+        out = df.groupby(["prev_type", "event_type"], as_index=False).agg(
+            n_pairs=("user_id", "size"), n_users=("user_id", "nunique")
+        )
+        return out.astype({"n_pairs": "int64", "n_users": "int64"})
+
+    out = (
+        read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .groupby(["prev_type", "event_type"])
+        .aggregate(
+            Sum("n_pairs", alias_name="n_pairs"),
+            Sum("n_users", alias_name="n_users"),
+        )
+    )
+    return canonical_sort(out, ["prev_type", "event_type"])
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort-retention matrix WITHOUT a self-join: customers are
+    cohorted by the quarter of their FIRST order; each (cohort_q,
+    order_q) cell counts the distinct customers of that cohort who
+    ordered in that quarter (cohort_q <= order_q by construction; the
+    diagonal is the cohort size).
+
+    The textbook SQL is a window MIN + self-join back; at scale that is
+    an SF-sized shuffle of the fact table twice.  Here: shard on
+    ``o_custkey % n_shards`` (a customer never spans shards), fold each
+    shard to its distinct (customer, quarter) set vectorized, take the
+    per-customer min quarter inside the shard, and emit bounded
+    (cohort_q, order_q) partial counts — the only exchange is the tiny
+    census groupby over |quarters|^2/2 cells."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.timestamp("us")).to_pandas()
+        q = (d.dt.year * 10 + d.dt.quarter).to_numpy(np.int64)
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cust": pa.array(cust, type=pa.int64()),
+                "q": pa.array(q, type=pa.int64()),
+                "shard": pa.array(
+                    (cust % np.int64(_N_SHARDS)).astype("int32")
+                ),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cq = np.unique(
+            np.stack(
+                [g["cust"].to_numpy(np.int64), g["q"].to_numpy(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )  # distinct (customer, quarter), sorted -> first row per cust
+        cust, q = cq[:, 0], cq[:, 1]
+        first = np.r_[True, cust[1:] != cust[:-1]]
+        # gather each row's cohort = the quarter at its customer's FIRST
+        # row (rows are (cust, q)-sorted, so that is the min quarter)
+        cohort = q[np.maximum.accumulate(np.where(first, np.arange(len(q)), 0))]
+        df = pd.DataFrame({"cohort_q": cohort, "order_q": q})
+        out = df.groupby(["cohort_q", "order_q"], as_index=False).size()
+        return out.rename(columns={"size": "n_customers"}).astype(
+            {"cohort_q": "int64", "order_q": "int64", "n_customers": "int64"}
+        )
+
+    out = (
+        read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .groupby(["cohort_q", "order_q"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+    return canonical_sort(out, ["cohort_q", "order_q"])

@@ -1,0 +1,144 @@
+"""Third round-4 operator batch: exact grouped PERCENTILE_CONT from the
+bounded-domain histogram, per-user sequential transition census (LAG
+bigrams with exact distinct-user counts resolved inside the user shard),
+and the join-free cohort-retention matrix.  Each has a driver SQL
+oracle; these tests pin the kernels against independent pandas replicas
+at sf0.001 plus crafted edge cases (single-event users, one-customer
+cohorts, quantiles on a 1-row group)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quantiles_match_numpy_percentile():
+    from dedupe_rust_ray.pipelines.reshape import quantile_quantity_by_flag
+
+    got = quantile_quantity_by_flag(SF).reset_index(drop=True)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        v = np.sort(g["l_quantity"].to_numpy(np.float64))
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n_rows": len(v),
+                "p25_qty": float(np.percentile(v, 25, method="linear")),
+                "median_qty": float(np.percentile(v, 50, method="linear")),
+                "p75_qty": float(np.percentile(v, 75, method="linear")),
+            }
+        )
+    exp = pd.DataFrame(rows).astype({"n_rows": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_quantiles_single_row_group(ray_session, tmp_path):
+    from dedupe_rust_ray.pipelines.reshape import quantile_quantity_by_flag
+
+    pd.DataFrame(
+        {"l_returnflag": ["A", "B", "B"], "l_quantity": [7.0, 1.0, 3.0]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = quantile_quantity_by_flag(str(tmp_path)).set_index("l_returnflag")
+    # 1-row group: all quantiles equal the value; 2-row: interpolate
+    assert got.loc["A", ["p25_qty", "median_qty", "p75_qty"]].tolist() == [
+        7.0,
+        7.0,
+        7.0,
+    ]
+    assert got.loc["B", ["p25_qty", "median_qty", "p75_qty"]].tolist() == [
+        1.5,
+        2.0,
+        2.5,
+    ]
+
+
+def test_event_transitions_match_pandas_lag():
+    from dedupe_rust_ray.pipelines.sessions import event_transitions
+
+    got = event_transitions(SF).to_pandas().reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    df = pd.DataFrame(
+        {
+            "prev_type": prev,
+            "event_type": ev["event_type"],
+            "user_id": ev["user_id"],
+        }
+    ).dropna(subset=["prev_type"])
+    exp = (
+        df.groupby(["prev_type", "event_type"], as_index=False)
+        .agg(n_pairs=("user_id", "size"), n_users=("user_id", "nunique"))
+        .astype({"n_pairs": "int64", "n_users": "int64"})
+        .sort_values(["prev_type", "event_type"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_event_transitions_single_event_users(ray_session, tmp_path):
+    # users with one event contribute no transition at all
+    from dedupe_rust_ray.pipelines.sessions import event_transitions
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:00"]
+    )
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": ts,
+            "event_id": [10, 11, 12],
+            "event_type": ["view", "purchase", "view"],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = event_transitions(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0].tolist() == ["view", "purchase", 1, 1]
+
+
+def test_retention_cohorts_match_pandas():
+    from dedupe_rust_ray.pipelines.sessions import retention_cohorts
+
+    got = retention_cohorts(SF).to_pandas().reset_index(drop=True)
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    d = pd.to_datetime(o["o_orderdate"])
+    q = (d.dt.year * 10 + d.dt.quarter).astype("int64")
+    cq = (
+        pd.DataFrame({"cust": o["o_custkey"].astype("int64"), "order_q": q})
+        .drop_duplicates()
+    )
+    cq["cohort_q"] = cq.groupby("cust")["order_q"].transform("min")
+    exp = (
+        cq.groupby(["cohort_q", "order_q"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+        .astype({"n_customers": "int64"})
+        .sort_values(["cohort_q", "order_q"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # diagonal cells are the cohort sizes; no cell below the diagonal
+    assert (got["order_q"] >= got["cohort_q"]).all()
+
+
+def test_retention_cohorts_one_customer(ray_session, tmp_path):
+    from dedupe_rust_ray.pipelines.sessions import retention_cohorts
+
+    pd.DataFrame(
+        {
+            "o_custkey": [5, 5, 5],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-15", "2024-02-01", "2024-07-04"]
+            ),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    got = retention_cohorts(str(tmp_path)).to_pandas()
+    # cohort 20241 (Q1 2024); two distinct quarters visited, Q1 deduped
+    exp = pd.DataFrame(
+        {
+            "cohort_q": [20241, 20241],
+            "order_q": [20241, 20243],
+            "n_customers": [1, 1],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
