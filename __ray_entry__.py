@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_quantity_by_flag": reshape.quantile_quantity_by_flag,
         "event_transitions": sessions.event_transitions,
         "retention_cohorts": sessions.retention_cohorts,
+        "chunk_documents": curation.chunk_documents,
+        "cooccurrence_census": textpipe.cooccurrence_census,
     }
 
 
@@ -1323,6 +1325,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_customers "
             "FROM cq JOIN f USING (cust) "
             "GROUP BY cohort_q, order_q ORDER BY cohort_q, order_q"
+        ),
+        # RAG-style overlapped chunk grid: pure closed-form expansion of
+        # the whitespace token count, so the SQL mirrors the stride math
+        "chunk_documents": (
+            "WITH t AS (SELECT doc_id, len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n "
+            " FROM documents), "
+            "c AS (SELECT doc_id, n, CASE WHEN n <= 64 THEN 1 "
+            " ELSE (n - 64 + 47) // 48 + 1 END AS k FROM t) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(i * 48 AS BIGINT) AS tok_start, "
+            "CAST(LEAST(64, n - i * 48) AS BIGINT) AS n_tokens "
+            "FROM c, UNNEST(range(0, k)) AS u(i) ORDER BY doc_id, chunk_idx"
+        ),
+        "cooccurrence_census": (
+            "WITH toks AS (SELECT list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w "
+            " FROM documents), "
+            "p AS (SELECT LEAST(w[i], w[i+d]) AS tok_a, "
+            "  GREATEST(w[i], w[i+d]) AS tok_b "
+            " FROM toks, UNNEST(range(1, len(w))) AS t(i), "
+            "  (SELECT UNNEST([1, 2]) AS d) u "
+            " WHERE i + d <= len(w)) "
+            "SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM p GROUP BY tok_a, tok_b "
+            "ORDER BY n DESC, tok_a, tok_b LIMIT 30"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

@@ -1639,3 +1639,53 @@ def quality_weighted_sample(
     from .common import canonical_sort
 
     return canonical_sort(out, ["doc_id"])
+
+
+def chunk_documents(
+    sf_dir: str, chunk_tokens: int = 64, overlap: int = 16
+) -> ray.data.Dataset:
+    """Fixed-size token chunking with overlap — the RAG / context-window
+    splitter: each document becomes ceil-strided chunks of
+    ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride = chunk - overlap); the final chunk is
+    the remainder. Emits (doc_id, chunk_idx, tok_start, n_tokens).
+
+    Scale pattern: a pure per-batch row EXPANSION — token counts are one
+    vectorized pass (functions.textstats.token_count_batch), the chunk
+    grid is closed-form numpy (repeat + arange, no Python per-row loop),
+    and nothing shuffles: chunk rows inherit the input partitioning, so
+    the op streams at any scale. An empty/whitespace-only doc yields one
+    zero-token chunk (the doc is never silently dropped)."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+
+    def expand(batch: pd.DataFrame) -> pa.Table:
+        from ..functions.textstats import token_count_batch
+
+        n = token_count_batch(batch["text"]).to_numpy(np.int64)
+        k = np.where(
+            n <= chunk_tokens,
+            np.int64(1),
+            (n - chunk_tokens + stride - 1) // stride + 1,
+        )
+        doc = np.repeat(batch["doc_id"].to_numpy(np.int64), k)
+        idx = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(k) - k, k
+        )
+        start = idx * stride
+        length = np.minimum(chunk_tokens, np.repeat(n, k) - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "chunk_idx": pa.array(idx),
+                "tok_start": pa.array(start),
+                "n_tokens": pa.array(length),
+            }
+        )
+
+    return canonical_sort(
+        read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            expand, batch_format="pandas"
+        ),
+        ["doc_id", "chunk_idx"],
+    )

@@ -646,3 +646,74 @@ def boilerplate_prefixes(sf_dir: str, prefix_len: int = 80) -> ray.data.Dataset:
     return canonical_sort(
         per.map_batches(keep, batch_format="pyarrow"), ["first_doc"]
     )
+
+
+def cooccurrence_census(
+    sf_dir: str, window: int = 2, k: int = 30
+) -> pd.DataFrame:
+    """Top-``k`` unordered token co-occurrence pairs within a +/-``window``
+    token distance (the skip-gram statistics pass behind word-vector
+    training and collocation mining), ranked (count DESC, pair ASC) so
+    the cutoff is deterministic.
+
+    Scale pattern: each batch flattens its token streams once, pairs
+    positions ``i`` with ``i+d`` for d = 1..window via shifted views of
+    the SAME flat array (doc boundaries masked with one searchsorted —
+    no per-row Python loop), canonicalizes pair order lexicographically,
+    and pre-aggregates to one partial row per distinct pair per batch;
+    the global groupby sums partials and only the k-row head leaves."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks = [t.split() for t in batch["text"].fillna("")]
+        lens = np.fromiter((len(w) for w in toks), np.int64, len(toks))
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if lens.sum() < 2:
+            return empty
+        flat = np.concatenate([w for w in toks if w], dtype=object)
+        ends = np.cumsum(lens[lens > 0])
+        a_parts, b_parts = [], []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            pos = np.arange(len(flat) - d)
+            # pair (i, i+d) is in-document iff i+d stays under the end
+            # of the doc that owns position i
+            valid = pos + d < ends[np.searchsorted(ends, pos, side="right")]
+            a_parts.append(flat[:-d][valid])
+            b_parts.append(flat[d:][valid])
+        if not a_parts:
+            return empty
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        g = (
+            pd.DataFrame({"tok_a": lo, "tok_b": hi})
+            .groupby(["tok_a", "tok_b"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "tok_a": pa.array(g["tok_a"], pa.string()),
+                "tok_b": pa.array(g["tok_b"], pa.string()),
+                "cnt": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        canonical_sort(
+            read(sf_dir, "documents", columns=["text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["tok_a", "tok_b"])
+            .aggregate(Sum("cnt", alias_name="n")),
+            ["n", "tok_a", "tok_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+        .to_pandas()
+    )

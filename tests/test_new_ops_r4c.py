@@ -142,3 +142,87 @@ def test_retention_cohorts_one_customer(ray_session, tmp_path):
         }
     ).astype("int64")
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_chunk_documents_matches_bruteforce():
+    from dedupe_rust_ray.pipelines.curation import chunk_documents
+
+    got = chunk_documents(SF).to_pandas().reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"].fillna("")):
+        n = len(text.split())
+        k = 1 if n <= 64 else -(-(n - 64) // 48) + 1
+        for i in range(k):
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "chunk_idx": i,
+                    "tok_start": i * 48,
+                    "n_tokens": min(64, n - i * 48),
+                }
+            )
+    exp = (
+        pd.DataFrame(rows)
+        .astype("int64")
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # overlap invariant: consecutive chunks share exactly 16 token slots
+    g = got[got["doc_id"] == got["doc_id"].iloc[0]]
+    if len(g) > 1:
+        starts = g["tok_start"].to_numpy()
+        assert (np.diff(starts) == 48).all()
+
+
+def test_chunk_documents_empty_and_exact_boundary(ray_session, tmp_path):
+    from dedupe_rust_ray.pipelines.curation import chunk_documents
+
+    texts = ["", " ".join(["w"] * 64), " ".join(["w"] * 65)]
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = chunk_documents(str(tmp_path)).to_pandas()
+    by = {d: g for d, g in got.groupby("doc_id")}
+    assert len(by[1]) == 1 and by[1]["n_tokens"].iloc[0] == 0
+    assert len(by[2]) == 1 and by[2]["n_tokens"].iloc[0] == 64
+    # 65 tokens: chunk 0 = [0, 64), chunk 1 = [48, 65) -> 17 tokens
+    assert by[3]["n_tokens"].tolist() == [64, 17]
+    assert by[3]["tok_start"].tolist() == [0, 48]
+
+
+def test_cooccurrence_census_matches_bruteforce():
+    from collections import Counter
+
+    from dedupe_rust_ray.pipelines.textpipe import cooccurrence_census
+
+    got = cooccurrence_census(SF).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter()
+    for text in docs["text"].fillna(""):
+        w = text.split()
+        for d in (1, 2):
+            for i in range(len(w) - d):
+                a, b = sorted((w[i], w[i + d]))
+                cnt[(a, b)] += 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    exp = pd.DataFrame(
+        {
+            "tok_a": [p[0] for p, _ in top],
+            "tok_b": [p[1] for p, _ in top],
+            "n": [c for _, c in top],
+        }
+    ).astype({"n": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cooccurrence_doc_boundary_isolation(ray_session, tmp_path):
+    # tokens never pair across documents
+    from dedupe_rust_ray.pipelines.textpipe import cooccurrence_census
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b", "c d"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = cooccurrence_census(str(tmp_path))
+    pairs = set(zip(got["tok_a"], got["tok_b"]))
+    assert pairs == {("a", "b"), ("c", "d")}
