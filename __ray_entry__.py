@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": sessions.retention_cohorts,
         "chunk_documents": curation.chunk_documents,
         "cooccurrence_census": textpipe.cooccurrence_census,
+        "session_spans": sessions.session_spans,
+        "vocab_size_by_lang": textpipe.vocab_size_by_lang,
     }
 
 
@@ -1351,6 +1353,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM p GROUP BY tok_a, tok_b "
             "ORDER BY n DESC, tok_a, tok_b LIMIT 30"
+        ),
+        # gaps-and-islands intervals (sessionize materialized as spans)
+        "session_spans": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            " CASE WHEN LAG(ts) OVER w IS NULL "
+            "  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS brk "
+            " FROM events WINDOW w AS "
+            "  (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            " FROM o) "
+            "SELECT user_id, CAST(sid - 1 AS BIGINT) AS session_idx, "
+            "MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, sid ORDER BY user_id, session_idx"
+        ),
+        # exact COUNT DISTINCT via the two-stage token-domain groupby
+        "vocab_size_by_lang": (
+            "WITH toks AS (SELECT lang, unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok "
+            " FROM documents) "
+            "SELECT lang, "
+            "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tokens "
+            "FROM toks GROUP BY lang ORDER BY lang"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

@@ -617,3 +617,70 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
     return canonical_sort(out, ["cohort_q", "order_q"])
+
+
+def session_spans(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands as INTERVALS: each user's event stream splits at
+    >30-min silences into sessions, and each session is emitted as a row
+    (user_id, session_idx, start_us, end_us, n_events) — the output
+    shape behind session-replay, billing windows and uptime reports
+    (:func:`sessionize` only counts the islands; this materializes
+    them).
+
+    Plan: identical sharding to ``sessionize`` (``user_id % n_shards``,
+    a user never spans shards) so the break/cumsum/extent logic is one
+    vectorized in-shard pass; output rows are one per SESSION, already
+    far smaller than the input, and the final canonical sort is the
+    only exchange."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    gap_us = np.int64(_GAP.value // 1_000)  # pd.Timedelta ns -> us
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        brk = first | np.r_[False, (us[1:] - us[:-1]) > gap_us]
+        sid = np.cumsum(brk)  # global session id within the shard
+        d = pd.DataFrame({"user_id": uid, "sid": sid, "us": us})
+        out = d.groupby(["user_id", "sid"], as_index=False).agg(
+            start_us=("us", "min"),
+            end_us=("us", "max"),
+            n_events=("us", "size"),
+        )
+        # sid is already time-ordered per user -> 0-based session index
+        out["session_idx"] = out.groupby("user_id").cumcount()
+        return out[
+            ["user_id", "session_idx", "start_us", "end_us", "n_events"]
+        ].astype(
+            {
+                "session_idx": "int64",
+                "start_us": "int64",
+                "end_us": "int64",
+                "n_events": "int64",
+            }
+        )
+
+    out = (
+        read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["user_id", "session_idx"])

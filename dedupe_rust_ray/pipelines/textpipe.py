@@ -717,3 +717,76 @@ def cooccurrence_census(
         .limit(k)
         .to_pandas()
     )
+
+
+def vocab_size_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language vocabulary census: distinct whitespace-token
+    count plus total token count (the type/token analytics pass) — the
+    EXACT counterpart of :func:`distinct_texts_hll`'s sketch.
+
+    Scale pattern: exact COUNT DISTINCT as two bounded stages — each
+    batch pre-aggregates its (lang, tok) counts (one partial row per
+    distinct pair per batch), the token-domain groupby merges partials
+    (the only large exchange, bounded by |vocab| x |langs| rows of ~30
+    bytes, never one row per occurrence), and each merged pair then
+    contributes (distinct=1, n=count) to a |langs|-row census."""
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks = [t.split() for t in batch["text"].fillna("")]
+        lens = np.fromiter((len(w) for w in toks), np.int64, len(toks))
+        if lens.sum() == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([w for w in toks if w], dtype=object)
+        lang = np.repeat(batch["lang"].to_numpy(), lens)
+        g = (
+            pd.DataFrame({"lang": lang, "tok": flat})
+            .groupby(["lang", "tok"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "tok": pa.array(g["tok"], pa.string()),
+                "cnt": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def census(batch: pa.Table) -> pa.Table:
+        # each row is one distinct (lang, tok) pair after the merge
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "one": np.ones(batch.num_rows, np.int64),
+                "cnt": batch["cnt"].to_numpy(),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            d=("one", "sum"), n=("cnt", "sum")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "d": pa.array(g["d"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("d", alias_name="n_distinct_tokens"),
+            Sum("n", alias_name="n_tokens"),
+        )
+    )
+    return canonical_sort(out, ["lang"])

@@ -226,3 +226,80 @@ def test_cooccurrence_doc_boundary_isolation(ray_session, tmp_path):
     got = cooccurrence_census(str(tmp_path))
     pairs = set(zip(got["tok_a"], got["tok_b"]))
     assert pairs == {("a", "b"), ("c", "d")}
+
+
+def test_session_spans_matches_pandas():
+    from dedupe_rust_ray.pipelines.sessions import session_spans
+
+    got = session_spans(SF).to_pandas().reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    prev = us.groupby(ev["user_id"]).shift()
+    brk = prev.isna() | ((us - prev) > 30 * 60 * 1_000_000)
+    sid = brk.cumsum()
+    d = pd.DataFrame({"user_id": ev["user_id"], "sid": sid, "us": us})
+    exp = d.groupby(["user_id", "sid"], as_index=False).agg(
+        start_us=("us", "min"), end_us=("us", "max"), n_events=("us", "size")
+    )
+    exp["session_idx"] = exp.groupby("user_id").cumcount()
+    exp = exp[
+        ["user_id", "session_idx", "start_us", "end_us", "n_events"]
+    ].astype({"session_idx": "int64", "n_events": "int64"})
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+    # spans are disjoint and ordered within a user
+    for _, g in got.groupby("user_id"):
+        assert (g["start_us"].to_numpy()[1:] > g["end_us"].to_numpy()[:-1]).all()
+
+
+def test_session_spans_consistent_with_sessionize():
+    from dedupe_rust_ray.pipelines.sessions import session_spans, sessionize
+
+    spans = session_spans(SF).to_pandas()
+    stats = sessionize(SF).to_pandas()
+    agg = spans.groupby("user_id", as_index=False).agg(
+        n_sessions=("session_idx", "size"), n_events=("n_events", "sum")
+    )
+    pd.testing.assert_frame_equal(
+        agg.astype({"n_sessions": "int64", "n_events": "int64"}),
+        stats.reset_index(drop=True),
+    )
+
+
+def test_session_spans_exact_gap_boundary(ray_session, tmp_path):
+    # a gap of exactly 30 min does NOT split (strict > semantics)
+    from dedupe_rust_ray.pipelines.sessions import session_spans
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [t0, t0 + pd.Timedelta(minutes=30), t0 + pd.Timedelta(minutes=61)],
+            "event_id": [1, 2, 3],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = session_spans(str(tmp_path)).to_pandas()
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["session_idx"].tolist() == [0, 1]
+
+
+def test_vocab_size_by_lang_matches_bruteforce():
+    from dedupe_rust_ray.pipelines.textpipe import vocab_size_by_lang
+
+    got = vocab_size_by_lang(SF).to_pandas().reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        toks = [w for t in g["text"].fillna("") for w in t.split()]
+        rows.append(
+            {
+                "lang": lang,
+                "n_distinct_tokens": len(set(toks)),
+                "n_tokens": len(toks),
+            }
+        )
+    exp = pd.DataFrame(rows).astype(
+        {"n_distinct_tokens": "int64", "n_tokens": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, exp)
