@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_census": textpipe.cooccurrence_census,
         "session_spans": sessions.session_spans,
         "vocab_size_by_lang": textpipe.vocab_size_by_lang,
+        "dense_topk_orders": joins.dense_topk_orders,
     }
 
 
@@ -1379,6 +1380,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens, "
             "CAST(COUNT(*) AS BIGINT) AS n_tokens "
             "FROM toks GROUP BY lang ORDER BY lang"
+        ),
+        # DENSE_RANK keeps every row of a tied price level (vs
+        # window_topk_orders' ROW_NUMBER cut), so no tie-break column
+        "dense_topk_orders": (
+            "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+            " DENSE_RANK() OVER (PARTITION BY o_custkey "
+            "  ORDER BY o_totalprice DESC) AS rnk FROM orders) "
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

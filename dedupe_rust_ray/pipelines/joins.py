@@ -636,3 +636,50 @@ def rolling_order_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
         )
     )
     return canonical_sort(out, ["o_orderkey"])
+
+
+def dense_topk_orders(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Windowed DENSE_RANK: every order whose totalprice is among a
+    customer's top-``k`` DISTINCT price levels — the ties-kept rank
+    flavor (:func:`window_topk_orders` is ROW_NUMBER, which cuts ties
+    arbitrarily; DENSE_RANK keeps all rows of a tied level, the
+    semantics audits and leaderboards usually want).
+
+    Plan: same shard-and-rank shape as ``window_topk_orders``
+    (``o_custkey % n_shards``, one vectorized in-shard sort); the dense
+    rank is a cumsum over new-distinct-price flags reset per customer —
+    no per-group apply, no global sort. Output is bounded by k price
+    levels per customer times the tie multiplicity."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (batch["o_custkey"].to_numpy() % np.int64(_N_SHARDS)).astype("int32")
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        cust = g["o_custkey"].to_numpy(np.int64)
+        price = g["o_totalprice"].to_numpy(np.float64)
+        new_cust = np.r_[True, cust[1:] != cust[:-1]]
+        new_level = new_cust | np.r_[False, price[1:] != price[:-1]]
+        level = np.cumsum(new_level)
+        # subtract the running level count at each customer's first row
+        # -> 1-based dense rank within the customer
+        start_level = level[np.maximum.accumulate(
+            np.where(new_cust, np.arange(len(cust)), 0)
+        )]
+        g["rnk"] = (level - start_level + 1).astype(np.int64)
+        return g[g["rnk"] <= k]
+
+    return canonical_sort(
+        read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])), batch_format="pandas"
+        ),
+        ["o_custkey", "rnk", "o_orderkey"],
+    )

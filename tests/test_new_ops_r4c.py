@@ -303,3 +303,38 @@ def test_vocab_size_by_lang_matches_bruteforce():
         {"n_distinct_tokens": "int64", "n_tokens": "int64"}
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dense_topk_keeps_ties(ray_session, tmp_path):
+    from dedupe_rust_ray.pipelines.joins import dense_topk_orders
+
+    pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 1, 1, 2],
+            "o_orderkey": [10, 11, 12, 13, 20],
+            "o_totalprice": [100.0, 100.0, 90.0, 80.0, 50.0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    got = dense_topk_orders(str(tmp_path)).to_pandas()
+    # level 1 = {10, 11} (tie kept), level 2 = {12}; 13 is rank 3, cut
+    by = got.set_index("o_orderkey")["rnk"].to_dict()
+    assert by == {10: 1, 11: 1, 12: 2, 20: 1}
+
+
+def test_dense_topk_matches_pandas_rank():
+    from dedupe_rust_ray.pipelines.joins import dense_topk_orders
+
+    got = dense_topk_orders(SF).to_pandas().reset_index(drop=True)
+    o = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    ]
+    o["rnk"] = (
+        o.groupby("o_custkey")["o_totalprice"]
+        .rank(method="dense", ascending=False)
+        .astype("int64")
+    )
+    exp = (
+        o[o["rnk"] <= 2]
+        .sort_values(["o_custkey", "rnk", "o_orderkey"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
