@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_spans": sessions.session_spans,
         "vocab_size_by_lang": textpipe.vocab_size_by_lang,
         "dense_topk_orders": joins.dense_topk_orders,
+        "user_retention_intersect": sessions.user_retention_intersect,
     }
 
 
@@ -1390,6 +1391,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, o_totalprice, "
             "CAST(rnk AS BIGINT) AS rnk "
             "FROM r WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey"
+        ),
+        # temporal INTERSECT — the retention complement of user_churn's
+        # EXCEPT; identical exact-µs cutoff arithmetic on both sides
+        "user_retention_intersect": (
+            "WITH b AS (SELECT MIN(epoch_us(ts)) + "
+            " (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 9 // 10 AS cut "
+            " FROM events), "
+            "u AS (SELECT user_id, event_type, "
+            " SUM(CASE WHEN epoch_us(ts) < (SELECT cut FROM b) "
+            "  THEN 1 ELSE 0 END) AS n_first, "
+            " SUM(CASE WHEN epoch_us(ts) >= (SELECT cut FROM b) "
+            "  THEN 1 ELSE 0 END) AS n_second "
+            " FROM events GROUP BY user_id, event_type) "
+            "SELECT user_id, event_type, "
+            " CAST(n_first AS BIGINT) AS n_events_first, "
+            " CAST(n_second AS BIGINT) AS n_events_second "
+            "FROM u WHERE n_first > 0 AND n_second > 0 "
+            "ORDER BY user_id, event_type"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

@@ -318,20 +318,18 @@ def conversion_funnel(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def user_churn(sf_dir: str) -> ray.data.Dataset:
-    """Temporal set-difference (the EXCEPT / churn shape): (user_id,
-    event_type) pairs active in the first 90% of the event-log time range
-    with NO event of that type in the final 10% — "behavior the user
-    stopped doing".  The reference has no temporal operators; this is the
-    retention-analysis companion to :func:`conversion_funnel`.
+def _user_type_activity(sf_dir: str) -> ray.data.Dataset:
+    """Shared fold behind the temporal set-operation family
+    (:func:`user_churn` EXCEPT, :func:`user_retention_intersect`
+    INTERSECT): per-(user_id, event_type) event counts on each side of
+    the 90% time cutoff.
 
-    Plan: pass 1 folds the global time bounds (two int64 scalars from
+    Pass 1 folds the global time bounds (two int64 scalars from
     per-block partials).  Pass 2 emits per-batch per-(user, type)
-    activity partials; ONE bounded-domain groupby sums them and the
-    anti condition is a vectorized filter — no join, no second scan of
-    the fact table carrying payload.  The cutoff arithmetic is exact
-    integer microseconds, mirrored verbatim by the SQL oracle (no float
-    timestamp math on either side)."""
+    activity partials; ONE bounded-domain groupby sums them — no join,
+    no second scan of the fact table carrying payload.  The cutoff
+    arithmetic is exact integer microseconds, mirrored verbatim by the
+    SQL oracles (no float timestamp math on either side)."""
     from ray.data.aggregate import Max, Min
 
     ev = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
@@ -375,7 +373,7 @@ def user_churn(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    per = (
+    return (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby(["user_id", "event_type"])
         .aggregate(
@@ -383,6 +381,16 @@ def user_churn(sf_dir: str) -> ray.data.Dataset:
             Sum("n_second", alias_name="n_second"),
         )
     )
+
+
+def user_churn(sf_dir: str) -> ray.data.Dataset:
+    """Temporal set-difference (the EXCEPT / churn shape): (user_id,
+    event_type) pairs active in the first 90% of the event-log time range
+    with NO event of that type in the final 10% — "behavior the user
+    stopped doing".  The reference has no temporal operators; this is the
+    retention-analysis companion to :func:`conversion_funnel`.  Plan in
+    :func:`_user_type_activity`; the anti condition is one vectorized
+    filter over the bounded-domain fold."""
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -400,7 +408,37 @@ def user_churn(sf_dir: str) -> ray.data.Dataset:
         )
 
     return canonical_sort(
-        per.map_batches(keep, batch_format="pyarrow"),
+        _user_type_activity(sf_dir).map_batches(keep, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+    )
+
+
+def user_retention_intersect(sf_dir: str) -> ray.data.Dataset:
+    """Temporal INTERSECT (the retention complement of
+    :func:`user_churn`'s EXCEPT): (user_id, event_type) pairs active in
+    BOTH the first 90% and the final 10% of the event-log time range —
+    "behavior the user kept doing" — with the count on each side.  Same
+    bounded-domain fold (:func:`_user_type_activity`), different
+    vectorized filter."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater(batch["n_first"], 0), pc.greater(batch["n_second"], 0)
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "n_events_first": t["n_first"],
+                "n_events_second": t["n_second"],
+            }
+        )
+
+    return canonical_sort(
+        _user_type_activity(sf_dir).map_batches(keep, batch_format="pyarrow"),
         ["user_id", "event_type"],
     )
 

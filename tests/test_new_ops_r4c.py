@@ -338,3 +338,38 @@ def test_dense_topk_matches_pandas_rank():
         .sort_values(["o_custkey", "rnk", "o_orderkey"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_retention_intersect_partitions_with_churn():
+    # EXCEPT + INTERSECT partition the first-window-active pairs exactly
+    from dedupe_rust_ray.pipelines.sessions import (
+        user_churn,
+        user_retention_intersect,
+    )
+
+    churn = user_churn(SF).to_pandas()
+    kept = user_retention_intersect(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    cut = us.min() + (us.max() - us.min()) * 9 // 10
+    act = pd.DataFrame(
+        {
+            "user_id": ev["user_id"],
+            "event_type": ev["event_type"],
+            "first": (us < cut).astype(int),
+            "second": (us >= cut).astype(int),
+        }
+    ).groupby(["user_id", "event_type"], as_index=False).sum()
+    n_first_active = int((act["first"] > 0).sum())
+    assert len(churn) + len(kept) == n_first_active
+    # disjoint
+    a = set(zip(churn["user_id"], churn["event_type"]))
+    b = set(zip(kept["user_id"], kept["event_type"]))
+    assert not (a & b)
+    # counts match the replica on the intersect side
+    exp = act[(act["first"] > 0) & (act["second"] > 0)].sort_values(
+        ["user_id", "event_type"], ignore_index=True
+    )
+    got = kept.sort_values(["user_id", "event_type"], ignore_index=True)
+    assert (got["n_events_first"].to_numpy() == exp["first"].to_numpy()).all()
+    assert (got["n_events_second"].to_numpy() == exp["second"].to_numpy()).all()
