@@ -575,7 +575,9 @@ def q9_profit_by_nation_year(
         .materialize()
     )
     supp_ds = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    nation = read(sf_dir, "nation", columns=None).to_pandas()
+    nation = read(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
     nation = nation.sort_values("n_nationkey").reset_index(drop=True)
     nat_names = nation["n_name"].to_numpy(dtype=object)
     nat_keys = nation["n_nationkey"].to_numpy(np.int64)
@@ -1130,34 +1132,54 @@ def q19_bracket_revenue(
 
 
 def _supp_cust_nation_maps(sf_dir: str, broadcast_max_rows: int):
-    """Dim prep shared by Q7/Q8: a sorted suppkey->nationkey probe map,
-    the customer->nationkey side in LADDER form, and the nation name
-    vocabulary.
+    """Dim prep shared by Q7/Q8: BOTH dimension sides in LADDER form,
+    plus the nation name vocabulary.
 
     Customer is SF-scaled: below ``broadcast_max_rows`` it ships as
     sorted (custkey, nationkey) arrays via ``ray.put`` (8 B/key probe);
     above it, the returned cust leg is ``(None, cust_ds)`` and the
     caller attaches c_nationkey with a hash ``Dataset.join`` on
     o_custkey instead of probing a broadcast (the q5 ladder). Supplier
-    scales 1/10th of customer (below the ceiling through sf~500) and
-    must be resident for the EARLY lineitem filter, so it stays a
-    broadcast probe with an explicit ceiling assert."""
-    supp = read(
-        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    scales 1/10th of customer; below the ceiling it is the EARLY
+    lineitem broadcast filter, above it the returned supp leg is
+    ``(None, supp_join_ds)`` — per-block sentinel'd (l_suppkey,
+    s_nationkey) rows the caller attaches with a hash ``Dataset.join``
+    on the lineitem read (the q9 supplier-leg shape), with the nation
+    filter applied inside ``li_partial`` afterward."""
+    supp_ds = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     nation = (
-        read(sf_dir, "nation", columns=None)
+        read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
         .to_pandas()
         .sort_values("n_nationkey")
         .reset_index(drop=True)
     )
-    assert len(supp) <= broadcast_max_rows, (
-        "supplier side exceeds broadcast ceiling (sf >~ 500): raise the "
-        "ceiling or pre-filter lineitem with a supplier semi-join"
-    )
-    sk = supp["s_suppkey"].to_numpy(np.int64)
-    sv = supp["s_nationkey"].to_numpy(np.int64)
-    o = np.argsort(sk)
+    if supp_ds.count() <= broadcast_max_rows:
+        supp = supp_ds.to_pandas()
+        sk = supp["s_suppkey"].to_numpy(np.int64)
+        sv = supp["s_nationkey"].to_numpy(np.int64)
+        o = np.argsort(sk)
+        supp_leg = ((sk[o], sv[o]), None)
+    else:
+        # over-ceiling hash-join leg (acero empty-block hazard — append a
+        # per-block -1 sentinel key that no real l_suppkey matches)
+        def supp_block(b: pa.Table) -> pa.Table:
+            k = b["s_suppkey"].cast(pa.int64()).combine_chunks()
+            v = b["s_nationkey"].cast(pa.int64()).combine_chunks()
+            return pa.table(
+                {
+                    "l_suppkey": pa.concat_arrays(
+                        [k, pa.array([-1], type=pa.int64())]
+                    ),
+                    "s_nationkey": pa.concat_arrays(
+                        [v, pa.array([0], type=pa.int64())]
+                    ),
+                }
+            )
+
+        supp_leg = (
+            None,
+            supp_ds.map_batches(supp_block, batch_format="pyarrow"),
+        )
 
     cust_ds = read(
         sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
@@ -1179,7 +1201,7 @@ def _supp_cust_nation_maps(sf_dir: str, broadcast_max_rows: int):
             ),
         )
     return (
-        (sk[o], sv[o]),
+        supp_leg,
         cust_leg,
         nation["n_nationkey"].to_numpy(np.int64),
         nation["n_name"].to_numpy(dtype=object),
@@ -1204,17 +1226,22 @@ def q7_nation_trade_volume(
     the join below ``broadcast_max_rows``, and above it c_nationkey is
     attached to orders with a hash ``Dataset.join`` instead (the q5
     ladder — _supp_cust_nation_maps)."""
-    (sk, sv), (cust_bcast, cust_ds), nat_keys, nat_names = (
+    (supp_bcast, supp_join_ds), (cust_bcast, cust_ds), nat_keys, nat_names = (
         _supp_cust_nation_maps(sf_dir, broadcast_max_rows)
     )
     name_to_key = {n: int(k) for k, n in zip(nat_keys, nat_names)}
     ka, kb = name_to_key[nation_a], name_to_key[nation_b]
-    ref = ray.put((sk, sv, cust_bcast))
+    ref = ray.put((supp_bcast, cust_bcast))
 
     def li_partial(batch: pa.Table, r=ref) -> pa.Table:
-        sks, svs, _ = ray.get(r) if not isinstance(r, tuple) else r
-        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        nat, found = _sorted_int_lookup(sks, svs, s)
+        sb, _ = ray.get(r) if not isinstance(r, tuple) else r
+        if sb is None:  # join leg already attached s_nationkey
+            nat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+            found = np.ones(len(nat), dtype=bool)
+        else:
+            sks, svs = sb
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            nat, found = _sorted_int_lookup(sks, svs, s)
         m = found & ((nat == ka) | (nat == kb))
         t = batch.filter(pa.array(m))
         nat = nat[m]
@@ -1244,14 +1271,22 @@ def q7_nation_trade_volume(
             }
         )
 
-    li = read(
+    li_ds = read(
         sf_dir,
         "lineitem",
         columns=[
             "l_orderkey", "l_suppkey", "l_shipdate",
             "l_extendedprice", "l_discount",
         ],
-    ).map_batches(li_partial, batch_format="pyarrow")
+    )
+    if supp_bcast is None:
+        # over-ceiling leg: attach s_nationkey by hash join (the q9
+        # supplier-leg shape — see _supp_cust_nation_maps)
+        li_ds = li_ds.join(
+            supp_join_ds, join_type="inner",
+            num_partitions=join_partitions(), on=("l_suppkey",),
+        )
+    li = li_ds.map_batches(li_partial, batch_format="pyarrow")
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     if cust_bcast is None:
@@ -1278,7 +1313,7 @@ def q7_nation_trade_volume(
     )
 
     def fold(batch: pa.Table, r=ref) -> pa.Table:
-        _, _, cbc = ray.get(r) if not isinstance(r, tuple) else r
+        _, cbc = ray.get(r) if not isinstance(r, tuple) else r
         if cbc is None:
             cnat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
             found = np.ones(len(cnat), dtype=bool)
@@ -1354,7 +1389,7 @@ def q8_market_share(
     map; the share divides two rounded Sums per year."""
     import pyarrow.parquet as pq
 
-    (sk, sv), (cust_bcast, cust_ds), nat_keys, nat_names = (
+    (supp_bcast, supp_join_ds), (cust_bcast, cust_ds), nat_keys, nat_names = (
         _supp_cust_nation_maps(sf_dir, broadcast_max_rows)
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
@@ -1369,13 +1404,19 @@ def q8_market_share(
         .tolist()
     )
     rn = np.sort(np.fromiter(region_nations, dtype=np.int64))
-    ref = ray.put((sk, sv, cust_bcast, rn))
+    ref = ray.put((supp_bcast, cust_bcast, rn))
 
     def li_partial(batch: pa.Table, r=ref) -> pa.Table:
-        sks, svs, _, _ = ray.get(r) if not isinstance(r, tuple) else r
-        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        nat, found = _sorted_int_lookup(sks, svs, s)
-        t = batch.filter(pa.array(found))
+        sb, _, _ = ray.get(r) if not isinstance(r, tuple) else r
+        if sb is None:  # join leg already attached s_nationkey
+            t = batch
+            nat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+            found = np.ones(len(nat), dtype=bool)
+        else:
+            sks, svs = sb
+            s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            nat, found = _sorted_int_lookup(sks, svs, s)
+            t = batch.filter(pa.array(found))
         is_t = (nat[found] == target).astype(np.int64)
         # exact int64 1e-4-dollar units: the market share divides two
         # order-free integer sums (deterministic 1e-4 rounding)
@@ -1399,11 +1440,19 @@ def q8_market_share(
             }
         )
 
-    li = read(
+    li_ds = read(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pyarrow")
+    )
+    if supp_bcast is None:
+        # over-ceiling leg: attach s_nationkey by hash join (the q9
+        # supplier-leg shape — see _supp_cust_nation_maps)
+        li_ds = li_ds.join(
+            supp_join_ds, join_type="inner",
+            num_partitions=join_partitions(), on=("l_suppkey",),
+        )
+    li = li_ds.map_batches(li_partial, batch_format="pyarrow")
 
     def o_prep(batch: pa.Table) -> pa.Table:
         y = pc.year(batch["o_orderdate"]).cast(pa.int64())
@@ -1441,7 +1490,7 @@ def q8_market_share(
     )
 
     def fold(batch: pa.Table, r=ref) -> pa.Table:
-        _, _, cbc, rns = ray.get(r) if not isinstance(r, tuple) else r
+        _, cbc, rns = ray.get(r) if not isinstance(r, tuple) else r
         if cbc is None:
             cnat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
             found = np.ones(len(cnat), dtype=bool)

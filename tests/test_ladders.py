@@ -54,6 +54,24 @@ def test_q7_q8_customer_join_leg():
     )
 
 
+def test_q7_q8_supplier_join_leg():
+    from dedupe_rust_ray.pipelines.relational import (
+        q7_nation_trade_volume,
+        q8_market_share,
+    )
+
+    # ceiling of 0 forces BOTH legs over: supplier attaches s_nationkey
+    # on the lineitem read, customer attaches c_nationkey on orders
+    _eq(
+        q7_nation_trade_volume(SF_DIR),
+        q7_nation_trade_volume(SF_DIR, broadcast_max_rows=0),
+    )
+    _eq(
+        q8_market_share(SF_DIR),
+        q8_market_share(SF_DIR, broadcast_max_rows=0),
+    )
+
+
 def test_q22_cutoff_after_all_orders_empty_keys_side():
     """A cutoff later than every order date makes the anti-join's keys
     side empty — the acero schema-degradation hazard the sentinel row
