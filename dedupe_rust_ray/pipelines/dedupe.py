@@ -205,9 +205,11 @@ def _fused_minhash_pairs(profiles) -> "ray.data.Dataset":
     )
 
 
-def _lsh_candidates(sf_dir: str):
+def _lsh_candidates(sf_dir: str, docs: "ray.data.Dataset | None" = None):
     """Shared LSH front half: (profiles, deduped candidate pairs ds)."""
-    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = docs if docs is not None else read(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    )
     profiles = _sig_profiles(ds).materialize()
     if profiles.count() * _BANDS <= _FUSED_BAND_ROWS_MAX:
         return profiles, _fused_minhash_pairs(profiles)
@@ -288,10 +290,13 @@ def _use_join_path(scale_path: str, n_docs: int) -> bool:
 
 
 def minhash_lsh_dedup(
-    sf_dir: str, jaccard_min: float = 0.7, scale_path: str = "auto"
+    sf_dir: str,
+    jaccard_min: float = 0.7,
+    scale_path: str = "auto",
+    docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs by MinHash-estimated Jaccard >= ``jaccard_min``."""
-    profiles, pairs = _lsh_candidates(sf_dir)
+    profiles, pairs = _lsh_candidates(sf_dir, docs)
     if _use_join_path(scale_path, profiles.count()):
         joined = attach_to_pairs(pairs, profiles, ["sig"], num_partitions=16)
 
@@ -441,7 +446,11 @@ def ngram_jaccard_dedup(
     )
 
 
-def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
+def simhash_near_dups(
+    sf_dir: str,
+    max_hamming: int = 8,
+    docs: "ray.data.Dataset | None" = None,
+) -> ray.data.Dataset:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``,
     blocked on the 4 16-bit chunks of the 64-bit simhash (pigeonhole:
     hd <= 3 is guaranteed to share a chunk; higher hd probabilistic)."""
@@ -483,7 +492,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         )
         return out.drop_duplicates(["doc_a", "doc_b"])
 
-    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = docs if docs is not None else read(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    )
     banded = ds.map_batches(band_rows, batch_format="pyarrow")
     if ds.count() * 4 <= _FUSED_BAND_ROWS_MAX:
         # fused path (see _fused_minhash_pairs): simhash compute stays
@@ -525,6 +536,80 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         pairs_in_shard, batch_format="pandas"
     )
     return canonical_sort(_dedup_pairs_ds(cand), ["doc_a", "doc_b"])
+
+
+PLANTED_DOC_OFFSET = 1_000_000_000
+
+
+def planted_flat_docs(
+    sf_dir: str, dup_every: int = 10, offset: int = PLANTED_DOC_OFFSET
+) -> "ray.data.Dataset":
+    """Flat (doc_id, text) corpus whose expected near-dup PAIR SET is
+    closed-form in doc_id arithmetic — the ``corpus_planted_truth`` trick
+    (sources/corpus.py) applied to the sketch-dedup family.
+
+    Construction guarantees, by design rather than by tuning:
+
+    - every token is salted with its doc_id (plus 3 salted pad tokens so
+      even empty driver texts yield >=1 word-trigram shingle), so two
+      DIFFERENT base docs share ZERO shingles -> no band of 4 minhashes
+      can collide and no 16-bit simhash chunk block survives
+      verification (checked empirically per sf; deterministic);
+    - every ``dup_every``-th doc gets a BYTE-IDENTICAL companion at
+      ``doc_id + offset`` -> identical minhash signature (candidate in
+      every band, est_jaccard exactly 1.0) and identical simhash
+      (hamming exactly 0).
+
+    Expected pairs are therefore exactly
+    ``(doc_id, doc_id + offset)`` for ``doc_id % dup_every == 0`` —
+    SQL-derivable from the flat documents table."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        out_ids: list[int] = []
+        out_texts: list[str] = []
+        for i in range(len(ids)):
+            did = int(ids[i])
+            toks = [f"{w}x{did}" for w in (texts[i] or "").split()]
+            toks += [f"p0x{did}", f"p1x{did}", f"p2x{did}"]
+            t = " ".join(toks)
+            out_ids.append(did)
+            out_texts.append(t)
+            if did % dup_every == 0:
+                out_ids.append(did + offset)
+                out_texts.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "text": pa.array(out_texts, type=pa.string()),
+            }
+        )
+
+    return read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_dedup_planted(
+    sf_dir: str, jaccard_min: float = 0.7, dup_every: int = 10
+) -> ray.data.Dataset:
+    """:func:`minhash_lsh_dedup` over the planted-truth corpus — the SAME
+    sketch pipeline end-to-end (signatures, banding, shard groupby or
+    fused gate, verification), but with a closed-form value oracle."""
+    return minhash_lsh_dedup(
+        sf_dir, jaccard_min, docs=planted_flat_docs(sf_dir, dup_every)
+    )
+
+
+def simhash_near_dups_planted(
+    sf_dir: str, max_hamming: int = 8, dup_every: int = 10
+) -> ray.data.Dataset:
+    """:func:`simhash_near_dups` over the planted-truth corpus — same
+    chunk-blocked pipeline, closed-form value oracle."""
+    return simhash_near_dups(
+        sf_dir, max_hamming, docs=planted_flat_docs(sf_dir, dup_every)
+    )
 
 
 def embedding_cosine_pairs(
