@@ -186,9 +186,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_first": analytics.exact_dedup_first,
         "lang_id_census": textpipe.lang_id_census,
         # --- corpus curation (SQL-checked) ---
-        "hash_split": curation.hash_split,
+        # the sampling/split trio passes bucket='md5' — the draw DuckDB
+        # replicates bit-for-bit; the library DEFAULT is the vectorized
+        # splitmix64 production path (pipelines/curation._bucket), rate-
+        # pinned equal by tests/test_curation.py::test_bucket_modes_*
+        "hash_split": lambda sf: curation.hash_split(sf, bucket="md5"),
         "dup_ngram_spans": curation.dup_ngram_spans,
-        "stratified_sample": curation.stratified_sample,
+        "stratified_sample": lambda sf: curation.stratified_sample(
+            sf, bucket="md5"
+        ),
         "decontaminate_bloom": curation.decontaminate_bloom,
         # --- relational analytics (SQL-checked) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -275,7 +281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": relational.q18_large_orders,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "q12_priority_by_returnflag": relational.q12_priority_by_returnflag,
-        "quality_weighted_sample": curation.quality_weighted_sample,
+        "quality_weighted_sample": lambda sf: curation.quality_weighted_sample(
+            sf, bucket="md5"
+        ),
         "conversion_funnel": sessions.conversion_funnel,
         "percent_rank_orders": joins.percent_rank_orders,
         "user_churn": sessions.user_churn,

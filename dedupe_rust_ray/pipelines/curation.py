@@ -54,9 +54,12 @@ from .common import canonical_sort, join_partitions, read
 
 def _md5_bucket(ids, mod: int) -> np.ndarray:
     """Content-independent bucket of each id: first 8 hex digits of
-    ``md5(str(id))`` mod ``mod`` — the ONE bucketing rule shared by
+    ``md5(str(id))`` mod ``mod`` — the ORACLE bucketing rule shared by
     hash_split, the curation split stage and quality_weighted_sample,
-    chosen because DuckDB reproduces it bit-for-bit for the oracles."""
+    chosen because DuckDB reproduces it bit-for-bit. This is the only
+    per-row-interpreter hash left in the repo and it exists solely for
+    cross-engine certification; production runs take
+    :func:`_splitmix_bucket` (``bucket='splitmix'``, the default)."""
     return np.fromiter(
         (
             int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % mod
@@ -65,6 +68,32 @@ def _md5_bucket(ids, mod: int) -> np.ndarray:
         np.int64,
         count=len(ids),
     )
+
+
+_BUCKET_SALT = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _splitmix_bucket(ids, mod: int) -> np.ndarray:
+    """PRODUCTION bucketing: one vectorized splitmix64 pass over the
+    int64 keys — no per-row interpreter round-trip (at 10^12 docs the
+    md5 path is 10^12 hashlib calls). Same contract as
+    :func:`_md5_bucket`: deterministic, uniform, content-independent;
+    the two draws differ per doc but have identical rates (pinned by
+    tests/test_curation.py::test_bucket_modes_same_rates)."""
+    from ..functions.shingles import splitmix64
+
+    v = np.asarray(ids, dtype=np.int64).astype(np.uint64)
+    return (splitmix64(v ^ _BUCKET_SALT) % np.uint64(mod)).astype(np.int64)
+
+
+def _bucket(ids, mod: int, mode: str) -> np.ndarray:
+    """Dispatch: ``'splitmix'`` (vectorized production default) or
+    ``'md5'`` (oracle parity — the registered driver queries pass this
+    so DuckDB replicates the draw bit-for-bit)."""
+    if mode == "md5":
+        return _md5_bucket(ids, mod)
+    assert mode == "splitmix", f"unknown bucket mode {mode!r}"
+    return _splitmix_bucket(ids, mod)
 
 
 def _round4(x: np.ndarray) -> np.ndarray:
@@ -78,19 +107,22 @@ def _round4(x: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def hash_split(
-    sf_dir: str, train_pct: int = 90, val_pct: int = 5
+    sf_dir: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    bucket: str = "splitmix",
 ) -> ray.data.Dataset:
     """Deterministic train/val/test census by content-independent key hash.
 
-    Bucket = first 8 hex digits of ``md5(doc_id)`` mod 100 — chosen because
-    DuckDB reproduces it bit-for-bit for the oracle. A production run on
-    int keys would use splitmix64 (``stages.blocking.shard_of_u64``)
-    instead of a per-row digest; the split semantics (stable, uniform,
-    content-independent) are identical.
+    Default bucketing is one vectorized splitmix64 pass (production
+    path, no per-row interpreter work); ``bucket='md5'`` switches to
+    first-8-hex-digits-of-md5 — the draw DuckDB reproduces bit-for-bit,
+    used by the registered oracle query. Split semantics (stable,
+    uniform, content-independent) are identical either way.
     """
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = _md5_bucket(batch["doc_id"], 100)
+        buckets = _bucket(batch["doc_id"], 100, bucket)
         split = np.where(
             buckets < train_pct,
             "train",
@@ -1314,27 +1346,30 @@ def mixture_schedule(
 # --------------------------------------------------------------------------
 
 def stratified_sample(
-    sf_dir: str, k: int = 20, stratum: str = "source"
+    sf_dir: str, k: int = 20, stratum: str = "source", bucket: str = "splitmix"
 ) -> ray.data.Dataset:
     """Deterministic k-per-stratum sample: the k docs with the smallest
-    ``(md5(doc_id), doc_id)`` rank inside each stratum — a content-
-    independent pseudo-random draw any engine reproduces exactly.
+    ``(hash(doc_id), doc_id)`` rank inside each stratum — a content-
+    independent pseudo-random draw.
 
-    Local-top-k pattern (same as knn_topk): each batch keeps at most k
-    candidates per stratum, so the final per-stratum merge sees
+    The rank hash is a vectorized splitmix64 by default (production
+    path); ``bucket='md5'`` ranks by the md5 hexdigest string instead —
+    the draw DuckDB reproduces exactly, used by the registered oracle
+    query. Local-top-k pattern (same as knn_topk): each batch keeps at
+    most k candidates per stratum, so the final per-stratum merge sees
     k x n_batches rows, never the corpus.
     """
 
     def _keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        if bucket == "md5":
+            h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        else:
+            from ..functions.shingles import splitmix64
+
+            h = splitmix64(ids.astype(np.uint64) ^ _BUCKET_SALT)
         return pd.DataFrame(
-            {
-                "stratum": batch[stratum],
-                "doc_id": batch["doc_id"].to_numpy(np.int64),
-                "h": [
-                    hashlib.md5(str(i).encode()).hexdigest()
-                    for i in batch["doc_id"]
-                ],
-            }
+            {"stratum": batch[stratum], "doc_id": ids, "h": h}
         )
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1415,7 +1450,9 @@ def curate_corpus(
     )
 
     def add_split(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = _md5_bucket(batch["doc_id"], 100)
+        # production job: the vectorized splitmix64 draw (no per-row
+        # hashlib in any default-path map_batches body)
+        buckets = _bucket(batch["doc_id"], 100, "splitmix")
         batch = batch.copy()
         batch["split"] = np.where(
             buckets < 90, "train", np.where(buckets < 95, "val", "test")
@@ -1603,15 +1640,16 @@ def decontaminate_bloom(
 
 
 def quality_weighted_sample(
-    sf_dir: str, full_keep_tokens: int = 40
+    sf_dir: str, full_keep_tokens: int = 40, bucket: str = "splitmix"
 ) -> ray.data.Dataset:
     """Quality-proportional deterministic downsampling (the DCLM-style
     "sample at a rate proportional to a quality signal" selection stage):
     each doc keeps with probability ``min(1, n_tokens / full_keep_tokens)``,
-    decided by a content-independent md5 bucket of ``doc_id`` — so the
-    draw is reproducible across engines and runs (same md5 trick as
-    :func:`hash_split`, which DuckDB replicates bit-for-bit). Returns the
-    kept docs with their token count and keep threshold.
+    decided by a content-independent bucket of ``doc_id`` — so the draw
+    is reproducible across engines and runs (vectorized splitmix64 by
+    default; ``bucket='md5'`` for the DuckDB-replicable oracle draw, same
+    dual path as :func:`hash_split`). Returns the kept docs with their
+    token count and keep threshold.
 
     Scale: one vectorized map pass + a final bounded sort; nothing
     shuffles."""
@@ -1620,11 +1658,11 @@ def quality_weighted_sample(
         n_tokens = (
             batch["text"].fillna("").str.split().str.len().fillna(0)
         ).astype("int64")
-        bucket = _md5_bucket(batch["doc_id"], 10000)
+        buckets = _bucket(batch["doc_id"], 10000, bucket)
         thresh = np.minimum(
             n_tokens.to_numpy() * 10000 // full_keep_tokens, 10000
         )
-        keep = bucket < thresh
+        keep = buckets < thresh
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],

