@@ -115,32 +115,78 @@ def attach_to_pairs(
     )
 
 
+def _pair_id_hash64(col) -> np.ndarray:
+    """Vectorized 64-bit hash of one pair-endpoint column. Integer ids
+    (the ER tail's uint64 ``idh``, the dedup family's int64 doc ids — every
+    production caller) take a zero-copy numpy view + splitmix64; anything
+    else (direct/test use with string ids) falls back to pandas' vectorized
+    object hash."""
+    import pyarrow as pa
+
+    from ..functions.shingles import splitmix64
+
+    if isinstance(col, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(
+        col.type
+    ):
+        return splitmix64(
+            col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        )
+    v = col.to_numpy(zero_copy_only=False) if hasattr(col, "type") else np.asarray(col)
+    if v.dtype.kind in "iu":
+        return splitmix64(v.astype(np.uint64, copy=False))
+    return pd.util.hash_array(v, hash_key="dedupe_ray_00042")
+
+
 def dedup_pairs(pairs_ds, n_shards: int = 64, extra_cols: tuple[str, ...] = ()):
     """Collapse duplicate (doc_a, doc_b) rows nominated by multiple bands:
-    shuffle on a coarse pair-hash shard, drop duplicates inside the shard."""
+    shuffle on a coarse pair-hash shard, drop duplicates inside the shard.
 
-    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return batch.assign(pair_shard=np.array([], dtype=np.int32))
-        # vectorized per-column hashes combined numerically — no per-row
-        # string concatenation/allocation on the pair shuffle
-        ha = pd.util.hash_array(
-            batch["doc_a"].to_numpy(), hash_key="dedupe_ray_00042"
-        )
-        hb = pd.util.hash_array(
-            batch["doc_b"].to_numpy(), hash_key="dedupe_ray_00042"
-        )
+    Arrow-native end to end (the hottest ER exchange): the add-shard stage
+    appends ONE int32 column to the zero-copy Arrow block, and the
+    in-shard dedup is a stable numpy lexsort + run-boundary mask that
+    ``take``s the surviving rows — first occurrence per pair, exactly
+    pandas ``drop_duplicates`` semantics (pinned by
+    tests/test_blocking_pairs.py::test_dedup_pairs_arrow_matches_pandas),
+    with no Arrow->pandas block copy anywhere."""
+    import pyarrow as pa
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pair_shard", pa.array([], type=pa.int32())
+            )
+        ha = _pair_id_hash64(batch["doc_a"])
+        hb = _pair_id_hash64(batch["doc_b"])
         with np.errstate(over="ignore"):
             h = ha * np.uint64(0x9E3779B97F4A7C15) ^ hb
-        return batch.assign(
-            pair_shard=(h % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column(
+            "pair_shard",
+            pa.array((h % np.uint64(n_shards)).astype(np.int32)),
         )
 
+    def drop_dup(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["pair_shard"])
+        if group.num_rows == 0:
+            return group
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        if a.dtype.kind not in "iuf":
+            # non-numeric direct/test path: exact pandas dedup (no hashed
+            # keys — a 64-bit collision would silently merge two pairs)
+            df = group.to_pandas().drop_duplicates(PAIR_COLUMNS)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        # stable lexsort -> within each (a, b) run original indices stay
+        # ascending, so run-head picks the FIRST occurrence; the final
+        # sort restores input row order (extra columns ride along via take)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        head = np.empty(len(order), dtype=bool)
+        head[0] = True
+        head[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return group.take(pa.array(np.sort(order[head])))
+
     return (
-        pairs_ds.map_batches(add_shard, batch_format="pandas")
+        pairs_ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("pair_shard")
-        .map_groups(
-            lambda g: g.drop_duplicates(PAIR_COLUMNS).drop(columns=["pair_shard"]),
-            batch_format="pandas",
-        )
+        .map_groups(drop_dup, batch_format="pyarrow")
     )

@@ -236,3 +236,48 @@ def test_pair_cap_is_per_shard_not_global():
     global_once = candidate_pairs_in_shard(gdf, cfg)
     assert len(per_shard) == 2 * cfg.max_pairs_per_shard
     assert len(global_once) == cfg.max_pairs_per_shard  # why the fix matters
+
+
+def test_dedup_pairs_arrow_matches_pandas():
+    """The Arrow-native dedup_pairs (lexsort run-head take) must produce
+    the identical pair set as a global pandas drop_duplicates, for int64,
+    uint64 (the ER idh tail) and string ids, with extra columns riding."""
+    import ray.data
+
+    from dedupe_rust_ray.stages.pairs import dedup_pairs
+
+    rng = np.random.default_rng(42)
+    n = 5000
+    a = rng.integers(0, 300, n)
+    b = rng.integers(0, 300, n)
+
+    for dt in (np.int64, np.uint64):
+        df = pd.DataFrame(
+            {
+                "doc_a": a.astype(dt),
+                "doc_b": b.astype(dt),
+                # extra column that is a pure function of the pair
+                "hamming": ((a * 7 + b) % 5).astype(np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(8)
+        out = dedup_pairs(ds, n_shards=16).to_pandas()
+        want = df.drop_duplicates(["doc_a", "doc_b"])
+        assert len(out) == len(want)
+        key = lambda d: sorted(map(tuple, d.to_numpy().tolist()))
+        assert key(out) == key(want), dt
+        assert out["doc_a"].dtype == dt and out["doc_b"].dtype == dt
+
+    # string ids (direct/test path)
+    sdf = pd.DataFrame(
+        {
+            "doc_a": [f"d{x}" for x in a[:500] % 40],
+            "doc_b": [f"d{x}" for x in b[:500] % 40],
+        }
+    )
+    ds = ray.data.from_pandas(sdf).repartition(4)
+    out = dedup_pairs(ds, n_shards=8).to_pandas()
+    want = sdf.drop_duplicates(["doc_a", "doc_b"])
+    assert sorted(map(tuple, out.to_numpy().tolist())) == sorted(
+        map(tuple, want.to_numpy().tolist())
+    )
