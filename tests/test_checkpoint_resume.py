@@ -102,3 +102,50 @@ def test_er_resume_equivalence(tmp_path):
     second = er_pipeline(ray.data.from_arrow(docs), cfg2).to_pandas()
     assert os.path.getmtime(stage_dir / "_manifest.json") == mtime
     pd.testing.assert_frame_equal(first, second)
+
+
+def test_resume_across_fused_gate_flip(tmp_path):
+    """The fused/distributed candidate gates are semantic knobs: a job
+    checkpointed on one side of ``fused_band_rows_max`` must NOT silently
+    reuse stage outputs when the gate flips — config_hash covers the gate,
+    so resume recomputes — and the clusters must be identical in both gate
+    regimes (both flip directions)."""
+    docs, _, _ = synth_corpus_table(80, seed=5)
+
+    # fused -> distributed
+    cfg_fused = ERConfig(checkpoint_dir=str(tmp_path / "a"), resume=False)
+    assert cfg_fused.fused_band_rows_max > 0
+    first = er_pipeline(ray.data.from_arrow(docs), cfg_fused).to_pandas()
+    m1 = json.load(
+        open(tmp_path / "a" / "stage1_profiles" / "_manifest.json")
+    )
+    cfg_dist = ERConfig(
+        checkpoint_dir=str(tmp_path / "a"),
+        resume=True,
+        fused_band_rows_max=0,  # force the distributed candidate path
+        driver_unionfind_max_edges=0,  # and distributed CC
+    )
+    assert cfg_dist.config_hash() != cfg_fused.config_hash()
+    second = er_pipeline(ray.data.from_arrow(docs), cfg_dist).to_pandas()
+    m2 = json.load(
+        open(tmp_path / "a" / "stage1_profiles" / "_manifest.json")
+    )
+    # gate flip invalidated the checkpoint: manifest was rewritten under
+    # the new config hash, not reused
+    assert m2["config_hash"] != m1["config_hash"]
+    pd.testing.assert_frame_equal(first, second)
+
+    # distributed -> fused (the reverse flip)
+    cfg_d0 = ERConfig(
+        checkpoint_dir=str(tmp_path / "b"),
+        resume=False,
+        fused_band_rows_max=0,
+    )
+    third = er_pipeline(ray.data.from_arrow(docs), cfg_d0).to_pandas()
+    cfg_f1 = ERConfig(checkpoint_dir=str(tmp_path / "b"), resume=True)
+    fourth = er_pipeline(ray.data.from_arrow(docs), cfg_f1).to_pandas()
+    mb = json.load(
+        open(tmp_path / "b" / "stage1_profiles" / "_manifest.json")
+    )
+    assert mb["config_hash"] == cfg_f1.config_hash()
+    pd.testing.assert_frame_equal(third, fourth)
