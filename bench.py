@@ -24,6 +24,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ER_N_BASE = int(os.environ.get("GRAFT_ER_N_BASE", "30000"))
+SKEW_N_BASE = int(os.environ.get("GRAFT_SKEW_N_BASE", "60000"))
+SKEW_HOT_N = int(os.environ.get("GRAFT_SKEW_HOT_N", "60000"))
 ONLY = os.environ.get("GRAFT_BENCH_ONLY", "all")  # "er" -> headline only
 # best-of-N inside the suite: co-tenant load spikes on this host can
 # swing any single wall-time up to 10x (see BENCH/BASELINE.md); the min
@@ -32,6 +34,79 @@ ONLY = os.environ.get("GRAFT_BENCH_ONLY", "all")  # "er" -> headline only
 # 2.2x-inflated ER number from exactly this noise — 3 repeats is cheap
 # insurance.
 REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+
+
+def _sample_peak_rss(stop, out: dict) -> None:
+    """Background sampler: peak summed RSS of the bench driver plus every
+    ``ray::`` worker process (0.5 s cadence). An approximation — shared
+    object-store mappings count once per process that touches them — but
+    it bounds the figure of interest from above: does the skewed hot
+    block blow up any worker's heap."""
+    page = os.sysconf("SC_PAGESIZE")
+    me = str(os.getpid())
+    while not stop.is_set():
+        total = 0
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                if d != me:
+                    with open(f"/proc/{d}/cmdline", "rb") as f:
+                        if b"ray::" not in f.read():
+                            continue
+                with open(f"/proc/{d}/statm") as f:
+                    total += int(f.read().split()[1]) * page
+            except OSError:
+                continue
+        out["peak_rss_bytes"] = max(out.get("peak_rss_bytes", 0), total)
+        stop.wait(0.5)
+
+
+def _skew_endurance() -> dict:
+    """Endurance run (VERDICT r4 item 7): the distributed ER pipeline over
+    a corpus with ONE pathological hot block — SKEW_HOT_N byte-identical
+    media-rich docs sharing a single content hash / pHash / LSH band set —
+    with the distributed candidate path, distributed CC and hash-join
+    scorer all FORCED (no fused/broadcast shortcuts). The guards under
+    test at scale: the equal-content-hash pair skip, the exact-dup chain,
+    and ``max_pairs_per_shard``. Reported: wall, docs/s, peak worker RSS."""
+    import threading
+
+    from dedupe_rust_ray.config import ERConfig
+    from dedupe_rust_ray.pipelines.er import er_pipeline
+    from dedupe_rust_ray.sources.corpus import synth_corpus_skewed
+
+    corpus = synth_corpus_skewed(
+        SKEW_N_BASE, SKEW_HOT_N, blocks=int(os.environ.get("GRAFT_ER_BLOCKS", "64"))
+    ).materialize()
+    n_docs = corpus.count()
+    cfg = ERConfig(
+        fused_band_rows_max=0,
+        driver_unionfind_max_edges=0,
+        broadcast_max_docs=0,
+    )
+    mem: dict = {}
+    stop = threading.Event()
+    t = threading.Thread(target=_sample_peak_rss, args=(stop, mem), daemon=True)
+    t.start()
+    gc.collect()
+    t0 = time.time()
+    clusters = er_pipeline(corpus, cfg)
+    hot_rows = clusters.to_pandas()
+    wall = round(time.time() - t0, 3)
+    stop.set()
+    t.join(timeout=2)
+    hot = hot_rows[hot_rows["doc_id"].str.startswith("hot-")]
+    return {
+        "skew_docs": n_docs,
+        "skew_hot_n": SKEW_HOT_N,
+        "skew_wall_sec": wall,
+        "skew_docs_per_sec": round(n_docs / wall, 1),
+        "skew_hot_clusters": int(hot["cluster_id"].nunique()),
+        "skew_hot_members": int(len(hot)),
+        "skew_cluster_rows": int(len(hot_rows)),
+        "skew_peak_rss_gb": round(mem.get("peak_rss_bytes", 0) / 2**30, 2),
+    }
 
 
 def _run_queries() -> dict:
@@ -193,6 +268,11 @@ def _run_queries() -> dict:
         extras_t[name] = round(time.time() - t0, 3)
     extra["extra_queries"] = extras_t
 
+    # skew endurance (outside the comparable suite metric): hot-block
+    # corpus through the fully-distributed pipeline, wall + peak RSS
+    if os.environ.get("GRAFT_BENCH_SKEW", "1") == "1":
+        extra["skew_endurance"] = _skew_endurance()
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "pipeline_suite_sec",
@@ -281,6 +361,24 @@ def _scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling()
+    elif "--skew" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                num_cpus=NUM_CPUS,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        res = _skew_endurance()
+        res.update({"metric": "skew_endurance", "num_cpus": NUM_CPUS})
+        print(json.dumps(res))
+        ray.shutdown()
     else:
         result = _run_queries()
         print(json.dumps(result))

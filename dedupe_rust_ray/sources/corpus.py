@@ -403,16 +403,41 @@ def _media_rich_doc_spans(rng: np.random.Generator, vocab: list[str]) -> list[di
     return spans
 
 
+def _emit_role_docs(
+    idx: int,
+    seed: int,
+    vocab: list[str],
+    make_spans,
+    out_ids: list[str],
+    out_spans: list[list[dict]],
+) -> None:
+    """One base doc + its planted companion (shared by the distributed and
+    skewed generators). Derives from ``default_rng((seed, idx))`` so
+    generation is order- and partitioning-independent. Roles by
+    ``idx % 10``: 0 -> +exact copy, 1 -> +near dup, 2 -> +distractor."""
+    rng = np.random.default_rng((seed, idx))
+    spans = make_spans(rng, vocab)
+    out_ids.append(f"doc-{idx:09d}")
+    out_spans.append(spans)
+    role = idx % 10
+    if role == 0:
+        out_ids.append(f"doc-{idx:09d}x1")
+        out_spans.append([dict(s) for s in spans])
+    elif role == 1:
+        out_ids.append(f"doc-{idx:09d}x1")
+        out_spans.append(_near_dup_spans(spans, rng, variant=1))
+    elif role == 2:
+        out_ids.append(f"doc-{idx:09d}y1")
+        out_spans.append(_distractor_spans(spans, rng, vocab))
+
+
 def synth_corpus_distributed(
     n_base: int, seed: int = 42, *, blocks: int = 64, media_rich: bool = False
 ):
     """Large-scale deterministic corpus generated INSIDE Ray tasks (the
     bench-scale generator): ``ray.data.range`` over base-doc indices,
-    exploded per batch into documents + planted companions.
-
-    Each doc derives from ``default_rng((seed, idx))`` so generation is
-    order- and partitioning-independent. Roles by ``idx % 10``:
-    0 -> +exact copy, 1 -> +near dup, 2 -> +distractor, else singleton."""
+    exploded per batch into documents + planted companions
+    (see ``_emit_role_docs``)."""
     import ray.data
 
     vocab = _make_vocab(np.random.default_rng(seed))
@@ -423,26 +448,70 @@ def synth_corpus_distributed(
         out_ids: list[str] = []
         out_spans: list[list[dict]] = []
         for idx in idxs.to_pylist() if hasattr(idxs, "to_pylist") else idxs:
-            idx = int(idx)
-            rng = np.random.default_rng((seed, idx))
-            spans = make_spans(rng, vocab)
-            out_ids.append(f"doc-{idx:09d}")
-            out_spans.append(spans)
-            role = idx % 10
-            if role == 0:
-                out_ids.append(f"doc-{idx:09d}x1")
-                out_spans.append([dict(s) for s in spans])
-            elif role == 1:
-                out_ids.append(f"doc-{idx:09d}x1")
-                out_spans.append(_near_dup_spans(spans, rng, variant=1))
-            elif role == 2:
-                out_ids.append(f"doc-{idx:09d}y1")
-                out_spans.append(_distractor_spans(spans, rng, vocab))
+            _emit_role_docs(int(idx), seed, vocab, make_spans, out_ids, out_spans)
         return pa.Table.from_pydict(
             {"doc_id": out_ids, "spans": out_spans}, schema=DOCS_SCHEMA
         )
 
     return ray.data.range(n_base, override_num_blocks=blocks).map_batches(
+        make_docs, batch_format="pyarrow"
+    )
+
+
+def synth_corpus_skewed(
+    n_base: int,
+    hot_n: int,
+    seed: int = 42,
+    *,
+    blocks: int = 64,
+    media_rich: bool = True,
+):
+    """Endurance corpus: the distributed synthetic corpus plus ONE
+    pathological hot block — ``hot_n`` byte-identical documents (same text
+    spans, same media refs) interleaved evenly across input blocks.
+
+    Every hot doc shares one content hash, one pHash, and identical LSH
+    bands, so each blocking stage sees a single giant key. The guards that
+    must keep per-task memory bounded (the point of the fixture): the
+    exact-hash fast path connects the clique with hot_n-1 chain edges and
+    the candidate stage skips equal-content-hash pairs outright, so the
+    giant block contributes ZERO scored pairs; any residual oversize block
+    degrades to neighbor chaining (``cfg.max_block_size``) under the hard
+    ``cfg.max_pairs_per_shard`` cap.
+
+    Hot ids are spread by an exact Bresenham interleave (id ``i`` is hot
+    iff ``(i+1)*hot_n//total > i*hot_n//total``), so the hot block is not
+    an artifact of one input partition — exactly ``hot_n`` hot docs appear
+    regardless of block layout, and base docs keep the same content as
+    ``synth_corpus_distributed(n_base)`` (only their interleave position
+    shifts)."""
+    import ray.data
+
+    total = n_base + hot_n
+    vocab = _make_vocab(np.random.default_rng(seed))
+    make_spans = _media_rich_doc_spans if media_rich else _base_doc_spans
+    # the hot document: one fixed span list reused verbatim for every hot id
+    hot_spans = make_spans(np.random.default_rng((seed, 987_654_321)), vocab)
+
+    def make_docs(batch) -> pa.Table:
+        idxs = batch["id"]
+        out_ids: list[str] = []
+        out_spans: list[list[dict]] = []
+        for idx in idxs.to_pylist() if hasattr(idxs, "to_pylist") else idxs:
+            idx = int(idx)
+            below = idx * hot_n // total
+            if (idx + 1) * hot_n // total > below:
+                out_ids.append(f"hot-{below:09d}")
+                out_spans.append([dict(s) for s in hot_spans])
+            else:
+                _emit_role_docs(
+                    idx - below, seed, vocab, make_spans, out_ids, out_spans
+                )
+        return pa.Table.from_pydict(
+            {"doc_id": out_ids, "spans": out_spans}, schema=DOCS_SCHEMA
+        )
+
+    return ray.data.range(total, override_num_blocks=blocks).map_batches(
         make_docs, batch_format="pyarrow"
     )
 
