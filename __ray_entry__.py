@@ -266,6 +266,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_dd": reshape.value_quantiles_dd,
         "distinct_texts_hll": textpipe.distinct_texts_hll,
         "fingerprint_dedup": textpipe.fingerprint_dedup,
+        # planted-truth value oracles for the ANN/prune/fingerprint family
+        # (similarity.planted_onehot_embeddings, dedupe.planted_flat_docs):
+        # byte-identical one-hot groups make LSH buckets / IVF cells /
+        # greedy prune closed-form while the FULL pipelines run unchanged
+        "fingerprint_dedup_planted": textpipe.fingerprint_dedup_planted,
+        "knn_lsh_planted": similarity.knn_lsh_planted,
+        "knn_ivf_planted": similarity.knn_ivf_planted,
+        "semdedup_planted": curation.semdedup_planted,
         "semdedup": curation.semdedup,
         "embedding_clusters": curation.embedding_clusters,
         "unigram_logprob": textpipe.unigram_logprob,
@@ -388,6 +396,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id + 1000000000 AS BIGINT) AS doc_b, "
             "CAST(0 AS BIGINT) AS hamming "
             "FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a"
+        ),
+        # winnowing-fingerprint dedup over the same planted corpus: every
+        # base doc keeps a distinct fingerprint (salted shingles), every
+        # +1e9 companion shares its base's — keep-min is the id domain
+        "fingerprint_dedup_planted": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "ORDER BY doc_id"
+        ),
+        # planted one-hot ANN truth (similarity.planted_onehot_embeddings):
+        # within a group (vec_id % 32) vectors are byte-identical (cosine
+        # exactly 1.0, same LSH buckets / IVF cell), across groups exactly
+        # 0.0 — top-k = the k smallest other ids of the query's group
+        "knn_lsh_planted": (
+            "WITH nb AS (SELECT q.vec_id AS query_id, n.vec_id AS "
+            "neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim, row_number() "
+            "OVER (PARTITION BY q.vec_id ORDER BY n.vec_id) AS rn "
+            "FROM embeddings q JOIN embeddings n "
+            "ON q.vec_id % 32 = n.vec_id % 32 AND n.vec_id <> q.vec_id "
+            "WHERE q.vec_id < 10) "
+            "SELECT query_id, neighbor_id, cos_sim FROM nb WHERE rn <= 10 "
+            "ORDER BY query_id, neighbor_id"
+        ),
+        "knn_ivf_planted": (
+            "WITH nb AS (SELECT q.vec_id AS query_id, n.vec_id AS "
+            "neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim, row_number() "
+            "OVER (PARTITION BY q.vec_id ORDER BY n.vec_id) AS rn "
+            "FROM embeddings q JOIN embeddings n "
+            "ON q.vec_id % 32 = n.vec_id % 32 AND n.vec_id <> q.vec_id "
+            "WHERE q.vec_id < 10) "
+            "SELECT query_id, neighbor_id, cos_sim FROM nb WHERE rn <= 10 "
+            "ORDER BY query_id, neighbor_id"
+        ),
+        # same planted table through SemDeDup's greedy ascending-id prune:
+        # removed = every non-min member, keeper = the group min, cos 1.0
+        "semdedup_planted": (
+            "SELECT n.vec_id AS removed_id, k.keeper_id, "
+            "CAST(1.0 AS DOUBLE) AS cos_sim FROM embeddings n JOIN "
+            "(SELECT vec_id % 32 AS grp, MIN(vec_id) AS keeper_id "
+            "FROM embeddings GROUP BY 1) k "
+            "ON n.vec_id % 32 = k.grp AND n.vec_id <> k.keeper_id "
+            "ORDER BY removed_id"
         ),
         # the synthesized file tree (pipelines/filededupe.synth_file_tree)
         # is a pure function of doc_id: format cycles doc_id % 5, dims

@@ -398,11 +398,17 @@ def fit_spherical_centroids(
     kmeans_iters: int = 5,
     sample_max: int = 4096,
     seed: int = 11,
+    embs: "ray.data.Dataset | None" = None,
 ) -> np.ndarray:
     """Spherical k-means centroids from a driver-bounded sample (the
     knn_ivf training recipe, factored out so tests can re-derive the
-    exact assignment)."""
-    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact assignment). ``embs`` overrides the embeddings Dataset (the
+    planted-truth hook)."""
+    ds = (
+        embs
+        if embs is not None
+        else read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
 
     # deterministic pseudo-random sample: the sample_max vectors with the
     # smallest splitmix64(vec_id ^ seed) rank — unlike random_sample, the
@@ -487,6 +493,7 @@ def semdedup(
     n_cells: int = 16,
     seed: int = 11,
     max_cell_rows: int = 8192,
+    embs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023): partition embeddings into k-means
     cells, then greedily drop vectors whose cosine to an already-kept
@@ -505,9 +512,12 @@ def semdedup(
     unchanged-output property below the cap). Cross-cell —
     and, for oversized cells, cross-sub-cell — near-dups are missed by
     construction: that is SemDeDup's documented recall trade-off (same
-    contract as knn_ivf's n_probe).
+    contract as knn_ivf's n_probe). ``embs`` overrides the embeddings
+    Dataset — the planted-truth hook (:func:`semdedup_planted`).
     """
-    C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed)
+    if embs is not None:
+        embs = embs.materialize()  # read twice: centroid sample + prune
+    C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed, embs=embs)
     cref = ray.put(C)
 
     class AssignCell:
@@ -550,13 +560,31 @@ def semdedup(
         ]
         return pd.concat(parts, ignore_index=True)
 
+    ds = (
+        embs
+        if embs is not None
+        else read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
     return canonical_sort(
-        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(AssignCell, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(AssignCell, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8))
         .groupby("cell")
         .map_groups(prune, batch_format="pandas"),
         ["removed_id"],
     )
+
+
+def semdedup_planted(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """:func:`semdedup` over the planted one-hot embedding table
+    (similarity.planted_onehot_embeddings) — the SAME pipeline end-to-end
+    (sampled k-means, cell assign, greedy per-cell prune), but with a
+    closed-form value oracle: a group's byte-identical vectors all land
+    in one cell, within-group cosine is exactly 1.0 >= tau and
+    cross-group exactly 0.0 < tau, so the greedy ascending-id prune
+    removes every member except the group's min vec_id, each with
+    keeper_id = that min and cos_sim = 1.0 — pure vec_id arithmetic."""
+    from .similarity import planted_onehot_embeddings
+
+    return semdedup(sf_dir, tau=tau, embs=planted_onehot_embeddings(sf_dir))
 
 
 # --------------------------------------------------------------------------

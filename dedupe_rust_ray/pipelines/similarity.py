@@ -67,7 +67,11 @@ def knn_topk(sf_dir: str, n_queries: int = 10, k: int = 10) -> pd.DataFrame:
                 cand = np.flatnonzero(mask)
                 if not len(cand):
                     continue
-                top = cand[np.argsort(-sims[cand], kind="stable")[: self.k]]
+                # lexsort: primary -sims, secondary neighbor_id — equal
+                # sims must select deterministically regardless of the
+                # block/group row order (exact ties are real: byte-equal
+                # vectors score identical cosines)
+                top = cand[np.lexsort((ids[cand], -sims[cand]))[: self.k]]
                 out_q.extend([int(self.qids[qi])] * len(top))
                 out_n.extend(int(x) for x in ids[top])
                 out_s.extend(float(x) for x in sims[top])
@@ -126,6 +130,8 @@ def knn_lsh(
     n_bits: int = 6,
     n_tables: int = 8,
     seed: int = 7,
+    embs: "ray.data.Dataset | None" = None,
+    queries: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> pd.DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -137,8 +143,11 @@ def knn_lsh(
     Defaults (6 bits x 8 tables) trade bucket size for recall ~0.4 even on
     uniformly random vectors, where "neighbors" sit near cosine 0.4 and any
     LSH is weak; clustered real embeddings fare far better. More bits =
-    smaller buckets = cheaper scan but lower recall."""
-    qids, Q = _load_queries(sf_dir, n_queries)
+    smaller buckets = cheaper scan but lower recall.
+
+    ``embs`` / ``queries`` override the embeddings Dataset and the
+    (qids, Q) pack — the planted-truth hook (:func:`knn_lsh_planted`)."""
+    qids, Q = queries if queries is not None else _load_queries(sf_dir, n_queries)
     rng = np.random.default_rng(seed)
     dim = Q.shape[1]
     planes = rng.standard_normal((n_tables, n_bits, dim))
@@ -209,7 +218,11 @@ def knn_lsh(
                 sims = self.Q[qi] @ V.T
                 mask = ids != self.qids[qi]
                 cand = np.flatnonzero(mask)
-                top = cand[np.argsort(-sims[cand], kind="stable")[: self.k]]
+                # lexsort: primary -sims, secondary neighbor_id — equal
+                # sims must select deterministically regardless of the
+                # block/group row order (exact ties are real: byte-equal
+                # vectors score identical cosines)
+                top = cand[np.lexsort((ids[cand], -sims[cand]))[: self.k]]
                 out_q.extend([int(self.qids[qi])] * len(top))
                 out_n.extend(int(x) for x in ids[top])
                 out_s.extend(float(x) for x in sims[top])
@@ -217,7 +230,11 @@ def knn_lsh(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
-    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = (
+        embs
+        if embs is not None
+        else read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
     local = (
         ds.map_batches(BucketRows, fn_constructor_args=(ref,), batch_format="pyarrow",
                        concurrency=(1, 4))
@@ -258,6 +275,8 @@ def knn_ivf(
     kmeans_iters: int = 5,
     sample_max: int = 4096,
     seed: int = 11,
+    embs: "ray.data.Dataset | None" = None,
+    queries: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> pd.DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -268,10 +287,16 @@ def knn_ivf(
     ``n_probe`` closest cells. At 10^12 vectors the per-cell groupby
     replaces the full scan and the sample/centroids stay tiny. Recall vs
     :func:`knn_topk` is asserted in tests (no SQL oracle — iterative
-    training is not ANSI-SQL-expressible)."""
-    qids, Q = _load_queries(sf_dir, n_queries)
+    training is not ANSI-SQL-expressible). ``embs`` / ``queries``
+    override the embeddings Dataset and the (qids, Q) pack — the
+    planted-truth hook (:func:`knn_ivf_planted`)."""
+    qids, Q = queries if queries is not None else _load_queries(sf_dir, n_queries)
 
-    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = (
+        embs
+        if embs is not None
+        else read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
     n_total = ds.count()
     frac = min(1.0, sample_max / max(n_total, 1))
     sample = ds.random_sample(frac, seed=seed).take(sample_max)
@@ -338,7 +363,11 @@ def knn_ivf(
             for qi in qis:
                 sims = self.Q[qi] @ V.T
                 cand = np.flatnonzero(ids != self.qids[qi])
-                top = cand[np.argsort(-sims[cand], kind="stable")[: self.k]]
+                # lexsort: primary -sims, secondary neighbor_id — equal
+                # sims must select deterministically regardless of the
+                # block/group row order (exact ties are real: byte-equal
+                # vectors score identical cosines)
+                top = cand[np.lexsort((ids[cand], -sims[cand]))[: self.k]]
                 out_q.extend([int(self.qids[qi])] * len(top))
                 out_n.extend(int(x) for x in ids[top])
                 out_s.extend(float(x) for x in sims[top])
@@ -378,4 +407,100 @@ def knn_ivf(
     return out.sort_values(
         ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True],
         ignore_index=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# planted-truth certification of the approximate ANN paths
+# --------------------------------------------------------------------------
+
+PLANTED_N_GROUPS = 32
+
+
+def planted_onehot_embeddings(
+    sf_dir: str, n_groups: int = PLANTED_N_GROUPS
+) -> ray.data.Dataset:
+    """Planted-truth embedding table (the ``corpus_planted_truth`` /
+    ``planted_flat_docs`` trick applied to the ANN family): vec_id keeps
+    the real table's id domain, the vector becomes the one-hot basis
+    vector ``e_{vec_id % n_groups}`` (float32, the real schema's width
+    semantics).
+
+    Construction guarantees, by design rather than by tuning:
+
+    - within a group every vector is BYTE-IDENTICAL -> identical LSH
+      sign codes in every table, identical IVF/k-means cell argmax, and
+      cosine exactly 1.0 after normalization (one-hot norms are exact);
+    - across groups the cosine is exactly 0.0 (orthogonal basis), below
+      any tau/top-k cut wherever >= k same-group neighbors exist.
+
+    Every bucketed/celled ANN or prune pipeline over this table therefore
+    has a closed-form expected answer in pure vec_id arithmetic —
+    SQL-derivable from the embeddings view — while the FULL production
+    kernels (bucket explode, cell groupby, probe, merge, greedy prune)
+    run end-to-end unchanged."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        g = (ids % n_groups).astype(np.int64)
+        M = np.zeros((len(ids), n_groups), np.float32)
+        M[np.arange(len(ids)), g] = np.float32(1.0)
+        emb = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (len(ids) + 1) * n_groups, n_groups),
+                type=pa.int32(),
+            ),
+            pa.array(M.ravel(), type=pa.float32()),
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()), "embedding": emb}
+        )
+
+    return read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _planted_queries(
+    n_queries: int, n_groups: int = PLANTED_N_GROUPS
+) -> tuple[np.ndarray, np.ndarray]:
+    """(qids, Q) for the planted table: ids 0..n_queries-1, each the exact
+    one-hot of its group — bit-identical to the planted data vectors."""
+    qids = np.arange(n_queries, dtype=np.int64)
+    Q = np.zeros((n_queries, n_groups), np.float64)
+    Q[qids, qids % n_groups] = 1.0
+    return qids, Q
+
+
+def knn_lsh_planted(
+    sf_dir: str, n_queries: int = 10, k: int = 10
+) -> pd.DataFrame:
+    """:func:`knn_lsh` over the planted one-hot table — the SAME LSH
+    pipeline end-to-end (sign-bit codes, per-table bucket explode, bucket
+    groupby, probe, global merge), but with a closed-form value oracle:
+    every group member shares every bucket, so the result is exactly the
+    k smallest other vec_ids of the query's group at cosine 1.0."""
+    return knn_lsh(
+        sf_dir,
+        n_queries,
+        k,
+        embs=planted_onehot_embeddings(sf_dir),
+        queries=_planted_queries(n_queries),
+    )
+
+
+def knn_ivf_planted(
+    sf_dir: str, n_queries: int = 10, k: int = 10
+) -> pd.DataFrame:
+    """:func:`knn_ivf` over the planted one-hot table — same IVF pipeline
+    (sampled k-means training, cell assign, n_probe scan, merge), closed
+    form because a group's identical vectors all land in ONE cell and the
+    query's first probe IS that cell (same argmax over the same floats),
+    for ANY trained centroids."""
+    return knn_ivf(
+        sf_dir,
+        n_queries,
+        k,
+        embs=planted_onehot_embeddings(sf_dir),
+        queries=_planted_queries(n_queries),
     )

@@ -117,10 +117,13 @@ def lang_id_census(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
+def fingerprint_dedup(
+    sf_dir: str, docs: "ray.data.Dataset | None" = None
+) -> ray.data.Dataset:
     """Winnowing-fingerprint exact dedup: docs sharing a full fingerprint
     are textually identical (up to the winnowing resolution); keep
-    min(doc_id) per fingerprint group."""
+    min(doc_id) per fingerprint group. ``docs`` overrides the (doc_id,
+    text) input — the planted-truth hook (:func:`fingerprint_dedup_planted`)."""
     from ray.data.aggregate import Min
 
     def per_doc(batch: pd.DataFrame) -> pa.Table:
@@ -138,14 +141,33 @@ def fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    ds = (
+        docs
+        if docs is not None
+        else read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
     return canonical_sort(
-        read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(per_doc, batch_format="pandas")
+        ds.map_batches(per_doc, batch_format="pandas")
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"]),
         ["doc_id"],
     )
+
+
+def fingerprint_dedup_planted(
+    sf_dir: str, dup_every: int = 10
+) -> ray.data.Dataset:
+    """:func:`fingerprint_dedup` over the planted-truth corpus
+    (dedupe.planted_flat_docs) — the SAME winnowing/groupby pipeline, but
+    with a closed-form value oracle: per-doc_id token salting makes every
+    base doc's shingle set disjoint (distinct winnow fingerprints), and
+    each byte-identical companion at doc_id + 1e9 shares its base's
+    fingerprint exactly — so min(doc_id) per group keeps precisely the
+    original documents.doc_id domain."""
+    from .dedupe import planted_flat_docs
+
+    return fingerprint_dedup(sf_dir, docs=planted_flat_docs(sf_dir, dup_every))
 
 
 def bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
