@@ -397,6 +397,50 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS hamming "
             "FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_a"
         ),
+        # DDSketch quantiles reproduced in SQL: the log-binning, the
+        # cumulative walk (integer bins/counts, identical IEEE q*total
+        # product) and the representative-value formula, floor-rounded to
+        # 4 decimals (absorbs the <=2 ulp cross-engine pow difference)
+        "value_quantiles_dd": (
+            "WITH b AS (SELECT event_type, "
+            "CAST(floor(ln(value)/ln((1.0+0.005)/(1.0-0.005))) AS BIGINT) "
+            "AS bin, COUNT(*) AS n FROM events WHERE value > 0 "
+            "GROUP BY 1, 2), "
+            "c AS (SELECT event_type, bin, SUM(n) OVER (PARTITION BY "
+            "event_type ORDER BY bin) AS cum, SUM(n) OVER (PARTITION BY "
+            "event_type) AS total FROM b), "
+            "qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q), "
+            "pick AS (SELECT event_type, q, MIN(bin) AS bin FROM c, qs "
+            "WHERE cum >= q * total GROUP BY 1, 2) "
+            "SELECT event_type, q, floor((2.0 * "
+            "power((1.0+0.005)/(1.0-0.005), bin) * "
+            "((1.0+0.005)/(1.0-0.005)) / (((1.0+0.005)/(1.0-0.005)) + 1.0))"
+            " * 10000 + 0.5)/10000 AS value_est "
+            "FROM pick ORDER BY event_type, q"
+        ),
+        # unigram-LM fluency scoring reproduced end-to-end in SQL: census,
+        # top-1000 vocab (count desc, token asc — the pipeline's exact
+        # tie-break), OOV 1/N floor, per-doc average, floor-round to 4
+        # decimals (absorbs <=1e-12 cross-engine ln/SUM float noise)
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, t.tok FROM documents, "
+            "LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok) "
+            "WHERE t.tok <> ''), "
+            "census AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM census), "
+            "vocab AS (SELECT tok, n FROM census ORDER BY n DESC, tok "
+            "LIMIT 1000), "
+            "scored AS (SELECT toks.doc_id, CASE WHEN v.tok IS NOT NULL "
+            "THEN ln(CAST(v.n AS DOUBLE) / t.n_total) "
+            "ELSE ln(1.0 / t.n_total) END AS lp "
+            "FROM toks LEFT JOIN vocab v USING (tok), tot t), "
+            "perdoc AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "-SUM(lp)/COUNT(*) AS avg FROM scored GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
+            "COALESCE(floor(p.avg*10000+0.5)/10000, 0.0) AS avg_neg_logprob "
+            "FROM documents d LEFT JOIN perdoc p USING (doc_id) "
+            "ORDER BY d.doc_id"
+        ),
         # winnowing-fingerprint dedup over the same planted corpus: every
         # base doc keeps a distinct fingerprint (salted shingles), every
         # +1e9 companion shares its base's — keep-min is the id domain

@@ -294,7 +294,9 @@ def value_quantiles_dd(
     size); the quantile walk over cumulative counts runs on the merged
     census. Mergeability is trivial: bins are value-independent, so
     partial histograms sum. tests/test_reshape.py pins the alpha bound
-    against exact numpy quantiles."""
+    against exact numpy quantiles; the full sketch (binning, cumulative
+    walk, representative value) is additionally reproduced in the SQL
+    oracle and hash-compared after floor-rounding to 4 decimals."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lg = np.log(gamma)
 
@@ -331,7 +333,11 @@ def value_quantiles_dd(
             idx = np.searchsorted(cum, q * total, side="left")
             idx = min(idx, len(bins) - 1)
             est = 2.0 * gamma ** bins[idx] * gamma / (gamma + 1.0)
-            rows.append((et, q, est))
+            # floor-round to 4 decimals: the SQL oracle reproduces the bin
+            # walk exactly (integer bins, integer cums, identical IEEE
+            # q*total product); only the final pow differs by <=1-2 ulp
+            # across engines, which this rounding absorbs
+            rows.append((et, q, np.floor(est * 1e4 + 0.5) / 1e4))
     out = pd.DataFrame(rows, columns=["event_type", "q", "value_est"])
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
