@@ -274,6 +274,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_planted": similarity.knn_lsh_planted,
         "knn_ivf_planted": similarity.knn_ivf_planted,
         "semdedup_planted": curation.semdedup_planted,
+        # planted-truth MEDIA oracles (pipelines/multimodal.planted_*):
+        # solid-gray lossless payloads make decoded dims/means closed-form,
+        # byte-identical noise payloads make equal-pHash pairs closed-form,
+        # closed-form payload LENGTHS make frame sampling closed-form —
+        # all through the UNCHANGED production decode/resize/phash/sample
+        # stages
+        "media_features_planted": multimodal.media_features_planted,
+        "media_thumbnails_planted": multimodal.media_thumbnails_planted,
+        "media_phash_planted": multimodal.media_phash_planted,
+        "video_frame_sample_planted": multimodal.video_frame_sample_planted,
         "semdedup": curation.semdedup,
         "embedding_clusters": curation.embedding_clusters,
         "unigram_logprob": textpipe.unigram_logprob,
@@ -481,6 +491,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY 1) k "
             "ON n.vec_id % 32 = k.grp AND n.vec_id <> k.keeper_id "
             "ORDER BY removed_id"
+        ),
+        # planted media truths (pipelines/multimodal.planted_solid_media):
+        # fmt cycles the four LOSSLESS codecs (doc_id % 4), dims cycle the
+        # stage table ((doc_id // 4) % 5), every pixel is (doc_id*37) % 256
+        # — so the real encode -> sniff -> decode -> feature path must
+        # reproduce these closed-form dims and means exactly
+        "media_features_planted": (
+            "SELECT 'm-' || printf('%09d', doc_id) AS media_id, "
+            "['png','bmp','gif','webp'][CAST(doc_id % 4 AS INT) + 1] AS fmt, "
+            "TRUE AS ok, '' AS err, "
+            "CAST([16,32,32,64,48][CAST((doc_id // 4) % 5 AS INT) + 1] "
+            " AS INTEGER) AS width, "
+            "CAST([16,32,16,64,32][CAST((doc_id // 4) % 5 AS INT) + 1] "
+            " AS INTEGER) AS height, "
+            "CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_brightness "
+            "FROM documents ORDER BY media_id"
+        ),
+        # block-mean resize preserves solids exactly, so the decoded
+        # thumbnail's mean is the planted color again
+        "media_thumbnails_planted": (
+            "SELECT 'm-' || printf('%09d', doc_id) AS media_id, "
+            "['png','bmp','gif','webp'][CAST(doc_id % 4 AS INT) + 1] AS fmt, "
+            "'' AS err, CAST((doc_id * 37) % 256 AS DOUBLE) AS thumb_mean "
+            "FROM documents ORDER BY media_id"
+        ),
+        # byte-identical payload at doc_id + 1e9 for every 10th doc ->
+        # identical decoded pixels -> identical pHash in any container;
+        # distinct-seed noise images stay distinct (deterministic per sf)
+        "media_phash_planted": (
+            "SELECT 'm-' || printf('%09d', doc_id) AS media_a, "
+            "'m-' || printf('%09d', doc_id + 1000000000) AS media_b "
+            "FROM documents WHERE doc_id % 10 = 0 ORDER BY media_a"
+        ),
+        # payload length 256*(1 + doc_id % 40) -> frame count 1+doc_id%40,
+        # sampled indices 0,10,20,30 below it, frames 16*16 float32
+        "video_frame_sample_planted": (
+            "SELECT 'm-' || printf('%09d', doc_id) AS media_id, "
+            "CAST(idx AS INTEGER) AS frame_idx, "
+            "'synthetic' AS decoder, CAST(1024 AS BIGINT) AS frame_bytes "
+            "FROM documents, (SELECT unnest([0, 10, 20, 30]) AS idx) i "
+            "WHERE idx < 1 + doc_id % 40 ORDER BY media_id, frame_idx"
         ),
         # the synthesized file tree (pipelines/filededupe.synth_file_tree)
         # is a pure function of doc_id: format cycles doc_id % 5, dims

@@ -213,6 +213,231 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ------------------------------------------------------------------
+# planted-truth variants (the corpus_planted_truth / planted_flat_docs
+# trick applied to the media family): corpora whose DECODED properties
+# are closed-form in doc_id arithmetic, run through the UNCHANGED
+# production stages (MediaDecode / MediaResize / MediaPhash /
+# VideoFrameSample), so each gets a real SQL value oracle.
+# ------------------------------------------------------------------
+
+_PLANTED_MEDIA_OFFSET = 1_000_000_000
+# the four LOSSLESS synthesized codecs: solid-gray payloads round-trip
+# their pixel value exactly (PNG/BMP bytes, GIF identity gray palette,
+# VP8L lossless). JPEG (T.81, quantized DC) is excluded from the
+# solid-color truth and covered by the byte-identity pHash plant below.
+_LOSSLESS_FORMATS = ("png", "bmp", "gif", "webp")
+
+
+def planted_solid_media(sf_dir: str) -> ray.data.Dataset:
+    """Planted media table: one SOLID-GRAY image per document.
+
+    fmt cycles the four lossless codecs (``doc_id % 4``), dims cycle the
+    stage's dimension choices (``(doc_id // 4) % 5``), and every pixel is
+    ``(doc_id * 37) % 256`` — so width/height/mean_brightness (and the
+    thumbnail mean after block-mean resize, which preserves solids
+    exactly) are all closed-form in doc_id arithmetic while the real
+    encoders and the real decode stages run end-to-end."""
+    from ..stages.multimodal import (
+        _DIM_CHOICES,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_webp,
+    )
+
+    encoders = {
+        "png": encode_png,
+        "bmp": encode_bmp,
+        "gif": encode_gif,
+        "webp": encode_webp,
+    }
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        media_ids, fmts, payloads = [], [], []
+        for d in ids:
+            d = int(d)
+            fmt = _LOSSLESS_FORMATS[d % len(_LOSSLESS_FORMATS)]
+            w, h = _DIM_CHOICES[(d // len(_LOSSLESS_FORMATS)) % len(_DIM_CHOICES)]
+            color = (d * 37) % 256
+            data = encoders[fmt](np.full((h, w), color, np.uint8))
+            media_ids.append(f"m-{d:09d}")
+            fmts.append(fmt)
+            payloads.append(data)
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, type=pa.string()),
+                "fmt": pa.array(fmts, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+
+
+def media_features_planted(sf_dir: str) -> ray.data.Dataset:
+    """:func:`media_features` (same MediaDecode stage) over the planted
+    solid-gray corpus — width/height/mean_brightness closed-form."""
+    out = _payload_stage(planted_solid_media(sf_dir), MediaDecode)
+    return canonical_sort(
+        out.select_columns(
+            ["media_id", "fmt", "ok", "err", "width", "height",
+             "mean_brightness"]
+        ),
+        ["media_id"],
+    )
+
+
+def media_thumbnails_planted(sf_dir: str) -> ray.data.Dataset:
+    """:func:`media_thumbnails` (same MediaResize stage) over the planted
+    solid corpus, summarized as the DECODED thumbnail's mean — block-mean
+    resize preserves solids exactly, so thumb_mean == the planted color
+    and the oracle value-checks decode -> resize -> re-encode -> decode."""
+    from ..stages.multimodal import MediaResize, decode_png
+
+    out = _payload_stage(planted_solid_media(sf_dir), MediaResize)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        means = []
+        for p in batch["thumb_png"].to_pylist():
+            img = decode_png(p) if p else None
+            means.append(round(float(img.mean()), 4) if img is not None else -1.0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "err": batch["err"],
+                "thumb_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+    return canonical_sort(
+        out.map_batches(summarize, batch_format="pyarrow"),
+        ["media_id"],
+    )
+
+
+def planted_dup_media(sf_dir: str, dup_every: int = 10) -> ray.data.Dataset:
+    """Planted media table for the pHash pair truth: the production
+    noise corpus (per-doc seeded pixels, ALL FIVE codecs incl. JPEG) plus
+    a BYTE-IDENTICAL companion at ``doc_id + offset`` for every
+    ``dup_every``-th doc. Identical payloads decode to identical pixels
+    -> identical pHash in any container, while distinct-seed noise images
+    land on distinct 64-bit pHashes (deterministic per sf; verified by
+    the sweep — same determinism argument as planted_flat_docs)."""
+    from ..stages.multimodal import synth_media_batch
+
+    def synth(batch: pa.Table) -> pa.Table:
+        base = synth_media_batch(batch)
+        ids = batch["doc_id"].to_numpy()
+        keep = [i for i in range(len(ids)) if int(ids[i]) % dup_every == 0]
+        dup = base.take(keep)
+        dup_ids = pa.array(
+            [f"m-{int(ids[i]) + _PLANTED_MEDIA_OFFSET:09d}" for i in keep],
+            type=pa.string(),
+        )
+        dup = dup.set_column(dup.schema.get_field_index("media_id"),
+                             "media_id", dup_ids)
+        return pa.concat_tables([base, dup])
+
+    return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+
+
+def media_phash_planted(sf_dir: str, dup_every: int = 10) -> ray.data.Dataset:
+    """Equal-pHash pair set over the planted dup corpus — the SAME
+    MediaPhash stage (real decode of all five codecs -> shared grid fit
+    -> DCT pHash), then the standard identical-key pair shape: groupby
+    phash, emit ordered pairs inside each group (identical-hash groups
+    are bounded — the exact-dup group shape, not an all-pairs join).
+    Expected pairs are closed-form: (m-{d}, m-{d+offset}) for
+    d % dup_every == 0."""
+    from ..stages.multimodal import MediaPhash
+
+    hashed = _payload_stage(planted_dup_media(sf_dir, dup_every), MediaPhash)
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ids = sorted(g["media_id"])
+        if len(ids) < 2:
+            return pd.DataFrame({"media_a": [], "media_b": []}, dtype=str)
+        return pd.DataFrame(
+            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+            columns=["media_a", "media_b"],
+        )
+
+    return canonical_sort(
+        hashed.select_columns(["phash", "media_id"])
+        .groupby("phash")
+        .map_groups(pairs, batch_format="pandas"),
+        ["media_a", "media_b"],
+    )
+
+
+def planted_video_media(sf_dir: str, max_frames: int = 40) -> ray.data.Dataset:
+    """Planted opaque 'video' table: payload LENGTH is closed-form
+    (``256 * (1 + doc_id % max_frames)`` bytes), so the synthetic
+    demuxer's frame count — ``len(payload) // 256`` — and the sampled
+    frame indices are SQL-derivable while the real explode stage runs."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        media_ids, payloads = [], []
+        for d in ids:
+            d = int(d)
+            media_ids.append(f"m-{d:09d}")
+            payloads.append(bytes(256 * (1 + d % max_frames)))
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, type=pa.string()),
+                "fmt": pa.array(["video"] * len(media_ids), type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+
+
+def video_frame_sample_planted(
+    sf_dir: str, every_n: int = 10, max_frames: int = 40
+) -> ray.data.Dataset:
+    """:func:`video_frame_sample` (same VideoFrameSample stage) over the
+    planted closed-form-length payloads: one row per sampled frame with
+    frame_idx in {0, every_n, ...} below the closed-form frame count and
+    frame_bytes = 16*16*4 exactly."""
+    from ..stages.multimodal import VideoFrameSample
+
+    frames = _payload_stage(
+        planted_video_media(sf_dir, max_frames), VideoFrameSample, every_n
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "decoder": batch["decoder"],
+                "frame_bytes": pc.cast(
+                    pc.binary_length(batch["frame"]), pa.int64()
+                ),
+            }
+        )
+
+    return canonical_sort(
+        frames.map_batches(summarize, batch_format="pyarrow"),
+        ["media_id", "frame_idx"],
+    )
+
+
 def media_phash(sf_dir: str) -> ray.data.Dataset:
     """Per-media 64-bit perceptual hash (decode -> block-mean resize ->
     DCT pHash in an actor pool) — the feature column every image-dedup

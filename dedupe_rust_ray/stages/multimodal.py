@@ -279,8 +279,18 @@ def decode_gif(data: bytes) -> np.ndarray | None:
             pal_idx = np.frombuffer(bytes(idx[: w * h]), np.uint8)
             if int(pal_idx.max(initial=0)) >= len(lct):
                 return None
-            rgb = lct[pal_idx].reshape(h, w, 3).astype(np.float32)
-            return rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+            rgb = lct[pal_idx].reshape(h, w, 3)
+            # gray palettes (r==g==b — our own encoder and most grayscale
+            # GIFs) return the exact value; color reduces to BT.601 luma
+            # accumulated in float64 (float32 products drift a whole
+            # count: 74 -> 73.99999)
+            if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
+                rgb[..., 2], rgb[..., 1]
+            ):
+                return rgb[..., 0].astype(np.float32)
+            return (
+                rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            ).astype(np.float32)
         if b0 == 0x21:  # extension block: skip sub-blocks
             pos += 2
             while pos < len(data) and data[pos]:
@@ -522,7 +532,11 @@ class MediaResize:
                 errs.append(f"decode_unsupported:{sniffed}" if dec is None else "decode_failed")
                 continue
             small = resize_block_mean(img, self.edge, self.edge)
-            out_p.append(encode_png(np.clip(small, 0, 255).astype(np.uint8)))
+            # round-to-nearest quantization (not truncation): a decoder
+            # whose luma path lands at 73.99999 must re-encode as 74
+            out_p.append(
+                encode_png(np.clip(np.rint(small), 0, 255).astype(np.uint8))
+            )
             errs.append("")
         return pa.table(
             {
