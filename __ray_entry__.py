@@ -109,26 +109,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return er_pipeline(corpus_from_flat_documents(sf_dir), ERConfig())
 
-    def er_incremental(sf_dir: str):
-        """Incremental mode: init on ~75% of the corpus, absorb the rest
-        as a delta update; returns the final clusters (must equal
-        er_clusters — pytest tests/test_incremental_er.py proves the
-        equivalence property at fixture scale)."""
+    def _er_incremental_over(docs):
+        """Shared incremental-ER driver: init on the ~75% hash-split base,
+        absorb the remaining ~25% as a delta update, return final
+        clusters."""
         import tempfile
 
         import numpy as np
-        import ray.data
 
         from dedupe_rust_ray.config import ERConfig
+        from dedupe_rust_ray.functions.hashing import stable_hash64
         from dedupe_rust_ray.pipelines.incremental import (
             incremental_er_update,
             init_er_state,
             read_state_clusters,
         )
-        from dedupe_rust_ray.sources.corpus import corpus_from_flat_documents
-
-        docs = corpus_from_flat_documents(sf_dir)
-        from dedupe_rust_ray.functions.hashing import stable_hash64
 
         def split(batch, keep_delta):
             h = stable_hash64(batch["doc_id"].to_pylist()) % np.uint64(4)
@@ -148,6 +143,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             init_er_state(base, cfg, state_dir)
             incremental_er_update(delta, cfg, state_dir)
             return read_state_clusters(state_dir).to_pandas()
+
+    def er_incremental(sf_dir: str):
+        """Incremental mode: init on ~75% of the corpus, absorb the rest
+        as a delta update; returns the final clusters (must equal
+        er_clusters — pytest tests/test_incremental_er.py proves the
+        equivalence property at fixture scale)."""
+        from dedupe_rust_ray.sources.corpus import corpus_from_flat_documents
+
+        return _er_incremental_over(corpus_from_flat_documents(sf_dir))
+
+    def er_incremental_planted(sf_dir: str):
+        """The incremental path over the planted-truth corpus: the base
+        init and the delta update must converge to er_clusters'
+        closed-form cluster table (same SQL oracle) — planted companions
+        are routinely split ACROSS base and delta by the hash split, so
+        the hash-match row certifies delta-joins-base merging, state
+        reconciliation and cluster canonicalization end-to-end."""
+        from dedupe_rust_ray.sources.corpus import corpus_planted_truth
+
+        return _er_incremental_over(corpus_planted_truth(sf_dir))
 
     # NOTE: the driver's correctness harness checks the FIRST 50 entries
     # of this dict. Ordering is therefore deliberate. ROUND-5 ROTATION
@@ -257,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "part_type_census": analytics.part_type_census,
         "er_incremental": er_incremental,
+        "er_incremental_planted": er_incremental_planted,
         "doc_len_quantiles": analytics.doc_len_quantiles,
         "decontaminate": curation.decontaminate,
         "orders_by_quarter": joins.orders_by_quarter,
@@ -265,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": reshape.event_value_histogram,
         "value_quantiles_dd": reshape.value_quantiles_dd,
         "distinct_texts_hll": textpipe.distinct_texts_hll,
+        "hll_registers_md5": textpipe.hll_registers_md5,
         "fingerprint_dedup": textpipe.fingerprint_dedup,
         # planted-truth value oracles for the ANN/prune/fingerprint family
         # (similarity.planted_onehot_embeddings, dedupe.planted_flat_docs):
@@ -286,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample_planted": multimodal.video_frame_sample_planted,
         "semdedup": curation.semdedup,
         "embedding_clusters": curation.embedding_clusters,
+        "embedding_clusters_planted": curation.embedding_clusters_planted,
         "unigram_logprob": textpipe.unigram_logprob,
         "simhash_near_dups": dedupe.simhash_near_dups,
         "knn_lsh": similarity.knn_lsh,
@@ -491,6 +509,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY 1) k "
             "ON n.vec_id % 32 = k.grp AND n.vec_id <> k.keeper_id "
             "ORDER BY removed_id"
+        ),
+        # incremental ER over the planted corpus converges to the SAME
+        # closed-form cluster table as the batch flagship (er_clusters)
+        "er_incremental_planted": (
+            "SELECT 'doc-' || printf('%09d', doc_id) AS cluster_id, "
+            "'doc-' || printf('%09d', doc_id) || sfx AS doc_id "
+            "FROM documents, (SELECT unnest(['', '-dup']) AS sfx) s "
+            "WHERE doc_id % 10 = 0 ORDER BY cluster_id, doc_id"
+        ),
+        # planted one-hot k-means invariants (ANY trained centroids):
+        # byte-identical group vectors -> identical cell argmax and
+        # identical rounded cosine -> exactly one distinct cell / cosine
+        # per group
+        "embedding_clusters_planted": (
+            "SELECT CAST(vec_id % 32 AS BIGINT) AS grp, "
+            "CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+            "CAST(1 AS BIGINT) AS n_cells_distinct, "
+            "CAST(1 AS BIGINT) AS n_cos_distinct "
+            "FROM embeddings GROUP BY 1 ORDER BY grp"
+        ),
+        # the distributed register fold of the HLL sketch, bit-exact under
+        # the md5 oracle-parity contract: register = top 12 bits of the
+        # md5-derived u64, rho = 1 + leading zeros of the low 52 bits
+        # (bin() gives the exact integer bit length — no float anywhere)
+        "hll_registers_md5": (
+            "WITH h AS (SELECT lang, "
+            " ('0x' || substr(md5(COALESCE(text, '')), 1, 16))::UBIGINT AS h"
+            " FROM documents), "
+            "b AS (SELECT lang, CAST(h >> 52 AS BIGINT) AS reg, "
+            " h & ((1::UBIGINT << 52) - 1) AS rest FROM h) "
+            "SELECT lang, reg, CAST(MAX(CASE WHEN rest = 0 THEN 53 "
+            " ELSE 53 - length(bin(rest)) END) AS BIGINT) AS rho "
+            "FROM b GROUP BY lang, reg ORDER BY lang, reg"
         ),
         # planted media truths (pipelines/multimodal.planted_solid_media):
         # fmt cycles the four LOSSLESS codecs (doc_id % 4), dims cycle the

@@ -1519,7 +1519,10 @@ def curate_corpus(
 
 
 def embedding_clusters(
-    sf_dir: str, n_cells: int = 16, seed: int = 11
+    sf_dir: str,
+    n_cells: int = 16,
+    seed: int = 11,
+    embs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Document clustering over the embedding column: spherical k-means
     cell id per vector (the IVF/SemDeDup assignment surfaced as a
@@ -1528,7 +1531,7 @@ def embedding_clusters(
     sample (:func:`fit_spherical_centroids`). Returns (vec_id, cell,
     cos_to_centroid) ordered by vec_id; no SQL oracle (iterative
     training), semantics pinned by pytest against a local replica."""
-    C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed)
+    C = fit_spherical_centroids(sf_dir, n_cells=n_cells, seed=seed, embs=embs)
     cref = ray.put(C)
 
     class Assign:
@@ -1551,11 +1554,47 @@ def embedding_clusters(
                 }
             )
 
+    ds = (
+        embs
+        if embs is not None
+        else read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
     return canonical_sort(
-        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(Assign, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8)),
+        ds.map_batches(Assign, fn_constructor_args=(cref,), batch_format="pyarrow", concurrency=(1, 8)),
         ["vec_id"],
     )
+
+
+def embedding_clusters_planted(
+    sf_dir: str, n_cells: int = 16
+) -> "pd.DataFrame":
+    """:func:`embedding_clusters` over the planted one-hot table
+    (similarity.planted_onehot_embeddings), collapsed to the per-group
+    invariants that hold for ANY trained centroids: a group's
+    byte-identical vectors produce identical cell argmax and identical
+    (rounded) cos_to_centroid, so each group occupies exactly ONE cell
+    with ONE cosine value. The full iterative pipeline (sampled k-means
+    training, centroid broadcast, vectorized assign) runs unchanged."""
+    import pandas as pd
+
+    from .similarity import PLANTED_N_GROUPS, planted_onehot_embeddings
+
+    assigned = embedding_clusters(
+        sf_dir, n_cells=n_cells, embs=planted_onehot_embeddings(sf_dir)
+    ).to_pandas()
+    g = assigned.assign(grp=assigned["vec_id"] % PLANTED_N_GROUPS).groupby(
+        "grp", as_index=False
+    )
+    out = g.agg(
+        n_vecs=("vec_id", "size"),
+        n_cells_distinct=("cell", "nunique"),
+        n_cos_distinct=("cos_to_centroid", "nunique"),
+    )
+    out["grp"] = out["grp"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["n_cells_distinct"] = out["n_cells_distinct"].astype("int64")
+    out["n_cos_distinct"] = out["n_cos_distinct"].astype("int64")
+    return pd.DataFrame(out).sort_values("grp").reset_index(drop=True)
 
 
 def decontaminate_bloom(

@@ -272,6 +272,49 @@ def distinct_texts_hll(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
 
 
+def hll_registers_md5(sf_dir: str) -> pd.DataFrame:
+    """The DISTRIBUTED part of :func:`distinct_texts_hll`, value-certified
+    exactly: the merged per-language HyperLogLog register table
+    (lang, reg, rho) over md5-derived 64-bit hashes.
+
+    Same oracle-parity contract as ``hash_split(bucket='md5')``
+    (curation._md5_bucket): DuckDB reproduces md5 bit-for-bit, so the
+    register index (top 12 bits) and rho (leading zeros of the low 52,
+    +1) are SQL-derivable integers — no float anywhere, so the hash gate
+    is exact. The per-row md5 loop exists ONLY in this oracle-parity
+    query; production sketching (:func:`distinct_texts_hll`) hashes with
+    the vectorized stable_hash64, and the scalar estimate fold stays
+    pinned by tests/test_sketches.py's tolerance check."""
+    import hashlib
+
+    from ..functions.sketches import registers_from_hashes
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5((t or "").encode("utf-8")).digest()[:8], "big"
+                )
+                for t in batch["text"]
+            ],
+            dtype=np.uint64,
+        )
+        reg, rho = registers_from_hashes(h)
+        out = pd.DataFrame({"lang": batch["lang"], "reg": reg, "rho": rho})
+        return out.groupby(["lang", "reg"], as_index=False)["rho"].max()
+
+    merged = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    merged["reg"] = merged["reg"].astype("int64")
+    merged["rho"] = merged["rho"].astype("int64")
+    return merged.sort_values(["lang", "reg"]).reset_index(drop=True)
+
+
 def heavy_hitter_tokens(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Tokens whose corpus frequency EXCEEDS ``N / k`` (N = total tokens)
     — exact, via the two-pass heavy-hitter plan rather than a full-domain
