@@ -194,12 +194,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # simhash chunk blocking) run unchanged
         "minhash_lsh_dedup_planted": dedupe.minhash_lsh_dedup_planted,
         "simhash_near_dups_planted": dedupe.simhash_near_dups_planted,
-        "q15_top_supplier": relational.q15_top_supplier,
+        # --- NEW round-5 planted/contract certifications (media decode
+        # values, incremental ER, the HLL register fold) — swapped into
+        # the window for 5 residents certified in the r4 driver run
+        # (q15_top_supplier, census_by_lang, summary_stats,
+        # lang_id_census, stratified_sample — all still oracled and green
+        # in the local sweeps at 51+)
+        "media_features_planted": multimodal.media_features_planted,
+        "media_phash_planted": multimodal.media_phash_planted,
+        "video_frame_sample_planted": multimodal.video_frame_sample_planted,
+        "er_incremental_planted": er_incremental_planted,
+        "hll_registers_md5": textpipe.hll_registers_md5,
         # --- text analysis (SQL-checked) ---
-        "census_by_lang": analytics.census_by_lang,
-        "summary_stats": analytics.summary_stats,
         "exact_dedup_first": analytics.exact_dedup_first,
-        "lang_id_census": textpipe.lang_id_census,
         # --- corpus curation (SQL-checked) ---
         # the sampling/split trio passes bucket='md5' — the draw DuckDB
         # replicates bit-for-bit; the library DEFAULT is the vectorized
@@ -207,9 +214,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned equal by tests/test_curation.py::test_bucket_modes_*
         "hash_split": lambda sf: curation.hash_split(sf, bucket="md5"),
         "dup_ngram_spans": curation.dup_ngram_spans,
-        "stratified_sample": lambda sf: curation.stratified_sample(
-            sf, bucket="md5"
-        ),
         "decontaminate_bloom": curation.decontaminate_bloom,
         # --- relational analytics (SQL-checked) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -247,6 +251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (everything below is either rows-only + pytest-pinned, or was
         # hash-green in an earlier driver round / the local sweeps — and
         # keeps its oracle_sql entry for scripts/check_oracle.py)
+        "q15_top_supplier": relational.q15_top_supplier,
+        "census_by_lang": analytics.census_by_lang,
+        "summary_stats": analytics.summary_stats,
+        "lang_id_census": textpipe.lang_id_census,
+        "stratified_sample": lambda sf: curation.stratified_sample(
+            sf, bucket="md5"
+        ),
         "minhash_lsh_dedup": dedupe.minhash_lsh_dedup,  # rows-only, pytest-pinned
         "er_clusters_organic": er_clusters_organic,
         "doc_len_stats": analytics.doc_len_stats,
@@ -272,7 +283,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "part_type_census": analytics.part_type_census,
         "er_incremental": er_incremental,
-        "er_incremental_planted": er_incremental_planted,
         "doc_len_quantiles": analytics.doc_len_quantiles,
         "decontaminate": curation.decontaminate,
         "orders_by_quarter": joins.orders_by_quarter,
@@ -281,7 +291,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": reshape.event_value_histogram,
         "value_quantiles_dd": reshape.value_quantiles_dd,
         "distinct_texts_hll": textpipe.distinct_texts_hll,
-        "hll_registers_md5": textpipe.hll_registers_md5,
         "fingerprint_dedup": textpipe.fingerprint_dedup,
         # planted-truth value oracles for the ANN/prune/fingerprint family
         # (similarity.planted_onehot_embeddings, dedupe.planted_flat_docs):
@@ -296,11 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-identical noise payloads make equal-pHash pairs closed-form,
         # closed-form payload LENGTHS make frame sampling closed-form —
         # all through the UNCHANGED production decode/resize/phash/sample
-        # stages
-        "media_features_planted": multimodal.media_features_planted,
+        # stages (features/phash/frame-sample siblings sit in the window)
         "media_thumbnails_planted": multimodal.media_thumbnails_planted,
-        "media_phash_planted": multimodal.media_phash_planted,
-        "video_frame_sample_planted": multimodal.video_frame_sample_planted,
         "semdedup": curation.semdedup,
         "embedding_clusters": curation.embedding_clusters,
         "embedding_clusters_planted": curation.embedding_clusters_planted,

@@ -109,6 +109,37 @@ def _skew_endurance() -> dict:
     }
 
 
+def _media_codec_cost() -> dict:
+    """Per-codec decode cost table (VERDICT r4 stretch 10): the
+    codec-compute-bound claim for media_features, made visible per format
+    in the bench JSON instead of one blended wall. Each format's rows run
+    through the SAME MediaDecode stage in isolation; rows/sec per codec
+    shows where the per-image cost lives (pure-Python T.81/VP8L inner
+    loops vs the numpy BMP/PNG/GIF paths)."""
+    import pyarrow.compute as pc
+
+    from dedupe_rust_ray.pipelines import multimodal
+
+    media = multimodal.synth_media(SF_DIR).materialize()
+    out = {}
+    for fmt in ("png", "bmp", "gif", "jpeg", "webp"):
+        sub = media.map_batches(
+            lambda b, f=fmt: b.filter(pc.equal(b["fmt"], f)),
+            batch_format="pyarrow",
+        ).materialize()
+        n = sub.count()
+        gc.collect()
+        t0 = time.time()
+        multimodal._payload_stage(sub, multimodal.MediaDecode).count()
+        dt = time.time() - t0
+        out[fmt] = {
+            "rows": n,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n / dt, 1) if dt else None,
+        }
+    return out
+
+
 def _run_queries() -> dict:
     import ray
 
@@ -272,6 +303,10 @@ def _run_queries() -> dict:
     # corpus through the fully-distributed pipeline, wall + peak RSS
     if os.environ.get("GRAFT_BENCH_SKEW", "1") == "1":
         extra["skew_endurance"] = _skew_endurance()
+
+    # per-codec decode cost (outside the comparable suite metric)
+    if os.environ.get("GRAFT_BENCH_CODEC", "1") == "1":
+        extra["media_codec_cost"] = _media_codec_cost()
 
     total = round(sum(timings.values()), 3)
     return {
