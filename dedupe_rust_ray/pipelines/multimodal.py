@@ -24,10 +24,33 @@ from .common import canonical_sort, read
 _TASK_PATH_MAX_ROWS = 100_000
 
 
-def _payload_stage(ds, cls, *ctor_args, batch_size: int = 128):
+def _doc_rows(sf_dir: str) -> "int | None":
+    """Row count of the documents table from parquet metadata (no scan) —
+    the dispatch hint for synth/planted payload stages (1 row per doc).
+    None when the layout isn't the single-file testdata shape."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+    except Exception:  # noqa: BLE001 - fall back to ds.count()
+        return None
+
+
+def _payload_stage(ds, cls, *ctor_args, batch_size: int = 128, n_rows=None):
     """Size-gated decode/feature stage: task dispatch below
-    ``_TASK_PATH_MAX_ROWS``, actor pool (the scale path) above."""
-    if ds.count() <= _TASK_PATH_MAX_ROWS:
+    ``_TASK_PATH_MAX_ROWS``, actor pool (the scale path) above.
+
+    ``n_rows`` is a dispatch HINT: for lazy synth pipelines ``ds.count()``
+    would execute the whole upstream chain once just to pick the dispatch
+    mode and then again for the real run — callers that know the row
+    count (1 row per document for the synth/planted tables) pass it from
+    parquet metadata instead. Only the task/actor choice depends on it,
+    so an approximation is safe."""
+    if (ds.count() if n_rows is None else n_rows) <= _TASK_PATH_MAX_ROWS:
         return ds.map_batches(
             lambda b, _c=cls, _a=ctor_args: _c(*_a)(b),
             batch_format="pyarrow",
@@ -206,7 +229,9 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
     from ..stages.audio import AudioFeatures
 
     return canonical_sort(
-        _payload_stage(synth_audio(sf_dir), AudioFeatures).select_columns(
+        _payload_stage(
+            synth_audio(sf_dir), AudioFeatures, n_rows=_doc_rows(sf_dir)
+        ).select_columns(
             ["media_id", "n_samples", "duration_ms", "dom_freq_hz"]
         ),
         ["media_id"],
@@ -281,7 +306,9 @@ def planted_solid_media(sf_dir: str) -> ray.data.Dataset:
 def media_features_planted(sf_dir: str) -> ray.data.Dataset:
     """:func:`media_features` (same MediaDecode stage) over the planted
     solid-gray corpus — width/height/mean_brightness closed-form."""
-    out = _payload_stage(planted_solid_media(sf_dir), MediaDecode)
+    out = _payload_stage(
+        planted_solid_media(sf_dir), MediaDecode, n_rows=_doc_rows(sf_dir)
+    )
     return canonical_sort(
         out.select_columns(
             ["media_id", "fmt", "ok", "err", "width", "height",
@@ -298,7 +325,9 @@ def media_thumbnails_planted(sf_dir: str) -> ray.data.Dataset:
     and the oracle value-checks decode -> resize -> re-encode -> decode."""
     from ..stages.multimodal import MediaResize, decode_png
 
-    out = _payload_stage(planted_solid_media(sf_dir), MediaResize)
+    out = _payload_stage(
+        planted_solid_media(sf_dir), MediaResize, n_rows=_doc_rows(sf_dir)
+    )
 
     def summarize(batch: pa.Table) -> pa.Table:
         means = []
@@ -358,7 +387,13 @@ def media_phash_planted(sf_dir: str, dup_every: int = 10) -> ray.data.Dataset:
     d % dup_every == 0."""
     from ..stages.multimodal import MediaPhash
 
-    hashed = _payload_stage(planted_dup_media(sf_dir, dup_every), MediaPhash)
+    n_docs = _doc_rows(sf_dir)
+    hashed = _payload_stage(
+        planted_dup_media(sf_dir, dup_every),
+        MediaPhash,
+        # base rows + one companion per dup_every-th doc
+        n_rows=None if n_docs is None else n_docs + n_docs // dup_every + 1,
+    )
 
     def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -415,7 +450,10 @@ def video_frame_sample_planted(
     from ..stages.multimodal import VideoFrameSample
 
     frames = _payload_stage(
-        planted_video_media(sf_dir, max_frames), VideoFrameSample, every_n
+        planted_video_media(sf_dir, max_frames),
+        VideoFrameSample,
+        every_n,
+        n_rows=_doc_rows(sf_dir),
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
