@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_size_by_lang": textpipe.vocab_size_by_lang,
         "dense_topk_orders": joins.dense_topk_orders,
         "user_retention_intersect": sessions.user_retention_intersect,
+        # round-5 data-quality / profiling family
+        "profile_documents": reshape.profile_documents,
+        "ref_integrity_audit": joins.ref_integrity_audit,
+        "user_behavior_entropy": sessions.user_behavior_entropy,
     }
 
 
@@ -515,6 +519,63 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY 1) k "
             "ON n.vec_id % 32 = k.grp AND n.vec_id <> k.keeper_id "
             "ORDER BY removed_id"
+        ),
+        # Deequ-style per-column profiling census: long-form integer
+        # stats (completeness, ranges, utf8 lengths) — exact, no float
+        "profile_documents": (
+            "SELECT col, stat, CAST(value AS BIGINT) AS value FROM ("
+            "SELECT 'doc_id' AS col, 'n_rows' AS stat, COUNT(*) AS value FROM documents "
+            "UNION ALL SELECT 'doc_id', 'n_null', COUNT(*) - COUNT(doc_id) FROM documents "
+            "UNION ALL SELECT 'doc_id', 'min', MIN(doc_id) FROM documents "
+            "UNION ALL SELECT 'doc_id', 'max', MAX(doc_id) FROM documents "
+            "UNION ALL SELECT 'lang', 'n_rows', COUNT(*) FROM documents "
+            "UNION ALL SELECT 'lang', 'n_null', COUNT(*) - COUNT(lang) FROM documents "
+            "UNION ALL SELECT 'source', 'n_rows', COUNT(*) FROM documents "
+            "UNION ALL SELECT 'source', 'n_null', COUNT(*) - COUNT(source) FROM documents "
+            "UNION ALL SELECT 'text', 'n_rows', COUNT(*) FROM documents "
+            "UNION ALL SELECT 'text', 'n_null', COUNT(*) - COUNT(text) FROM documents "
+            "UNION ALL SELECT 'text', 'sum_len', SUM(length(text)) FROM documents "
+            "UNION ALL SELECT 'text', 'min_len', MIN(length(text)) FROM documents "
+            "UNION ALL SELECT 'text', 'max_len', MAX(length(text)) FROM documents"
+            ") ORDER BY col, stat"
+        ),
+        # referential-integrity audit: orphan census per FK edge
+        "ref_integrity_audit": (
+            "SELECT * FROM ("
+            "SELECT 'orders' AS fact, 'o_custkey' AS fk, 'customer' AS dim, "
+            "(SELECT COUNT(*) FROM orders) AS n_rows, "
+            "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans "
+            "UNION ALL SELECT 'lineitem', 'l_orderkey', 'orders', "
+            "(SELECT COUNT(*) FROM lineitem), "
+            "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+            "UNION ALL SELECT 'lineitem', 'l_partkey', 'part', "
+            "(SELECT COUNT(*) FROM lineitem), "
+            "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) "
+            "UNION ALL SELECT 'lineitem', 'l_suppkey', 'supplier', "
+            "(SELECT COUNT(*) FROM lineitem), "
+            "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) "
+            "UNION ALL SELECT 'events', 'user_id', 'customer', "
+            "(SELECT COUNT(*) FROM events), "
+            "(SELECT COUNT(*) FROM events e WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))"
+            ") ORDER BY fact, fk"
+        ),
+        # per-user Shannon entropy over the bounded event-type domain:
+        # exact integer counts; the <=|types|-term float sum is
+        # floor-rounded to 4 decimals on both sides (DDSketch convention)
+        "user_behavior_entropy": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "t AS (SELECT user_id, SUM(n) AS total FROM c GROUP BY 1) "
+            "SELECT c.user_id, CAST(t.total AS BIGINT) AS n_events, "
+            "floor(SUM(-(n * 1.0 / total) * ln(n * 1.0 / total)) "
+            "* 10000 + 0.5) / 10000 AS entropy "
+            "FROM c JOIN t USING (user_id) "
+            "GROUP BY c.user_id, t.total ORDER BY c.user_id"
         ),
         # incremental ER over the planted corpus converges to the SAME
         # closed-form cluster table as the batch flagship (er_clusters)

@@ -683,3 +683,80 @@ def dense_topk_orders(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         ),
         ["o_custkey", "rnk", "o_orderkey"],
     )
+
+
+def ref_integrity_audit(
+    sf_dir: str, broadcast_max_rows: int = 5_000_000
+) -> pd.DataFrame:
+    """Referential-integrity audit (the constraint-check / data-quality
+    shape next to reshape.profile_documents): for every fact -> dimension
+    foreign-key edge, count the fact rows whose key has NO match in the
+    dimension. At 100 TB this is the first query a pipeline runs after an
+    ingest drop.
+
+    Scale plan: the dimension KEY SET rides the q5 broadcast ladder —
+    below ``broadcast_max_rows`` it gathers as one sorted int64 array
+    (`gather_sorted_arrays`) probed via `sorted_int_lookup` inside
+    `map_batches`, and the fact side ships ONE (n, orphans) int partial
+    per batch; above the ceiling the orphan count comes from a
+    `left_anti` hash join on per-block-deduped sentinel keys (only 8-byte
+    keys on the exchange). Both legs are pinned equal by
+    tests/test_new_ops_r5.py with a forced tiny ceiling."""
+    import ray as _ray
+
+    from .common import gather_sorted_arrays, sorted_int_lookup
+
+    edges = (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    )
+    rows = []
+    for fact, fk, dim, key in edges:
+        dim_ds = read(sf_dir, dim, columns=[key])
+        fact_ds = read(sf_dir, fact, columns=[fk])
+        if dim_ds.count() <= broadcast_max_rows:
+            (keys_arr,) = gather_sorted_arrays(dim_ds, key)
+            ref = _ray.put(keys_arr)
+
+            def partial(batch: pa.Table, r=ref, c=fk) -> pa.Table:
+                ks = _ray.get(r)
+                probe = (
+                    batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                _, found = sorted_int_lookup(
+                    ks, np.zeros(len(ks), np.int64), probe
+                )
+                return pa.table(
+                    {
+                        "n": pa.array([len(probe)], type=pa.int64()),
+                        "orphans": pa.array(
+                            [int(len(probe) - found.sum())], type=pa.int64()
+                        ),
+                    }
+                )
+
+            parts = fact_ds.map_batches(
+                partial, batch_format="pyarrow"
+            ).to_pandas()
+            n_rows, n_orphans = int(parts["n"].sum()), int(
+                parts["orphans"].sum()
+            )
+        else:  # join leg: anti-join count, keys only on the exchange
+            n_rows = fact_ds.count()
+            n_orphans = (
+                fact_ds.join(
+                    keys_with_sentinel(dim_ds, key, dst_col="__dk", dedup=True),
+                    join_type="left_anti",
+                    num_partitions=join_partitions(),
+                    on=(fk,),
+                    right_on=("__dk",),
+                ).count()
+            )
+        rows.append((fact, fk, dim, n_rows, n_orphans))
+    out = pd.DataFrame(
+        rows, columns=["fact", "fk", "dim", "n_rows", "n_orphans"]
+    ).astype({"n_rows": "int64", "n_orphans": "int64"})
+    return out.sort_values(["fact", "fk"]).reset_index(drop=True)

@@ -697,3 +697,69 @@ def quantile_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_returnflag")
         .reset_index(drop=True)
     )
+
+
+def profile_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deequ-style data-profiling audit of the documents table: per-column
+    completeness and range stats as long-form (col, stat, value) rows —
+    the schema-drift / data-quality census every ingestion pipeline runs
+    before trusting a 100 TB drop.
+
+    Scale pattern: each batch emits ~11 integer partial rows (n_rows,
+    n_null per column; min/max id; utf8-length sum/min/max), the shuffle
+    carries only those partials into a bounded (col, stat) groupby, and a
+    driver-tiny finisher picks the right fold (sum vs min vs max) per
+    stat. All values are exact int64 — no float anywhere in the hash."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    cols = ("doc_id", "lang", "source", "text")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows: list[tuple[str, str, int]] = []
+        n = batch.num_rows
+        for c in cols:
+            rows.append((c, "n_rows", n))
+            rows.append((c, "n_null", batch[c].null_count))
+        ids = batch["doc_id"].drop_null()
+        if len(ids):
+            rows.append(("doc_id", "min", pc.min(ids).as_py()))
+            rows.append(("doc_id", "max", pc.max(ids).as_py()))
+        tl = pc.utf8_length(batch["text"]).drop_null()
+        if len(tl):
+            rows.append(("text", "sum_len", pc.sum(tl).as_py()))
+            rows.append(("text", "min_len", pc.min(tl).as_py()))
+            rows.append(("text", "max_len", pc.max(tl).as_py()))
+        return pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], type=pa.string()),
+                "stat": pa.array([r[1] for r in rows], type=pa.string()),
+                "value": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        read(sf_dir, "documents", columns=list(cols))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["col", "stat"])
+        .aggregate(
+            Sum("value", alias_name="v_sum"),
+            Min("value", alias_name="v_min"),
+            Max("value", alias_name="v_max"),
+        )
+        .to_pandas()
+    )
+    pick = {
+        "n_rows": "v_sum",
+        "n_null": "v_sum",
+        "sum_len": "v_sum",
+        "min": "v_min",
+        "min_len": "v_min",
+        "max": "v_max",
+        "max_len": "v_max",
+    }
+    merged["value"] = [
+        int(r[pick[r["stat"]]]) for _, r in merged.iterrows()
+    ]
+    out = merged[["col", "stat", "value"]].astype({"value": "int64"})
+    return out.sort_values(["col", "stat"]).reset_index(drop=True)

@@ -722,3 +722,64 @@ def session_spans(sf_dir: str) -> ray.data.Dataset:
         )
     )
     return canonical_sort(out, ["user_id", "session_idx"])
+
+
+def user_behavior_entropy(
+    sf_dir: str, events: "ray.data.Dataset | None" = None
+) -> ray.data.Dataset:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity statistic next to event_transitions' Markov
+    census (uniform clickers score ln(5), single-action bots score 0).
+
+    Scale plan: per-batch (user, type, n) combiner partials -> one
+    groupby over the bounded (user x |types|) domain -> per-user fold of
+    at most |types| rows inside `map_groups`. The entropy itself is a
+    <=|types|-term float64 sum over EXACT integer counts, floor-rounded
+    to 4 decimals on both sides (the value_quantiles_dd convention: the
+    rounding absorbs sub-ulp cross-engine summation differences)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["n"].to_numpy(np.float64)
+        # deterministic term order: sort by event_type so both the Ray
+        # fold and any replica sum in one canonical order
+        c = c[np.argsort(g["event_type"].to_numpy())]
+        total = c.sum()
+        p = c / total
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [int(total)],
+                "entropy": [np.floor(h * 10000 + 0.5) / 10000],
+            }
+        )
+
+    ds = (
+        events
+        if events is not None
+        else read(sf_dir, "events", columns=["user_id", "event_type"])
+    )
+    return canonical_sort(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("user_id")
+        .map_groups(entropy, batch_format="pandas"),
+        ["user_id"],
+    )

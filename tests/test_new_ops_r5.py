@@ -1,0 +1,106 @@
+"""Pins for the round-5 data-quality / profiling family:
+profile_documents, ref_integrity_audit (broadcast vs join-leg parity),
+user_behavior_entropy (edge semantics). Value certification runs through
+oracle_sql(); these pin ladders and edge cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from dedupe_rust_ray.pipelines.joins import ref_integrity_audit
+from dedupe_rust_ray.pipelines.reshape import profile_documents
+from dedupe_rust_ray.pipelines.sessions import user_behavior_entropy
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ref_integrity_audit_ladder_parity():
+    """Forced tiny ceiling routes EVERY dimension through the left_anti
+    join leg — results must match the broadcast leg bit-for-bit."""
+    bcast = ref_integrity_audit(SF)
+    joined = ref_integrity_audit(SF, broadcast_max_rows=0)
+    assert bcast.equals(joined)
+
+
+def test_ref_integrity_audit_counts_known_orphans():
+    """Synthetic check against a local replica: the audit's orphan count
+    equals the set-difference cardinality for every edge."""
+    out = ref_integrity_audit(SF).set_index(["fact", "fk"])
+    tables = {
+        t: pq.read_table(f"{SF}/{t}.parquet")
+        for t in ("orders", "customer", "lineitem", "part", "supplier", "events")
+    }
+    for fact, fk, dim, key in (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ):
+        probe = tables[fact][fk].to_numpy()
+        keys = set(tables[dim][key].to_pylist())
+        expected = int(sum(1 for v in probe if int(v) not in keys))
+        row = out.loc[(fact, fk)]
+        assert int(row["n_rows"]) == len(probe)
+        assert int(row["n_orphans"]) == expected
+
+
+def test_profile_documents_matches_local_replica():
+    out = profile_documents(SF).set_index(["col", "stat"])["value"]
+    t = pq.read_table(f"{SF}/documents.parquet")
+    n = t.num_rows
+    texts = t["text"].to_pylist()
+    lens = [len(x) for x in texts if x is not None]
+    ids = t["doc_id"].to_numpy()
+    assert out[("doc_id", "n_rows")] == n
+    assert out[("doc_id", "min")] == ids.min()
+    assert out[("doc_id", "max")] == ids.max()
+    assert out[("text", "sum_len")] == sum(lens)
+    assert out[("text", "min_len")] == min(lens)
+    assert out[("text", "max_len")] == max(lens)
+    assert out[("lang", "n_null")] == t["lang"].null_count
+
+
+def test_user_behavior_entropy_edges():
+    df = user_behavior_entropy(SF).to_pandas()
+    # entropy bounds: 0 <= H <= ln(|types|); -0.0 never leaks
+    assert (df["entropy"] >= 0).all()
+    assert (df["entropy"] <= np.log(5) + 1e-9).all()
+    assert not np.signbit(df["entropy"].to_numpy()).any()
+    # replica on one user
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"]).to_pandas()
+    uid = int(df["user_id"].iloc[0])
+    c = ev[ev["user_id"] == uid]["event_type"].value_counts().sort_index().to_numpy(np.float64)
+    p = c / c.sum()
+    h = float(-(p * np.log(p)).sum())
+    assert df.set_index("user_id").loc[uid, "entropy"] == np.floor(h * 10000 + 0.5) / 10000
+    assert int(df.set_index("user_id").loc[uid, "n_events"]) == int(c.sum())
+
+
+def test_user_behavior_entropy_single_type_user_is_zero():
+    """A user with exactly one event type must score exactly 0.0 (the
+    -0.0 / ln(1) edge) through the REAL fold; a 4:1 user must match the
+    closed form."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 9, 9, 9, 9, 9], type=pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "click",
+                 "click", "click", "click", "click", "view"]
+            ),
+        }
+    )
+    out = (
+        user_behavior_entropy("", events=ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[7, "entropy"] == 0.0
+    assert not np.signbit(out.loc[7, "entropy"])
+    p = np.array([4 / 5, 1 / 5])
+    h = float(-(p * np.log(p)).sum())
+    assert out.loc[9, "entropy"] == np.floor(h * 10000 + 0.5) / 10000
