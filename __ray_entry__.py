@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_intersect": sessions.user_retention_intersect,
         # round-5 data-quality / profiling family
         "profile_documents": reshape.profile_documents,
+        "mad_quantity_by_flag": reshape.mad_quantity_by_flag,
         "ref_integrity_audit": joins.ref_integrity_audit,
         "user_behavior_entropy": sessions.user_behavior_entropy,
     }
@@ -538,6 +539,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'text', 'min_len', MIN(length(text)) FROM documents "
             "UNION ALL SELECT 'text', 'max_len', MAX(length(text)) FROM documents"
             ") ORDER BY col, stat"
+        ),
+        # robust statistics: grouped median absolute deviation — integer
+        # domain keeps both weighted medians on the exact 0.5 grid, so
+        # the float comparison is bit-exact vs DuckDB mad()/median()
+        "mad_quantity_by_flag": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "median(l_quantity) AS median_qty, mad(l_quantity) AS mad_qty "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         # referential-integrity audit: orphan census per FK edge
         "ref_integrity_audit": (

@@ -763,3 +763,69 @@ def profile_documents(sf_dir: str) -> ray.data.Dataset:
     ]
     out = merged[["col", "stat", "value"]].astype({"value": "int64"})
     return out.sort_values(["col", "stat"]).reset_index(drop=True)
+
+
+def mad_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Robust statistics: per-group MEDIAN ABSOLUTE DEVIATION of
+    ``l_quantity`` by ``l_returnflag`` (the outlier-resistant spread
+    measure next to corr's moments) — two exact weighted medians read off
+    ONE bounded-domain count histogram, never a per-group sort.
+
+    Exactness: quantities are integers, so the continuous median is on
+    the exact 0.5 grid, deviations |v - med| are exact halves, and the
+    second median's interpolation fractions are again {0, 0.5} — every
+    value bit-matches DuckDB's ``mad()`` / ``median()`` in float64."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "qty"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counts = (
+        read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()  # bounded: |flags| x |quantities|
+    )
+
+    def wmedian(vals: np.ndarray, wts: np.ndarray) -> float:
+        order = np.argsort(vals)
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        n = int(cum[-1])
+        h = 0.5 * (n - 1)
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        v_lo = vals[np.searchsorted(cum, lo, side="right")]
+        v_hi = vals[np.searchsorted(cum, hi, side="right")]
+        return float(v_lo + (h - lo) * (v_hi - v_lo))
+
+    rows = []
+    for flag, g in counts.groupby("l_returnflag"):
+        vals = g["qty"].to_numpy(np.float64)
+        wts = g["n_rows"].to_numpy(np.int64)
+        med = wmedian(vals, wts)
+        mad = wmedian(np.abs(vals - med), wts)
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n_rows": int(wts.sum()),
+                "median_qty": med,
+                "mad_qty": mad,
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"n_rows": "int64"})
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )

@@ -62,6 +62,31 @@ def test_profile_documents_matches_local_replica():
     assert out[("lang", "n_null")] == t["lang"].null_count
 
 
+def test_mad_matches_numpy_replica():
+    """Grouped MAD from the histogram equals the brute-force two-median
+    replica (even AND odd group sizes at fixture scale)."""
+    from dedupe_rust_ray.pipelines.reshape import mad_quantity_by_flag
+
+    out = mad_quantity_by_flag(SF).set_index("l_returnflag")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+
+    def qcont(a, q):
+        a = np.sort(np.asarray(a, float))
+        h = q * (len(a) - 1)
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        return a[lo] + (h - lo) * (a[hi] - a[lo])
+
+    for flag, g in li.groupby("l_returnflag"):
+        v = g["l_quantity"].to_numpy(float)
+        med = qcont(v, 0.5)
+        mad = qcont(np.abs(v - med), 0.5)
+        assert out.loc[flag, "median_qty"] == med
+        assert out.loc[flag, "mad_qty"] == mad
+        assert int(out.loc[flag, "n_rows"]) == len(v)
+
+
 def test_user_behavior_entropy_edges():
     df = user_behavior_entropy(SF).to_pandas()
     # entropy bounds: 0 <= H <= ln(|types|); -0.0 never leaks
