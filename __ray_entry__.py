@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er_clusters,
         "file_dedupe": filededupe.file_dedupe_query,
         "graph_components": graph.graph_components,
+        "copurchase_triangles": graph.triangle_count,
+        "pagerank_parts": graph.pagerank_parts,
         # --- multimodal (SQL-oracled) ---
         "media_dims_census": multimodal.media_dims_census,
         "media_decode_summary": multimodal.media_decode_summary,
@@ -400,6 +402,50 @@ def _lang_id_sql() -> str:
         " WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS pred_lang FROM h) "
         "SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM p "
         "GROUP BY pred_lang ORDER BY pred_lang"
+    )
+
+
+_COPART_EDGES_SQL = (
+    # distinct co-purchase edges (a < b) over part keys, the shared graph
+    # of pipelines/graph.triangle_count / pagerank_parts (min_quantity=40)
+    "pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    " FROM lineitem WHERE l_quantity >= 40), "
+    "ue AS (SELECT a.p AS a, b.p AS b FROM pe a JOIN pe b "
+    " ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)"
+)
+
+
+def _pagerank_sql(iterations: int = 5, k: int = 20) -> str:
+    """Unrolled-CTE DuckDB mirror of pipelines/graph.pagerank_parts: the
+    SAME int64 fixed-point arithmetic (SCALE 1e9, damping 85/100, floor
+    division — all values positive so DuckDB's truncating ``//`` equals
+    numpy's floor ``//``), one CTE per synchronous iteration. Constants
+    are imported from the pipeline module so the two sides cannot drift."""
+    from dedupe_rust_ray.pipelines.graph import (
+        _PR_BASE,
+        _PR_DAMP_DEN,
+        _PR_DAMP_NUM,
+        _PR_SCALE,
+    )
+
+    sql = (
+        f"WITH {_COPART_EDGES_SQL}, "
+        "de AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue), "
+        "deg AS (SELECT a AS node, COUNT(*) AS d FROM de GROUP BY a), "
+        f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"
+    )
+    for i in range(iterations):
+        sql += (
+            f", r{i + 1} AS (SELECT de.b AS node, "
+            f"CAST({_PR_BASE} + ({_PR_DAMP_NUM} * SUM(r{i}.r // deg.d)) "
+            f" // {_PR_DAMP_DEN} AS BIGINT) AS r "
+            f"FROM de JOIN r{i} ON de.a = r{i}.node "
+            f"JOIN deg ON de.a = deg.node GROUP BY de.b)"
+        )
+    return (
+        sql
+        + f" SELECT node, r AS rank_scaled FROM r{iterations} "
+        f"ORDER BY rank_scaled DESC, node LIMIT {k}"
     )
 
 
@@ -970,6 +1016,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(label) AS BIGINT) AS comp "
             "FROM lp GROUP BY node ORDER BY node"
         ),
+        # exact triangle census of the co-purchase graph — the SQL side is
+        # the textbook 3-way ordered self-join; the Ray side is the
+        # degree-oriented wedge join (orientation-invariant count)
+        "copurchase_triangles": (
+            f"WITH {_COPART_EDGES_SQL} "
+            "SELECT CAST((SELECT COUNT(*) FROM "
+            " (SELECT a FROM ue UNION SELECT b FROM ue)) AS BIGINT) "
+            " AS n_nodes, "
+            "CAST((SELECT COUNT(*) FROM ue) AS BIGINT) AS n_edges, "
+            "CAST((SELECT COUNT(*) FROM ue e1 "
+            " JOIN ue e2 ON e1.b = e2.a "
+            " JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) "
+            " AS n_triangles"
+        ),
+        "pagerank_parts": _pagerank_sql(),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, lang, unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok "
