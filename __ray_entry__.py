@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         filededupe,
         graph,
         joins,
+        mining,
         multimodal,
         relational,
         reshape,
@@ -179,8 +180,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": er_clusters,
         "file_dedupe": filededupe.file_dedupe_query,
         "graph_components": graph.graph_components,
-        "copurchase_triangles": graph.triangle_count,
-        "pagerank_parts": graph.pagerank_parts,
         # --- multimodal (SQL-oracled) ---
         "media_dims_census": multimodal.media_dims_census,
         "media_decode_summary": multimodal.media_decode_summary,
@@ -253,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (everything below is either rows-only + pytest-pinned, or was
         # hash-green in an earlier driver round / the local sweeps — and
         # keeps its oracle_sql entry for scripts/check_oracle.py)
+        "copurchase_triangles": graph.triangle_count,
+        "pagerank_parts": graph.pagerank_parts,
         "q15_top_supplier": relational.q15_top_supplier,
         "census_by_lang": analytics.census_by_lang,
         "summary_stats": analytics.summary_stats,
@@ -350,6 +351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_quantity_by_flag": reshape.mad_quantity_by_flag,
         "ref_integrity_audit": joins.ref_integrity_audit,
         "user_behavior_entropy": sessions.user_behavior_entropy,
+        # round-5 mining / link-prediction / concentration / range-search
+        "part_association_rules": mining.part_association_rules,
+        "part_common_neighbors": mining.part_common_neighbors,
+        "gini_quantity_by_flag": reshape.gini_quantity_by_flag,
+        "embedding_range_search": similarity.embedding_range_search,
     }
 
 
@@ -1773,6 +1779,76 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_second AS BIGINT) AS n_events_second "
             "FROM u WHERE n_first > 0 AND n_second > 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # market-basket association rules: the SQL side re-derives pair /
+        # item supports and the basket count from the same basket
+        # relation; confidence and lift are the identical 1e6-scaled
+        # int64 floor divisions (all positive -> // agrees across
+        # engines)
+        "part_association_rules": (
+            "WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            " FROM lineitem WHERE l_quantity >= 40), "
+            "pc AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS supp "
+            " FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+            "si AS (SELECT p, COUNT(*) AS s FROM pe GROUP BY p), "
+            "nb AS (SELECT COUNT(DISTINCT o) AS n FROM pe), "
+            "dr AS (SELECT a AS ant, b AS cons, supp FROM pc "
+            " UNION ALL SELECT b, a, supp FROM pc) "
+            "SELECT ant AS antecedent, cons AS consequent, "
+            "CAST(supp AS BIGINT) AS support, "
+            "CAST((1000000 * supp) // sa.s AS BIGINT) AS conf_scaled, "
+            "CAST((1000000 * supp * nb.n) // (sa.s * sb.s) AS BIGINT) "
+            " AS lift_scaled "
+            "FROM dr JOIN si sa ON dr.ant = sa.p "
+            "JOIN si sb ON dr.cons = sb.p, nb "
+            "WHERE supp >= 1 "
+            "ORDER BY lift_scaled DESC, conf_scaled DESC, "
+            " antecedent, consequent"
+        ),
+        # common-neighbor link prediction: wedges enumerated as a 2-way
+        # self-join at the shared center; jaccard is the same 1e6-scaled
+        # floor division over inclusion-exclusion degrees
+        "part_common_neighbors": (
+            f"WITH {_COPART_EDGES_SQL}, "
+            "de AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue), "
+            "deg AS (SELECT a AS node, COUNT(*) AS d FROM de GROUP BY a), "
+            "cn AS (SELECT e1.b AS x, e2.b AS y, COUNT(*) AS nc "
+            " FROM de e1 JOIN de e2 ON e1.a = e2.a AND e1.b < e2.b "
+            " GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT x AS part_a, y AS part_b, CAST(nc AS BIGINT) AS n_common, "
+            "CAST((1000000 * nc) // (dx.d + dy.d - nc) AS BIGINT) "
+            " AS jaccard_scaled "
+            "FROM cn JOIN deg dx ON cn.x = dx.node "
+            "JOIN deg dy ON cn.y = dy.node "
+            "ORDER BY part_a, part_b"
+        ),
+        # per-group Gini concentration: rank-sum closed form over the
+        # sorted values — ROW_NUMBER ties are harmless (equal values make
+        # the tie block's rank-sum permutation-invariant); HUGEINT holds
+        # the Θ(n²·v̄) rank sum where the pipeline uses Python ints
+        "gini_quantity_by_flag": (
+            "WITH q AS (SELECT l_returnflag AS flag, "
+            " CAST(l_quantity AS BIGINT) AS v FROM lineitem), "
+            "r AS (SELECT flag, v, ROW_NUMBER() OVER "
+            " (PARTITION BY flag ORDER BY v) AS i FROM q), "
+            "s AS (SELECT flag, COUNT(*) AS n, SUM(v) AS t, "
+            " SUM(CAST(i AS HUGEINT) * v) AS s1 FROM r GROUP BY flag) "
+            "SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(t AS BIGINT) AS sum_qty, "
+            "CAST((1000000 * (2 * s1 - (n + 1) * t)) "
+            " // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_scaled "
+            "FROM s ORDER BY l_returnflag"
+        ),
+        # radius search mirrors embedding_cosine_pairs' threshold-on-
+        # unrounded-cosine convention, asymmetric around the query set
+        "embedding_range_search": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            " FROM embeddings) "
+            "SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, "
+            "ROUND(list_cosine_similarity(q.v, t.v), 4) AS cos_sim "
+            "FROM e q JOIN e t ON q.vec_id < 10 AND t.vec_id <> q.vec_id "
+            "WHERE list_cosine_similarity(q.v, t.v) >= 0.3 "
+            "ORDER BY query_id, neighbor_id"
         ),
         # minhash_lsh_dedup, simhash_near_dups, knn_lsh, fingerprint_dedup,
         # semdedup, embedding_clusters (iterative k-means), unigram_logprob

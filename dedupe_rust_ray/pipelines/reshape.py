@@ -829,3 +829,67 @@ def mad_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_returnflag")
         .reset_index(drop=True)
     )
+
+
+def gini_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Concentration statistics: per-group GINI COEFFICIENT of
+    ``l_quantity`` by ``l_returnflag`` (the inequality measure next to
+    mad's spread and corr's moments), emitted as a ``1e6``-scaled int64.
+
+    Closed form off the SAME bounded-domain count histogram
+    mad_quantity_by_flag folds — for sorted values the Gini is
+    ``(2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` and a tie block of value v with
+    count c starting after cumulative rank s contributes
+    ``v·(c·s + c·(c+1)/2)`` to the rank sum, so no per-group sort exists
+    at any scale. The finisher runs exact arbitrary-precision Python
+    integers (the rank sum is Θ(n²·v̄), past int64 at ~sf30); the SQL
+    mirror uses HUGEINT. Both floor-divide a non-negative numerator
+    (Chebyshev's sum inequality guarantees 2·Σi·x_(i) ≥ (n+1)·Σx), so
+    Python ``//`` and DuckDB ``//`` agree."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "qty"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counts = (
+        read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()  # bounded: |flags| x |quantities|
+    )
+    rows = []
+    for flag, g in counts.sort_values("qty").groupby("l_returnflag"):
+        v = [int(x) for x in g["qty"]]
+        c = [int(x) for x in g["n_rows"]]
+        n = sum(c)
+        total = sum(vi * ci for vi, ci in zip(v, c))
+        rank_sum, cum = 0, 0
+        for vi, ci in zip(v, c):
+            rank_sum += vi * (ci * cum + ci * (ci + 1) // 2)
+            cum += ci
+        gini = (1_000_000 * (2 * rank_sum - (n + 1) * total)) // (n * total)
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n_rows": n,
+                "sum_qty": total,
+                "gini_scaled": gini,
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype({"n_rows": "int64", "sum_qty": "int64", "gini_scaled": "int64"})
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )

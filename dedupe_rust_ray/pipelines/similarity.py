@@ -504,3 +504,45 @@ def knn_ivf_planted(
         embs=planted_onehot_embeddings(sf_dir),
         queries=_planted_queries(n_queries),
     )
+
+
+def embedding_range_search(
+    sf_dir: str, n_queries: int = 10, threshold: float = 0.3
+) -> pd.DataFrame:
+    """Radius (range) similarity search — the fixed-threshold complement
+    of knn_topk's fixed-k contract: ALL vectors within cosine >=
+    ``threshold`` of each query (vec_id < ``n_queries``), self excluded.
+    Columns: query_id, neighbor_id, cos_sim (4-decimal).
+
+    Scale plan: this is the one similarity shape with NO merge step at
+    all — each batch matmuls against the broadcast normalized query
+    matrix and emits its qualifying rows; the result streams straight out
+    (output is bounded by the radius, not by candidate fan-in). The
+    threshold compares the UNROUNDED float64 cosine, mirroring the
+    embedding_cosine_pairs oracle convention."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    ref = ray.put((qids, Q))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        _qids, _Q = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        from ..stages.codec import list_col_matrix
+
+        V = list_col_matrix(batch["embedding"])
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = _Q @ V.T  # (n_queries, batch)
+        qi, vi = np.nonzero((S >= threshold) & (_qids[:, None] != ids[None, :]))
+        return pa.table(
+            {
+                "query_id": pa.array(_qids[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[vi], type=pa.int64()),
+                "cos_sim": pa.array(np.round(S[qi, vi], 4), type=pa.float64()),
+            }
+        )
+
+    out = (
+        read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "neighbor_id"], ignore_index=True)

@@ -1,0 +1,191 @@
+"""Mining / link-prediction / concentration / range-search operators
+(pipelines/mining.py, reshape.gini_quantity_by_flag,
+similarity.embedding_range_search): registered-oracle comparison at
+sf0.001, dual-plan parity with forced-zero gates, and closed-form pins
+on hand-built inputs."""
+
+import importlib.util
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_for_mining_tests", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("lineitem", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "part_association_rules",
+        "part_common_neighbors",
+        "gini_quantity_by_flag",
+        "embedding_range_search",
+    ],
+)
+def test_mining_query_matches_registered_oracle(name):
+    mod = _entry_module()
+    got = mod.queries()[name](SF).reset_index(drop=True)
+    want = _duck(mod.oracle_sql()[name])
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols, ignore_index=True)
+    want = want[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_association_rules_dual_plan_parity():
+    from dedupe_rust_ray.pipelines.mining import part_association_rules
+
+    fast = part_association_rules(SF)
+    dist = part_association_rules(SF, driver_max_rows=0)
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_common_neighbors_dual_plan_parity():
+    from dedupe_rust_ray.pipelines.mining import part_common_neighbors
+
+    fast = part_common_neighbors(SF)
+    dist = part_common_neighbors(SF, driver_max_edges=0)
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def _write_lineitem(tmp_path, orders_to_parts) -> str:
+    rows_o, rows_p = [], []
+    for o, parts in orders_to_parts.items():
+        for p in parts:
+            rows_o.append(o)
+            rows_p.append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows_o, pa.int64()),
+                "l_partkey": pa.array(rows_p, pa.int64()),
+                "l_quantity": pa.array([50.0] * len(rows_o), pa.float64()),
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_association_rules_closed_form(tmp_path):
+    """3 baskets: {1,2} twice and {1,3} once. supp(1)=3, supp(2)=2,
+    supp(3)=1, N=3. Rule 1->2: support 2, conf 2/3, lift 2*3/(3*2)=1.
+    Rule 2->1: conf 1, lift 1. Rule 1->3: conf 1/3, lift 1. Rule 3->1:
+    conf 1, lift 1. A duplicate lineitem row of an existing (o, p) must
+    not change any support."""
+    from dedupe_rust_ray.pipelines.mining import part_association_rules
+
+    sf = _write_lineitem(tmp_path, {10: [1, 2], 11: [1, 2, 2], 12: [1, 3]})
+    got = part_association_rules(sf)
+    want = {
+        (1, 2): (2, 666_666, 1_000_000),
+        (2, 1): (2, 1_000_000, 1_000_000),
+        (1, 3): (1, 333_333, 1_000_000),
+        (3, 1): (1, 1_000_000, 1_000_000),
+    }
+    assert len(got) == 4
+    for r in got.itertuples():
+        assert want[(r.antecedent, r.consequent)] == (
+            r.support,
+            r.conf_scaled,
+            r.lift_scaled,
+        )
+    dist = part_association_rules(sf, driver_max_rows=0)
+    pd.testing.assert_frame_equal(got, dist)
+
+
+def test_common_neighbors_closed_form(tmp_path):
+    """Star baskets {c, x} for x in 1..3 plus basket {1, 2}: parts 1 and 2
+    share neighbor c AND each other... common neighbors of (1,2) = {c}
+    only (adjacency is not common-neighborhood), so with min_common=1 the
+    pair list is exactly the leaf pairs through c. Jaccard(1,2) =
+    1 // (2 + 2 - 1) scaled."""
+    from dedupe_rust_ray.pipelines.mining import part_common_neighbors
+
+    sf = _write_lineitem(
+        tmp_path, {1: [100, 1], 2: [100, 2], 3: [100, 3], 4: [1, 2]}
+    )
+    got = part_common_neighbors(sf, min_common=1)
+    # leaf pairs through c=100: (1,2), (1,3), (2,3); plus wedges through
+    # 1 and 2 (each has neighbors {100, other-leaf}): (2,100) via 1,
+    # (1,100) via 2 -> pairs (100 sorted after leaves): (1,100), (2,100)
+    pairs = set(zip(got["part_a"], got["part_b"]))
+    assert pairs == {(1, 2), (1, 3), (2, 3), (1, 100), (2, 100)}
+    row12 = got[(got["part_a"] == 1) & (got["part_b"] == 2)].iloc[0]
+    # deg(1)=2 (100, 2), deg(2)=2 (100, 1), common={100}
+    assert row12["n_common"] == 1
+    assert row12["jaccard_scaled"] == 1_000_000 // 3
+    dist = part_common_neighbors(sf, min_common=1, driver_max_edges=0)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+
+
+def test_gini_closed_form(tmp_path):
+    """Equal values => Gini 0; values [1, 0-like spread] pin the rank-sum
+    formula: flag A = [5, 5, 5] -> 0; flag B = [1, 9] -> G = (2*(1*1+2*9)
+    - 3*10) / (2*10) = 8/20 = 0.4 -> 400000 scaled."""
+    from dedupe_rust_ray.pipelines.reshape import gini_quantity_by_flag
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A", "A", "A", "B", "B"]),
+                "l_quantity": pa.array([5.0, 5.0, 5.0, 1.0, 9.0]),
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    got = gini_quantity_by_flag(str(tmp_path))
+    assert got.to_dict("records") == [
+        {"l_returnflag": "A", "n_rows": 3, "sum_qty": 15, "gini_scaled": 0},
+        {"l_returnflag": "B", "n_rows": 2, "sum_qty": 10,
+         "gini_scaled": 400_000},
+    ]
+
+
+def test_range_search_matches_brute_force():
+    """Every emitted neighbor is >= threshold against the full matrix and
+    every qualifying vector is emitted (completeness both ways)."""
+    from dedupe_rust_ray.pipelines.similarity import embedding_range_search
+
+    got = embedding_range_search(SF, n_queries=5, threshold=0.3)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    from dedupe_rust_ray.stages.codec import list_col_matrix
+
+    V = list_col_matrix(t["embedding"])
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    qmask = ids < 5
+    S = V[qmask] @ V.T
+    qi, vi = np.nonzero((S >= 0.3) & (ids[qmask][:, None] != ids[None, :]))
+    want = pd.DataFrame(
+        {
+            "query_id": ids[qmask][qi].astype(np.int64),
+            "neighbor_id": ids[vi].astype(np.int64),
+            "cos_sim": np.round(S[qi, vi], 4),
+        }
+    ).sort_values(["query_id", "neighbor_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
