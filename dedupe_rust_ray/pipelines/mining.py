@@ -305,12 +305,15 @@ def part_common_neighbors(
     scored ``jaccard_scaled = _SCALE * |N(a) ∩ N(b)| //
     (deg(a) + deg(b) - |N(a) ∩ N(b)|)``. Ordered by part_a, part_b.
 
-    Plan: every wedge (x - c - y) is enumerated at its center ``c``
-    (center-hash shard co-location + the ER candidate kernel), the wedge
-    relation pre-combines per shard, one (x, y) groupby folds the global
-    common-neighbor counts, and degrees attach via the graph.py dual plan
-    (driver searchsorted probe under the gate, co-partitioned joins
-    above)."""
+    Plan: every wedge (x - c - y) is enumerated at its center ``c``.
+    Below ``driver_max_edges`` the whole fold (wedges, counts, degrees)
+    is ONE in-process numpy kernel over the gathered 16-byte edge set —
+    the triangle_count exchange-elision shape (each wedge/degree exchange
+    costs seconds of fixed barrier scheduling at suite scale vs sub-ms
+    compute). Above the gate, center-hash shard co-location + the ER
+    candidate kernel pre-combine the wedge relation per shard, one
+    (x, y) groupby folds the global common-neighbor counts, and degrees
+    attach via co-partitioned joins; tests pin the legs equal."""
     edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity, n_shards))
     m = edges.count()
     empty = pd.DataFrame(
@@ -323,6 +326,33 @@ def part_common_neighbors(
     )
     if m == 0:
         return empty
+    if m <= driver_max_edges:
+        a, b = _gather_edge_arrays(edges)
+        c = np.r_[a, b]  # wedge centers (adjacency, both directions)
+        v = np.r_[b, a]
+        order = np.argsort(c, kind="stable")
+        c, v = c[order], v[order]
+        ia, ib = local_candidate_pairs(c)
+        out = empty
+        if len(ia):
+            x = np.minimum(v[ia], v[ib])
+            y = np.maximum(v[ia], v[ib])
+            e, nc = np.unique(np.stack([x, y], axis=1), axis=0, return_counts=True)
+            keep = nc >= min_common
+            if keep.any():
+                x, y, nc = e[keep, 0], e[keep, 1], nc[keep].astype(np.int64)
+                dn, dd = np.unique(np.r_[a, b], return_counts=True)
+                dx = dd[np.searchsorted(dn, x)].astype(np.int64)
+                dy = dd[np.searchsorted(dn, y)].astype(np.int64)
+                out = pd.DataFrame(
+                    {
+                        "part_a": x,
+                        "part_b": y,
+                        "n_common": nc,
+                        "jaccard_scaled": (_SCALE * nc) // (dx + dy - nc),
+                    }
+                ).astype(np.int64)
+        return out.sort_values(["part_a", "part_b"], ignore_index=True)
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
@@ -371,60 +401,37 @@ def part_common_neighbors(
     if n_strong == 0:
         return empty
     deg = _drop_empty_blocks(_degree_ds(edges))
-    if m <= driver_max_edges:
-        parts = [t for t in ray.get(strong.to_arrow_refs()) if t.num_rows]
-        t = pa.concat_tables(parts)
-        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dparts = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
-        dt = pa.concat_tables(dparts)
-        dn = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dd = dt["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(dn)
-        dn, dd = dn[order], dd[order]
-        dx = dd[np.searchsorted(dn, x)]
-        dy = dd[np.searchsorted(dn, y)]
-        out = pd.DataFrame(
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(2, min(64, max(m // 250_000, 8), cpus))
+    joined = strong.join(
+        _renamed(deg, {"node": "x", "d": "dx"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("x",),
+    ).join(
+        _renamed(deg, {"node": "y", "d": "dy"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("y",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = batch["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = batch["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
                 "part_a": x,
                 "part_b": y,
                 "n_common": nc,
                 "jaccard_scaled": (_SCALE * nc) // (dx + dy - nc),
             }
-        ).astype(np.int64)
-    else:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:  # noqa: BLE001
-            cpus = 8
-        num_partitions = max(2, min(64, max(m // 250_000, 8), cpus))
-        joined = strong.join(
-            _renamed(deg, {"node": "x", "d": "dx"}),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("x",),
-        ).join(
-            _renamed(deg, {"node": "y", "d": "dy"}),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("y",),
         )
 
-        def finish(batch: pa.Table) -> pa.Table:
-            x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-            y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-            nc = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dx = batch["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dy = batch["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {
-                    "part_a": x,
-                    "part_b": y,
-                    "n_common": nc,
-                    "jaccard_scaled": (_SCALE * nc) // (dx + dy - nc),
-                }
-            )
-
-        out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
     return out.sort_values(["part_a", "part_b"], ignore_index=True)
