@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_census": reshape.rollup_census,
         "corr_quantity_price": reshape.corr_quantity_price,
         "spans_census": analytics.spans_census,
+        "span_sequence_census": analytics.span_sequence_census,
         "pivot_lang_by_source": reshape.pivot_lang_by_source,
         "census_by_source": analytics.census_by_source,
         "dup_group_sizes": analytics.dup_group_sizes,
@@ -1398,6 +1399,19 @@ def oracle_sql() -> dict[str, str]:
             "   AS BIGINT), "
             "  CAST(SUM(length(t) * mult) AS BIGINT) FROM d"
             ") ORDER BY kind"
+        ),
+        # span-ORDER invariant census: the builder emits min(len, 3) text
+        # thirds + one trailing media span (near-dups copy the structure),
+        # so every doc must fold to order_ok=1 / media_last=1 with
+        # n_text_spans closed-form in text length
+        "span_sequence_census": (
+            "WITH d AS (SELECT LEAST(length(COALESCE(text, '')), 3) AS nt, "
+            " CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+            "  AS mult FROM documents) "
+            "SELECT CAST(nt AS BIGINT) AS n_text_spans, "
+            "CAST(1 AS BIGINT) AS order_ok, CAST(1 AS BIGINT) AS media_last, "
+            "CAST(SUM(mult) AS BIGINT) AS n_docs "
+            "FROM d GROUP BY nt ORDER BY n_text_spans"
         ),
         "dedup_spans": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr "

@@ -933,6 +933,82 @@ def spans_census(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def span_sequence_census(sf_dir: str) -> pd.DataFrame:
+    """Per-document SPAN-SEQUENCE signature census of the interleaved
+    corpus — the value oracle for the input_hint's per-row invariant
+    (span-sequence equality: kind + order): for every document the
+    operator checks, from the NESTED spans column itself, that span
+    ``offset`` fields are exactly 0..n-1 in list order (``order_ok``)
+    and that the kind sequence is text* plus ONE trailing media span
+    (``media_last``), then folds a census by
+    (n_text_spans, order_ok, media_last).
+
+    The builder is deterministic arithmetic over the flat documents
+    table — min(len(text), 3) non-empty text thirds + 1 media span, an
+    extra structurally-identical near-dup every 10th doc — so the
+    expected census is closed-form SQL over ``documents``, certifying
+    span ORDER end to end where spans_census certifies per-kind totals.
+
+    Scale: one vectorized reduceat pass per batch; the shuffle carries a
+    bounded (n_text, order_ok, media_last) domain (≤ 4·2·2 rows per
+    batch)."""
+    from ..sources.corpus import corpus_from_flat_documents
+
+    return span_sequence_census_of(corpus_from_flat_documents(sf_dir))
+
+
+def span_sequence_census_of(corpus: ray.data.Dataset) -> pd.DataFrame:
+    """Signature census over ANY spans corpus Dataset (doc_id, spans) —
+    the detection kernel behind span_sequence_census; tests feed it
+    hand-built corpora with violated order to pin that violations land
+    in order_ok=0 / media_last=0 rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        off = spans.offsets.to_numpy().astype(np.int64)
+        n = np.diff(off)
+        starts = off[:-1]
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        soff = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(len(kinds), dtype=np.int64) - np.repeat(starts, n)
+        is_text = kinds == "text"
+        is_media = kinds == "media"
+        # per-doc folds (every doc has >= 1 span: the trailing media)
+        order_ok = (
+            np.add.reduceat((soff == pos).astype(np.int64), starts) == n
+        )
+        n_text = np.add.reduceat(is_text.astype(np.int64), starts)
+        n_media = np.add.reduceat(is_media.astype(np.int64), starts)
+        media_last = (n_media == 1) & is_media[off[1:] - 1]
+        key = (
+            n_text * 4
+            + order_ok.astype(np.int64) * 2
+            + media_last.astype(np.int64)
+        )
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "n_text_spans": pa.array(u // 4, type=pa.int64()),
+                "order_ok": pa.array((u // 2) % 2, type=pa.int64()),
+                "media_last": pa.array(u % 2, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        corpus.map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_text_spans", "order_ok", "media_last"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()  # bounded signature domain
+    )
+    return agg.sort_values(
+        ["n_text_spans", "order_ok", "media_last"], ignore_index=True
+    ).astype("int64")
+
+
 def golden_records(sf_dir: str, prefix_len: int = 80) -> ray.data.Dataset:
     """Survivorship merge — the entity-resolution post-step that picks one
     golden record per duplicate block: for every first-``prefix_len``-char
