@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keeps its oracle_sql entry for scripts/check_oracle.py)
         "copurchase_triangles": graph.triangle_count,
         "pagerank_parts": graph.pagerank_parts,
+        "part_hop_distance": graph.part_hop_distance,
         "q15_top_supplier": relational.q15_top_supplier,
         "census_by_lang": analytics.census_by_lang,
         "summary_stats": analytics.summary_stats,
@@ -1038,6 +1039,24 @@ def oracle_sql() -> dict[str, str]:
             " AS n_triangles"
         ),
         "pagerank_parts": _pagerank_sql(),
+        # bounded-depth BFS: the unrolled frontier expansion the pipeline
+        # mirrors exactly — MIN over the union folds away non-minimal
+        # rediscoveries on both sides
+        "part_hop_distance": (
+            f"WITH {_COPART_EDGES_SQL}, "
+            "de AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue), "
+            "d0 AS (SELECT MIN(a) AS node, 0 AS h FROM de), "
+            "d1 AS (SELECT de.b AS node, 1 AS h FROM de "
+            " JOIN d0 ON de.a = d0.node), "
+            "d2 AS (SELECT de.b AS node, 2 AS h FROM de "
+            " JOIN (SELECT DISTINCT node FROM d1) f ON de.a = f.node), "
+            "d3 AS (SELECT de.b AS node, 3 AS h FROM de "
+            " JOIN (SELECT DISTINCT node FROM d2) f ON de.a = f.node) "
+            "SELECT node, CAST(MIN(h) AS BIGINT) AS hops FROM "
+            "(SELECT * FROM d0 UNION ALL SELECT * FROM d1 "
+            " UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) "
+            "GROUP BY node ORDER BY node"
+        ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, lang, unnest(list_filter("
             "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok "

@@ -526,3 +526,132 @@ def pagerank_parts(
     r = t["rank_scaled"].to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.lexsort((node, -r))[:k]
     return pd.DataFrame({"node": node[o], "rank_scaled": r[o]})
+
+
+def part_hop_distance(
+    sf_dir: str,
+    min_quantity: float = 40.0,
+    max_hops: int = 3,
+    driver_max_edges: int = 2_000_000,
+) -> pd.DataFrame:
+    """Bounded-depth BFS over the co-purchase graph: minimum hop distance
+    (0..``max_hops``) from the seed node (the smallest part key in the
+    edge set) — the frontier-propagation shape next to connected
+    components' full closure. Columns ``(node, hops)``, ordered by node;
+    unreachable-within-``max_hops`` nodes are absent.
+
+    Both legs and the SQL oracle compute the SAME unrolled expansion —
+    frontier_r = neighbors(frontier_{r-1}), min hops over the union — so
+    non-minimal rediscoveries fold away identically everywhere.
+
+    Scale: the distributed leg is ``max_hops`` co-partitioned joins of the
+    16-byte directed edge relation against the (node, hops) frontier plus
+    one min-groupby — the textbook iterative frontier expansion (each
+    round's exchange carries only frontier-adjacent rows). The driver leg
+    under the gate is a sorted-array numpy BFS."""
+    from ray.data.aggregate import Min
+
+    edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity))
+    m = edges.count()
+    if m == 0:
+        return pd.DataFrame(
+            {"node": np.empty(0, np.int64), "hops": np.empty(0, np.int64)}
+        )
+    if m <= driver_max_edges:
+        a, b = _gather_edge_arrays(edges)
+        c = np.r_[a, b]
+        v = np.r_[b, a]
+        order = np.argsort(c, kind="stable")
+        c, v = c[order], v[order]
+        frontier = np.array([c.min()], np.int64)
+        out_nodes = [frontier]
+        out_hops = [np.zeros(1, np.int64)]
+        seen = frontier
+        for r in range(1, max_hops + 1):
+            lo = np.searchsorted(c, frontier, side="left")
+            hi = np.searchsorted(c, frontier, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                break
+            # vectorized concat of [lo_i, hi_i) ranges (no per-node loop)
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(lo, cnt)
+            )
+            nxt = np.unique(v[idx])
+            nxt = nxt[np.isin(nxt, seen, invert=True)]
+            if not len(nxt):
+                break
+            out_nodes.append(nxt)
+            out_hops.append(np.full(len(nxt), r, np.int64))
+            seen = np.union1d(seen, nxt)
+            frontier = nxt
+        return pd.DataFrame(
+            {"node": np.concatenate(out_nodes),
+             "hops": np.concatenate(out_hops)}
+        ).sort_values("node", ignore_index=True)
+
+    # ---- distributed leg: unrolled frontier joins + one min fold
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(2, min(64, max(m // 250_000, 8), cpus))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.r_[a, b], "dst": np.r_[b, a]})
+
+    directed = _drop_empty_blocks(
+        edges.map_batches(both_dirs, batch_format="pyarrow")
+    ).materialize()
+    seed = int(edges.min("a"))
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array([seed], pa.int64())})
+    )
+    layers = [
+        frontier.map_batches(
+            lambda t: t.append_column("hops", pa.array([0] * t.num_rows,
+                                                       pa.int64())),
+            batch_format="pyarrow",
+        )
+    ]
+    for r in range(1, max_hops + 1):
+        expanded = _drop_empty_blocks(
+            directed.join(
+                _renamed(frontier, {"node": "src"}),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+            ).map_batches(
+                lambda t, _r=r: pa.table(
+                    {
+                        "node": t["dst"],
+                        "hops": pa.array([_r] * t.num_rows, pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # per-round frontier dedup keeps the join input bounded; the
+        # final min-fold removes non-minimal rediscoveries exactly like
+        # the SQL union
+        frontier = _drop_empty_blocks(
+            expanded.groupby("node").aggregate(Min("hops", alias_name="h"))
+        ).select_columns(["node"])
+        layers.append(expanded)
+    union = layers[0]
+    for extra in layers[1:]:
+        union = union.union(extra)
+    out = (
+        _drop_empty_blocks(union)
+        .groupby("node")
+        .aggregate(Min("hops", alias_name="hops"))
+        .to_pandas()
+    )
+    return out.astype({"node": "int64", "hops": "int64"}).sort_values(
+        "node", ignore_index=True
+    )

@@ -109,3 +109,42 @@ def test_pagerank_star_center_dominates(tmp_path):
     assert r[0] > r[1] and r[1] == r[2] == r[3]
     dist = pagerank_parts(sf, driver_max_edges=0).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), dist)
+
+
+def test_hop_distance_matches_registered_oracle():
+    mod = _entry_module()
+    got = mod.queries()["part_hop_distance"](SF).reset_index(drop=True)
+    want = _duck(mod.oracle_sql()["part_hop_distance"])
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
+    assert set(got["hops"]) <= {0, 1, 2, 3} and (got["hops"] == 0).sum() == 1
+
+
+def test_hop_distance_dual_plan_parity():
+    from dedupe_rust_ray.pipelines.graph import part_hop_distance
+
+    fast = part_hop_distance(SF)
+    dist = part_hop_distance(SF, driver_max_edges=0)
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_hop_distance_path_graph(tmp_path):
+    """Path 1-2-3-4-5-6 (each edge from one 2-part order): seed is 1;
+    node 5 is 4 hops away so it must be ABSENT at max_hops=3, and every
+    closer node carries its exact distance."""
+    from dedupe_rust_ray.pipelines.graph import part_hop_distance
+
+    sf = _write_lineitem(
+        tmp_path, {1: [1, 2], 2: [2, 3], 3: [3, 4], 4: [4, 5], 5: [5, 6]}
+    )
+    got = part_hop_distance(sf)
+    assert got.to_dict("records") == [
+        {"node": 1, "hops": 0},
+        {"node": 2, "hops": 1},
+        {"node": 3, "hops": 2},
+        {"node": 4, "hops": 3},
+    ]
+    dist = part_hop_distance(sf, driver_max_edges=0)
+    pd.testing.assert_frame_equal(got, dist)
