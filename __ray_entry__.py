@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_orders": joins.percent_rank_orders,
         "user_churn": sessions.user_churn,
         "event_gap_stats": sessions.event_gap_stats,
+        "events_debounce": sessions.events_debounce,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1605,6 +1606,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # debounce: LAG compare against the immediate predecessor in the
+        # FULL per-key sequence (kept or dropped) — identical on both sides
+        "events_debounce": (
+            "WITH l AS (SELECT event_id, user_id, event_type, "
+            " epoch_us(ts) AS ts_us, "
+            " LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+            "  ORDER BY epoch_us(ts), event_id) AS prev FROM events) "
+            "SELECT event_id, user_id, event_type, ts_us FROM l "
+            "WHERE prev IS NULL OR ts_us - prev >= 3600000000 "
+            "ORDER BY event_id"
         ),
         "event_gap_stats": (
             "WITH g AS (SELECT user_id, epoch_us(ts) - "

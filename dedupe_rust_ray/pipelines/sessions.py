@@ -783,3 +783,57 @@ def user_behavior_entropy(
         .map_groups(entropy, batch_format="pandas"),
         ["user_id"],
     )
+
+
+def events_debounce(
+    sf_dir: str, min_gap_us: int = 3_600_000_000
+) -> ray.data.Dataset:
+    """Streaming-dedup filter (debounce): drop every event that follows
+    another event of the SAME (user, event_type) key by less than
+    ``min_gap_us`` — LAG semantics (each row compares to its immediate
+    predecessor in (ts, event_id) order), the rapid-fire/bot-burst
+    suppressor next to event_gap_stats' census of the same signal.
+    Columns: event_id, user_id, event_type, ts_us (exact int64 µs).
+
+    Plan: user-hash shard co-location, ONE vectorized in-shard sort +
+    shifted compare per shard — no per-row state machine, no window
+    exchange beyond the shard groupby."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "us", "event_id"], ignore_index=True
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        keep = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+            keep[1:] = ~same | (us[1:] - us[:-1] >= min_gap_us)
+        out = g.loc[keep, ["event_id", "user_id", "event_type", "us"]]
+        return out.rename(columns={"us": "ts_us"}).reset_index(drop=True)
+
+    out = (
+        read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["event_id"])

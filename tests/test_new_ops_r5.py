@@ -129,3 +129,56 @@ def test_user_behavior_entropy_single_type_user_is_zero():
     p = np.array([4 / 5, 1 / 5])
     h = float(-(p * np.log(p)).sum())
     assert out.loc[9, "entropy"] == np.floor(h * 10000 + 0.5) / 10000
+
+
+def test_events_debounce_burst_semantics(tmp_path):
+    """Burst of 4 events 10 min apart with min_gap 1 h: LAG semantics drop
+    EVERY follower (each compares to its immediate predecessor, kept or
+    not) — unlike greedy-anchor dedup which would keep a later one. A
+    different event_type in the middle of the burst is its own key and
+    survives; the next event 2 h later survives."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.sessions import events_debounce
+
+    t0 = pd.Timestamp("2024-01-01")
+    mins = [0, 10, 20, 30, 150]
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7] * 6,
+            "event_type": ["click"] * 5 + ["view"],
+            "ts": [t0 + pd.Timedelta(minutes=m) for m in mins]
+            + [t0 + pd.Timedelta(minutes=15)],
+            "value": [1.0] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), tmp_path / "events.parquet")
+    got = events_debounce(str(tmp_path)).to_pandas()
+    assert got["event_id"].tolist() == [1, 5, 6]
+
+
+def test_events_debounce_matches_registered_oracle():
+    import duckdb
+    import importlib.util
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_for_debounce", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    got = mod.queries()["events_debounce"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).reset_index(
+        drop=True
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.sql(mod.oracle_sql()["events_debounce"]).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
+    assert len(got) < 1000  # the 1-hour threshold actually drops rows
