@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # simhash chunk blocking) run unchanged
         "minhash_lsh_dedup_planted": dedupe.minhash_lsh_dedup_planted,
         "simhash_near_dups_planted": dedupe.simhash_near_dups_planted,
+        # (registered at 51+ below: blocking_quality_planted — Christen
+        # blocking metrics over the same planted construction)
         # --- NEW round-5 planted/contract certifications (media decode
         # values, incremental ER, the HLL register fold) — swapped into
         # the window for 5 residents certified in the r4 driver run
@@ -355,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_integrity_audit": joins.ref_integrity_audit,
         "user_behavior_entropy": sessions.user_behavior_entropy,
         # round-5 mining / link-prediction / concentration / range-search
+        "blocking_quality_planted": dedupe.blocking_quality_planted,
         "part_association_rules": mining.part_association_rules,
         "part_common_neighbors": mining.part_common_neighbors,
         "gini_quantity_by_flag": reshape.gini_quantity_by_flag,
@@ -1824,6 +1827,26 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_second AS BIGINT) AS n_events_second "
             "FROM u WHERE n_first > 0 AND n_second > 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # blocking-quality metrics: the planted construction makes the
+        # expected values closed-form (completeness exactly 1.0, zero
+        # organic candidates) — the hash match certifies the REAL banding
+        # produced exactly the planted candidate set
+        "blocking_quality_planted": (
+            "WITH base AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nb, "
+            " CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) "
+            "  AS HUGEINT) AS np FROM documents), "
+            "m AS (SELECT nb + np AS nd, np, "
+            " (nb + np) * (nb + np - 1) // 2 AS total FROM base) "
+            "SELECT CAST(nd AS BIGINT) AS n_docs, "
+            "CAST(np AS BIGINT) AS n_candidate_pairs, "
+            "CAST(np AS BIGINT) AS n_true_pairs, "
+            "CAST(np AS BIGINT) AS n_matched, "
+            "CAST(1000000 AS BIGINT) AS pairs_completeness_scaled, "
+            "CAST(CASE WHEN total = 0 THEN 1000000 "
+            " ELSE (1000000 * (total - np)) // total END AS BIGINT) "
+            " AS reduction_ratio_scaled "
+            "FROM m"
         ),
         # market-basket association rules: the SQL side re-derives pair /
         # item supports and the basket count from the same basket

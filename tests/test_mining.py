@@ -189,3 +189,29 @@ def test_range_search_matches_brute_force():
         }
     ).sort_values(["query_id", "neighbor_id"], ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_blocking_quality_closed_form_and_detection():
+    """Over the planted corpus the REAL LSH banding must nominate exactly
+    the planted pairs (completeness 1.0, zero organic candidates); with a
+    STRICTER truth set (every 5th doc a 'true' dup while only every 10th
+    was planted) the measured completeness must drop to matched/true —
+    proving the metric detects blocking misses rather than asserting 1."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.dedupe import blocking_quality_planted
+
+    got = blocking_quality_planted(SF)
+    row = got.iloc[0]
+    assert row["pairs_completeness_scaled"] == 1_000_000
+    assert row["n_candidate_pairs"] == row["n_true_pairs"] == row["n_matched"]
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    n10 = int((ids % 10 == 0).sum())
+    n5 = int((ids % 5 == 0).sum())
+    assert row["n_true_pairs"] == n10
+    strict = blocking_quality_planted(SF, truth_dup_every=5).iloc[0]
+    assert strict["n_true_pairs"] == n5
+    assert strict["n_matched"] == n10
+    assert strict["pairs_completeness_scaled"] == (1_000_000 * n10) // n5
