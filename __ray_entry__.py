@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         curation,
         dedupe,
+        er,
         filededupe,
         graph,
         joins,
@@ -357,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_integrity_audit": joins.ref_integrity_audit,
         "user_behavior_entropy": sessions.user_behavior_entropy,
         # round-5 mining / link-prediction / concentration / range-search
+        "er_pairwise_f1_planted": er.er_pairwise_f1_planted,
         "blocking_quality_planted": dedupe.blocking_quality_planted,
         "part_association_rules": mining.part_association_rules,
         "part_common_neighbors": mining.part_common_neighbors,
@@ -1827,6 +1829,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_second AS BIGINT) AS n_events_second "
             "FROM u WHERE n_first > 0 AND n_second > 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # the north rule's headline metric: end-to-end pairwise F1 of the
+        # forced-distributed flagship vs planted labels — closed-form
+        # (tp = pred = true, all ratios exactly 1.0); the hash match
+        # certifies F1 = 1.0 >= 0.99
+        "er_pairwise_f1_planted": (
+            "WITH base AS (SELECT CAST(SUM(CASE WHEN doc_id % 10 = 0 "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS np FROM documents) "
+            "SELECT np AS n_true_pairs, np AS n_pred_pairs, np AS n_tp, "
+            "CAST(1000000 AS BIGINT) AS precision_scaled, "
+            "CAST(1000000 AS BIGINT) AS recall_scaled, "
+            "CAST(1000000 AS BIGINT) AS f1_scaled FROM base"
         ),
         # blocking-quality metrics: the planted construction makes the
         # expected values closed-form (completeness exactly 1.0, zero

@@ -658,3 +658,109 @@ def er_pipeline(
         labels.select_columns(["cluster_id", "doc_id"]),
         ["cluster_id", "doc_id"],
     )
+
+
+def er_pairwise_f1_planted(
+    sf_dir: str, dup_every: int = 10, truth_dup_every: int | None = None
+) -> pd.DataFrame:
+    """The north rule's HEADLINE metric as a registered, value-oracled
+    query: pairwise precision / recall / F1 of the FULL flagship pipeline
+    (blocking -> fused scoring -> distributed connected components, the
+    same forced-distributed config the certified ``er_clusters`` row
+    runs) against the planted-truth labels. One row:
+    ``(n_true_pairs, n_pred_pairs, n_tp, precision_scaled, recall_scaled,
+    f1_scaled)`` — 1e6-scaled int64 floor ratios (F1 = 2·tp/(pred+true)
+    is exactly rational, so no float enters the hash).
+
+    The planted construction makes the expected row closed-form: every
+    planted companion pair is found (fused score ~0.92 >= 0.8 by
+    construction) and organic edges are structurally impossible, so
+    tp = pred = true and all three ratios are exactly 1.0. The hash match
+    therefore certifies the END-TO-END F1 = 1.0 >= 0.99 bar — the
+    blocking_quality_planted complement one stage further down the
+    pipeline.
+
+    ``truth_dup_every`` decouples the evaluation labels from the planted
+    corpus so tests can pin that the measured recall/F1 actually DROP
+    against a stricter truth set (the metric computes, never echoes).
+
+    Scale: predicted pairs are never materialized — a cluster-co-located
+    ``map_groups`` emits two int64 partials per cluster (k·(k−1)/2 pair
+    count; true-pair hits via base-id/dup-flag parsing inside the
+    cluster), folded by one sum."""
+    import numpy as np
+
+    from ..sources.corpus import corpus_planted_truth
+    from .common import read
+
+    truth_every = dup_every if truth_dup_every is None else truth_dup_every
+    cfg = ERConfig(driver_unionfind_max_edges=0)
+    clusters = er_pipeline(corpus_planted_truth(sf_dir, dup_every), cfg)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].astype(str)
+        is_dup = ids.str.endswith("-dup").to_numpy()
+        base = (
+            ids.str.extract(r"^doc-(\d+)", expand=False)
+            .astype(np.int64)
+            .to_numpy()
+        )
+        tp = 0
+        n_pred = 0
+        for _, grp in pd.DataFrame(
+            {"c": g["cluster_id"], "b": base, "d": is_dup}
+        ).groupby("c"):
+            k = len(grp)
+            n_pred += k * (k - 1) // 2
+            bb = grp["b"].to_numpy()
+            dd = grp["d"].to_numpy()
+            both = np.intersect1d(bb[~dd], bb[dd])
+            tp += int(np.count_nonzero(both % truth_every == 0))
+        return pd.DataFrame(
+            {"n_pred": [n_pred], "tp": [tp]}, dtype="int64"
+        )
+
+    folded = (
+        clusters.groupby("cluster_id")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
+    n_pred = int(folded.sum("n_pred") or 0)
+    tp = int(folded.sum("tp") or 0)
+
+    def true_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        import numpy as _np
+
+        return pa.table(
+            {
+                "n": pa.array(
+                    [int(_np.count_nonzero(ids % truth_every == 0))],
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    n_true = int(
+        read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(true_partial, batch_format="pyarrow")
+        .sum("n")
+        or 0
+    )
+    scale = 1_000_000
+    precision = scale if n_pred == 0 else (scale * tp) // n_pred
+    recall = scale if n_true == 0 else (scale * tp) // n_true
+    f1 = (
+        scale
+        if (n_pred + n_true) == 0
+        else (scale * 2 * tp) // (n_pred + n_true)
+    )
+    return pd.DataFrame(
+        {
+            "n_true_pairs": [n_true],
+            "n_pred_pairs": [n_pred],
+            "n_tp": [tp],
+            "precision_scaled": [precision],
+            "recall_scaled": [recall],
+            "f1_scaled": [f1],
+        }
+    ).astype("int64")

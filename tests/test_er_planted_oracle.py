@@ -74,3 +74,33 @@ def test_forced_distributed_cc_path_matches(flat_docs_dir):
         .sort_values(["cluster_id", "doc_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, expected_clusters())
+
+
+def test_er_pairwise_f1_computes_not_echoes():
+    """Headline-metric query: perfect F1 on matched truth; against a
+    STRICTER truth set (every 5th doc true while only every 10th was
+    planted) precision stays 1.0 but recall and F1 must drop to the exact
+    rational values — the metric measures the cluster table, it does not
+    assert the closed form."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.er import er_pairwise_f1_planted
+
+    sf = "/root/testdata/sf0.001"
+    row = er_pairwise_f1_planted(sf).iloc[0]
+    assert (
+        row["precision_scaled"]
+        == row["recall_scaled"]
+        == row["f1_scaled"]
+        == 1_000_000
+    )
+    assert row["n_tp"] == row["n_pred_pairs"] == row["n_true_pairs"]
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    n10 = int((ids % 10 == 0).sum())
+    n5 = int((ids % 5 == 0).sum())
+    strict = er_pairwise_f1_planted(sf, truth_dup_every=5).iloc[0]
+    assert strict["precision_scaled"] == 1_000_000
+    assert strict["recall_scaled"] == (1_000_000 * n10) // n5
+    assert strict["f1_scaled"] == (2_000_000 * n10) // (n10 + n5)
