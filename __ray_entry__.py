@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_association_rules": mining.part_association_rules,
         "part_common_neighbors": mining.part_common_neighbors,
         "gini_quantity_by_flag": reshape.gini_quantity_by_flag,
+        "contingency_flag_status": reshape.contingency_flag_status,
         "embedding_range_search": similarity.embedding_range_search,
     }
 
@@ -1920,6 +1921,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000 * (2 * s1 - (n + 1) * t)) "
             " // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_scaled "
             "FROM s ORDER BY l_returnflag"
+        ),
+        # contingency / independence-lift census: exact HUGEINT floor
+        # arithmetic mirrors the driver's Python-int finisher
+        "contingency_flag_status": (
+            "WITH c AS (SELECT l_returnflag, l_linestatus, "
+            " CAST(COUNT(*) AS HUGEINT) AS o FROM lineitem "
+            " GROUP BY l_returnflag, l_linestatus), "
+            "t AS (SELECT l_returnflag, l_linestatus, o, "
+            " SUM(o) OVER (PARTITION BY l_returnflag) AS r, "
+            " SUM(o) OVER (PARTITION BY l_linestatus) AS cc, "
+            " SUM(o) OVER () AS n FROM c) "
+            "SELECT l_returnflag, l_linestatus, CAST(o AS BIGINT) AS n_obs, "
+            "CAST((1000000 * r * cc) // n AS BIGINT) AS n_expected_scaled, "
+            "CAST((1000000 * o * n) // (r * cc) AS BIGINT) AS lift_scaled "
+            "FROM t ORDER BY l_returnflag, l_linestatus"
         ),
         # radius search mirrors embedding_cosine_pairs' threshold-on-
         # unrounded-cosine convention, asymmetric around the query set

@@ -893,3 +893,57 @@ def gini_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_returnflag")
         .reset_index(drop=True)
     )
+
+
+def contingency_flag_status(sf_dir: str) -> pd.DataFrame:
+    """Independence / data-drift census: the (l_returnflag ×
+    l_linestatus) contingency table with each cell's expected count under
+    independence and its observed/expected lift — the chi-square-style
+    drift check an ingest pipeline runs per batch drop, emitted as exact
+    1e6-scaled int64 floors so no float enters the hash. Columns:
+    l_returnflag, l_linestatus, n_obs, n_expected_scaled
+    (= SCALE·R·C // N), lift_scaled (= SCALE·O·N // (R·C)).
+
+    Scale: one bounded-domain (flag, status) count fold; the finisher is
+    arbitrary-precision Python ints over ≤ |flags|·|statuses| cells
+    (SCALE·O·N overflows int64 past ~sf3, so the driver fold and the SQL
+    mirror both go through wide integers — HUGEINT on the DuckDB side)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counts = (
+        read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n_obs"))
+        .to_pandas()  # bounded: |flags| x |statuses|
+    )
+    scale = 1_000_000
+    n_total = int(counts["n_obs"].sum())
+    row_tot = counts.groupby("l_returnflag")["n_obs"].transform("sum")
+    col_tot = counts.groupby("l_linestatus")["n_obs"].transform("sum")
+    expected, lift = [], []
+    for o, r, c in zip(
+        (int(x) for x in counts["n_obs"]),
+        (int(x) for x in row_tot),
+        (int(x) for x in col_tot),
+    ):
+        expected.append((scale * r * c) // n_total)
+        lift.append((scale * o * n_total) // (r * c))
+    out = counts.assign(
+        n_expected_scaled=pd.array(expected, dtype="int64"),
+        lift_scaled=pd.array(lift, dtype="int64"),
+    ).astype({"n_obs": "int64"})
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], ignore_index=True
+    )

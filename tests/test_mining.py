@@ -215,3 +215,38 @@ def test_blocking_quality_closed_form_and_detection():
     assert strict["n_true_pairs"] == n5
     assert strict["n_matched"] == n10
     assert strict["pairs_completeness_scaled"] == (1_000_000 * n10) // n5
+
+
+def test_contingency_closed_form(tmp_path):
+    """2x2 table [[30, 10], [10, 10]]: N=60, R=(40,20), C=(40,20).
+    Cell (A,x): expected 40*40/60 = 26.666 -> 26666666 scaled... with
+    SCALE 1e6: (1e6*40*40)//60 = 26666666; lift = (1e6*30*60)//(40*40)
+    = 1125000. Independence (uniform 15s) pins lift exactly 1e6."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.reshape import contingency_flag_status
+
+    rows_f = ["A"] * 40 + ["B"] * 20
+    rows_s = ["x"] * 30 + ["y"] * 10 + ["x"] * 10 + ["y"] * 10
+    pq.write_table(
+        pa.table({"l_returnflag": rows_f, "l_linestatus": rows_s}),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    got = contingency_flag_status(str(tmp_path))
+    ax = got[(got["l_returnflag"] == "A") & (got["l_linestatus"] == "x")].iloc[0]
+    assert ax["n_obs"] == 30
+    assert ax["n_expected_scaled"] == (1_000_000 * 40 * 40) // 60
+    assert ax["lift_scaled"] == (1_000_000 * 30 * 60) // (40 * 40)
+    # independent table: every lift exactly 1.0
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": ["A"] * 30 + ["B"] * 30,
+                "l_linestatus": (["x"] * 15 + ["y"] * 15) * 2,
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    ind = contingency_flag_status(str(tmp_path))
+    assert (ind["lift_scaled"] == 1_000_000).all()
+    assert (ind["n_expected_scaled"] == 15_000_000).all()
