@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_churn": sessions.user_churn,
         "event_gap_stats": sessions.event_gap_stats,
         "events_debounce": sessions.events_debounce,
+        "top_event_paths": sessions.top_event_paths,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1612,6 +1613,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # trigram path census: LEAD x2 inside the user partition; same
+        # (ts, event_id) ordering contract as the bigram transitions
+        "top_event_paths": (
+            "WITH s AS (SELECT event_type AS t1, "
+            " LEAD(event_type, 1) OVER w AS t2, "
+            " LEAD(event_type, 2) OVER w AS t3 FROM events "
+            " WINDOW w AS (PARTITION BY user_id "
+            "  ORDER BY epoch_us(ts), event_id)) "
+            "SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3 "
+            "ORDER BY n DESC, t1, t2, t3 LIMIT 20"
         ),
         # debounce: LAG compare against the immediate predecessor in the
         # FULL per-key sequence (kept or dropped) — identical on both sides

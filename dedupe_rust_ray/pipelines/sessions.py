@@ -837,3 +837,75 @@ def events_debounce(
         )
     )
     return canonical_sort(out, ["event_id"])
+
+
+def top_event_paths(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Sequential-pattern mining: the top-``k`` most common consecutive
+    event-type TRIGRAM paths per user (path/journey analysis — the
+    3-step extension of event_transitions' Markov bigrams). Columns:
+    t1, t2, t3, n; ordered by n desc then path.
+
+    Plan: user-hash shard co-location, one vectorized sort + double-shift
+    per shard emitting a BOUNDED census partial (|event_types|³ cells at
+    most), one tiny groupby fold, driver top-k over the bounded domain."""
+    from ray.data.aggregate import Sum
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = (
+            batch["user_id"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "t1": pd.Series([], dtype="object"),
+            "t2": pd.Series([], dtype="object"),
+            "t3": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], ignore_index=True)
+        if len(g) < 3:
+            return _EMPTY
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = (uid[2:] == uid[:-2])  # triple stays within one user
+        df = pd.DataFrame(
+            {"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]}
+        )
+        if df.empty:
+            return _EMPTY
+        out = df.groupby(["t1", "t2", "t3"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    census = (
+        read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |event_types|^3 cells
+    )
+    return (
+        census.astype({"n": "int64"})
+        .sort_values(
+            ["n", "t1", "t2", "t3"],
+            ascending=[False, True, True, True],
+            ignore_index=True,
+        )
+        .head(k)
+    )

@@ -182,3 +182,31 @@ def test_events_debounce_matches_registered_oracle():
         check_dtype=False,
     )
     assert len(got) < 1000  # the 1-hour threshold actually drops rows
+
+
+def test_top_event_paths_user_isolation_and_ties(tmp_path):
+    """Triples never cross a user boundary; equal-count paths order
+    lexicographically. User 1: a,b,c,d -> paths (a,b,c), (b,c,d); user 2:
+    x,y (too short, contributes nothing)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.sessions import top_event_paths
+
+    t0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_type": ["a", "b", "c", "d", "x", "y"],
+            "ts": [t0 + pd.Timedelta(minutes=m) for m in range(6)],
+            "value": [1.0] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), tmp_path / "events.parquet")
+    got = top_event_paths(str(tmp_path))
+    assert got[["t1", "t2", "t3", "n"]].values.tolist() == [
+        ["a", "b", "c", 1],
+        ["b", "c", "d", 1],
+    ]
