@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_stats": sessions.event_gap_stats,
         "events_debounce": sessions.events_debounce,
         "top_event_paths": sessions.top_event_paths,
+        "part_price_band_pairs": joins.part_price_band_pairs,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1613,6 +1614,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # value-domain band join: exact-cents window, the ghost-replication
+        # bucketing's SQL mirror is the plain quadratic band self-join
+        "part_price_band_pairs": (
+            "WITH p AS (SELECT p_partkey AS k, "
+            " CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c FROM part) "
+            "SELECT a.k AS part_a, b.k AS part_b, a.c AS cents_a, "
+            "b.c AS cents_b, ABS(a.c - b.c) AS diff_cents "
+            "FROM p a JOIN p b ON a.k < b.k AND ABS(a.c - b.c) <= 25 "
+            "ORDER BY part_a, part_b"
         ),
         # trigram path census: LEAD x2 inside the user partition; same
         # (ts, event_id) ordering contract as the bigram transitions

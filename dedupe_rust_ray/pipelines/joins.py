@@ -760,3 +760,97 @@ def ref_integrity_audit(
         rows, columns=["fact", "fk", "dim", "n_rows", "n_orphans"]
     ).astype({"n_rows": "int64", "n_orphans": "int64"})
     return out.sort_values(["fact", "fk"]).reset_index(drop=True)
+
+
+def part_price_band_pairs(sf_dir: str, eps_cents: int = 25) -> pd.DataFrame:
+    """Non-equi BAND self-join: part pairs whose retail prices differ by
+    at most ``eps_cents`` — the |x − y| <= ε join shape (the VALUE-domain
+    counterpart of events_range_join's per-user temporal band). Columns:
+    part_a, part_b (a < b by key), cents_a, cents_b, diff_cents; ordered
+    by (part_a, part_b). All money is exact int64 cents (2-decimal by
+    construction), so the hash is float-free.
+
+    Physical plan — ghost-replication bucketing: rows land in buckets of
+    width ``eps_cents`` by ``cents // eps``; every row is ALSO replicated
+    as a ghost into the bucket below, so any qualifying pair co-locates
+    in exactly ONE bucket (the lower endpoint's): same-bucket pairs as
+    native×native there (their ghost copies pair a bucket down but
+    ghost×ghost pairs are skipped), cross-bucket pairs as native×ghost in
+    the lower bucket. In-bucket matching is a sorted searchsorted window
+    sweep (no quadratic scan over the bucket). Skew note: a hot price
+    value concentrates one bucket — cap ``eps_cents`` (narrower buckets)
+    or pre-aggregate equal-cents rows if a deployment's price domain is
+    degenerate."""
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = cents // eps_cents
+        return pa.table(
+            {
+                "bucket": np.r_[b, b - 1],
+                "k": np.r_[k, k],
+                "c": np.r_[cents, cents],
+                "ghost": np.r_[
+                    np.zeros(len(k), np.int8), np.ones(len(k), np.int8)
+                ],
+            }
+        )
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["k"].to_numpy(np.int64), g["c"].to_numpy(np.int64)))
+        c = g["c"].to_numpy(np.int64)[order]
+        k = g["k"].to_numpy(np.int64)[order]
+        gh = g["ghost"].to_numpy(np.int8)[order]
+        n = len(c)
+        if n < 2:
+            return pd.DataFrame(
+                {col: np.empty(0, np.int64)
+                 for col in ("part_a", "part_b", "cents_a", "cents_b",
+                             "diff_cents")}
+            )
+        hi = np.searchsorted(c, c + eps_cents, side="right")
+        cnt = hi - np.arange(n) - 1
+        cnt = np.maximum(cnt, 0)
+        total = int(cnt.sum())
+        ia = np.repeat(np.arange(n), cnt)
+        ib = (
+            np.arange(total)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + ia
+            + 1
+        )
+        keep = ~((gh[ia] == 1) & (gh[ib] == 1))  # ghost x ghost: counted
+        # in their native bucket; same-KEY native/ghost self-pairs cannot
+        # qualify here (a row and its ghost live in different buckets)
+        ia, ib = ia[keep], ib[keep]
+        pa_ = np.minimum(k[ia], k[ib])
+        pb_ = np.maximum(k[ia], k[ib])
+        swap = k[ia] > k[ib]
+        ca = np.where(swap, c[ib], c[ia])
+        cb = np.where(swap, c[ia], c[ib])
+        return pd.DataFrame(
+            {
+                "part_a": pa_,
+                "part_b": pb_,
+                "cents_a": ca,
+                "cents_b": cb,
+                "diff_cents": np.abs(ca - cb),
+            }
+        )
+
+    out = (
+        read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+        .map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: in_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.astype("int64").sort_values(
+        ["part_a", "part_b"], ignore_index=True
+    )

@@ -250,3 +250,47 @@ def test_contingency_closed_form(tmp_path):
     ind = contingency_flag_status(str(tmp_path))
     assert (ind["lift_scaled"] == 1_000_000).all()
     assert (ind["n_expected_scaled"] == 15_000_000).all()
+
+
+def test_band_join_bucket_boundary(tmp_path):
+    """Hand-built prices pin the ghost-replication rules: pairs straddling
+    a bucket boundary are found exactly once, pairs wider than eps are
+    absent, and an exact-tie pair (same cents) is found once. eps=25:
+    buckets [0,25), [25,50), ... Prices (cents): 10, 24, 26, 49, 51, 99,
+    99 -> qualifying pairs (diff<=25): (10,24) same bucket, (24,26)
+    cross-boundary, (10,26)? diff 16 <= 25 cross-boundary, (26,49) same
+    bucket, (24,49) diff 25 == eps cross, (49,51) cross, (26,51) exactly
+    25 cross, (99,99) tie, (51,?)... enumerate via brute force instead of
+    hand-listing."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.joins import part_price_band_pairs
+
+    cents = [10, 24, 26, 49, 51, 99, 99]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(1, len(cents) + 1), pa.int64()),
+                "p_retailprice": pa.array([c / 100 for c in cents]),
+            }
+        ),
+        f"{tmp_path}/part.parquet",
+    )
+    got = part_price_band_pairs(str(tmp_path))
+    want = sorted(
+        (i + 1, j + 1, cents[i], cents[j], abs(cents[i] - cents[j]))
+        for i, j in itertools.combinations(range(len(cents)), 2)
+        if abs(cents[i] - cents[j]) <= 25
+    )
+    want = [
+        (a, b, ca if a < b else cb, cb if a < b else ca, d)
+        for a, b, ca, cb, d in want
+    ]
+    got_t = [tuple(r) for r in got.values.tolist()]
+    assert got_t == [
+        (a, b, ca, cb, d) for (a, b, ca, cb, d) in want
+    ]
+    # no duplicates (each pair exactly once)
+    assert len(got_t) == len(set((a, b) for a, b, *_ in got_t))
