@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": sessions.events_debounce,
         "top_event_paths": sessions.top_event_paths,
         "part_price_band_pairs": joins.part_price_band_pairs,
+        "monthly_revenue_trend": reshape.monthly_revenue_trend,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1614,6 +1615,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # month-over-month trend: LAG over the aggregated month domain;
+        # floor division is sign-consistent across engines
+        "monthly_revenue_trend": (
+            "WITH m AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS year, "
+            " CAST(month(l_shipdate) AS BIGINT) AS month, "
+            f" CAST(SUM({_REV_UNITS}) AS BIGINT) AS revenue_units "
+            " FROM lineitem GROUP BY 1, 2), "
+            "t AS (SELECT *, LAG(revenue_units) OVER "
+            " (ORDER BY year, month) AS prev FROM m) "
+            "SELECT year, month, revenue_units, "
+            "CAST(revenue_units - prev AS BIGINT) AS delta_units, "
+            "CAST((1000000 * (revenue_units - prev)) // prev AS BIGINT) "
+            " AS pct_change_scaled "
+            "FROM t ORDER BY year, month"
         ),
         # value-domain band join: exact-cents window, the ghost-replication
         # bucketing's SQL mirror is the plain quadratic band self-join

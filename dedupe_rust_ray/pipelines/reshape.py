@@ -947,3 +947,59 @@ def contingency_flag_status(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["l_returnflag", "l_linestatus"], ignore_index=True
     )
+
+
+def monthly_revenue_trend(sf_dir: str) -> pd.DataFrame:
+    """Time-series trend: per-calendar-month revenue with month-over-month
+    delta and percent change — the window-on-AGGREGATE shape (LAG over a
+    bounded month domain rather than over rows). Columns: year, month,
+    revenue_units (exact 1e-4-dollar int64), delta_units,
+    pct_change_scaled (1e6-scaled delta/prev TRUNCATED toward zero —
+    DuckDB's integer ``//`` truncates on negatives where Python floors,
+    so the pipeline truncates explicitly: sign·(|delta|·SCALE // prev)).
+    The first month's delta/pct are NULL, matching SQL LAG.
+
+    Scale: per-batch (month, revenue) integer partials -> one bounded
+    (year, month) groupby -> driver finisher over <= decades·12 rows."""
+    from .common import revenue_units
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        y = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        m = pc.month(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        rev = revenue_units(batch["l_extendedprice"], batch["l_discount"])
+        df = pd.DataFrame({"year": y, "month": m, "rev": rev})
+        g = df.groupby(["year", "month"], as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        read(sf_dir, "lineitem",
+             columns=["l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "month"])
+        .aggregate(Sum("rev", alias_name="revenue_units"))
+        .to_pandas()  # bounded month domain
+        .sort_values(["year", "month"], ignore_index=True)
+    )
+    rev = agg["revenue_units"].to_numpy(np.int64)
+    prev = np.roll(rev, 1)
+    delta = rev - prev
+    scale = 1_000_000
+    pct = np.array(
+        [
+            (1 if d >= 0 else -1) * ((scale * abs(int(d))) // int(p))
+            if p > 0
+            else 0
+            for d, p in zip(delta, prev)
+        ],
+        dtype=np.int64,
+    )
+    out = agg.astype({"year": "int64", "month": "int64",
+                      "revenue_units": "int64"})
+    out["delta_units"] = pd.array(delta, dtype="Int64")
+    out["pct_change_scaled"] = pd.array(pct, dtype="Int64")
+    if len(out):  # first month has no predecessor (SQL LAG -> NULL)
+        out.loc[0, "delta_units"] = pd.NA
+        out.loc[0, "pct_change_scaled"] = pd.NA
+    return out

@@ -294,3 +294,31 @@ def test_band_join_bucket_boundary(tmp_path):
     ]
     # no duplicates (each pair exactly once)
     assert len(got_t) == len(set((a, b) for a, b, *_ in got_t))
+
+
+def test_monthly_trend_negative_delta_truncation(tmp_path):
+    """Month 1 revenue 300.00, month 2 revenue 100.00: delta -2000000
+    units, pct = trunc(-2/3 * 1e6) = -666666 (NOT floor's -666667 —
+    pinned because DuckDB's integer // truncates on negatives). First
+    month's delta/pct are NULL."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.reshape import monthly_revenue_trend
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-15"), pd.Timestamp("2024-02-15")]
+                ),
+                "l_extendedprice": pa.array([300.0, 100.0]),
+                "l_discount": pa.array([0.0, 0.0]),
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    got = monthly_revenue_trend(str(tmp_path))
+    assert got["revenue_units"].tolist() == [3_000_000, 1_000_000]
+    assert pd.isna(got["delta_units"].iloc[0])
+    assert got["delta_units"].iloc[1] == -2_000_000
+    assert got["pct_change_scaled"].iloc[1] == -666_666
