@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_paths": sessions.top_event_paths,
         "part_price_band_pairs": joins.part_price_band_pairs,
         "monthly_revenue_trend": reshape.monthly_revenue_trend,
+        "customers_all_priorities": joins.customers_all_priorities,
+        "orders_range_frame_sum": joins.orders_range_frame_sum,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1615,6 +1617,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # relational division (universal quantifier): count-distinct
+        # compare against the global divisor cardinality
+        "customers_all_priorities": (
+            "WITH d AS (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)"
+            " AS nd FROM orders) "
+            "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY o_custkey "
+            "HAVING COUNT(DISTINCT o_orderpriority) = (SELECT nd FROM d) "
+            "ORDER BY o_custkey"
+        ),
+        # value-based RANGE frame (vs rolling_order_sum's ROWS frame);
+        # exact integer cents and µs so the peer-group rule hashes stably
+        "orders_range_frame_sum": (
+            "SELECT o_orderkey, o_custkey, "
+            "epoch_us(o_orderdate) AS date_us, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER "
+            " (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) "
+            "  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) "
+            " AS BIGINT) AS frame_sum_cents "
+            "FROM orders ORDER BY o_orderkey"
         ),
         # month-over-month trend: LAG over the aggregated month domain;
         # floor division is sign-consistent across engines

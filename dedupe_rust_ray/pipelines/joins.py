@@ -854,3 +854,165 @@ def part_price_band_pairs(sf_dir: str, eps_cents: int = 25) -> pd.DataFrame:
     return out.astype("int64").sort_values(
         ["part_a", "part_b"], ignore_index=True
     )
+
+
+def customers_all_priorities(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION ("for all"): customers who have placed at
+    least one order in EVERY order priority present in the table —
+    the universal-quantifier join shape (Codd's division) the rest of the
+    join pack doesn't cover. Columns: o_custkey, n_orders; ordered by
+    o_custkey.
+
+    Plan: one distinct (cust, priority) fold with per-batch combiners
+    doubles as the order counter; the divisor cardinality (global
+    distinct priorities — a bounded domain) folds from the same partials;
+    a per-customer count-distinct compare closes the division. Nothing
+    but (cust, priority, n) partial rows ever shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "prio": batch["o_orderpriority"].to_pandas(),
+            }
+        )
+        g = df.groupby(["o_custkey", "prio"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    cp = (
+        read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_custkey", "prio"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "n_orders": batch["n_orders"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_prios=("n_orders", "size"), n_orders=("n_orders", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # (cust, prio) rows are globally unique after the first fold, so the
+    # per-customer count-distinct is a plain count; customers split
+    # across blocks re-fold in the second groupby
+    per_cust = (
+        cp.map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_prios", alias_name="n_prios"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    # divisor cardinality: bounded priority domain
+    n_divisor = int(
+        cp.map_batches(
+            lambda b: pa.table({"prio": pc_unique_strings(b["prio"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("prio")
+        .count()
+        .count()
+    )
+    out = per_cust[per_cust["n_prios"] == n_divisor][
+        ["o_custkey", "n_orders"]
+    ].astype("int64")
+    return out.sort_values("o_custkey", ignore_index=True)
+
+
+def pc_unique_strings(col) -> pa.Array:
+    """Per-block unique of a string column (combiner before the tiny
+    divisor-domain groupby)."""
+    import pyarrow.compute as _pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return _pc.unique(arr)
+
+
+def orders_range_frame_sum(
+    sf_dir: str, window_days: int = 30
+) -> ray.data.Dataset:
+    """RANGE window frame (value-based, vs rolling_order_sum's ROWS
+    frame): per customer, for each order, the exact-cents sum of
+    o_totalprice over all orders dated within the preceding
+    ``window_days`` INCLUDING every peer of the current date (SQL RANGE
+    ... AND CURRENT ROW includes the full peer group — pinned in tests).
+    Columns: o_orderkey, o_custkey, date_us, frame_sum_cents.
+
+    Plan: customer-hash shard co-location, per-shard sort + two
+    searchsorted probes against a per-customer segmented prefix sum — no
+    pairwise expansion, no per-row loop."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        from .common import money_cents
+
+        shard = (
+            batch["o_custkey"].to_numpy() % np.int64(_N_SHARDS)
+        ).astype("int32")
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "date_us": batch["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "cents": money_cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+                "shard": pa.array(shard, type=pa.int32()),
+            }
+        )
+
+    win_us = np.int64(window_days) * 86_400_000_000
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "date_us", "o_orderkey"],
+                          ignore_index=True)
+        cust = g["o_custkey"].to_numpy(np.int64)
+        dus = g["date_us"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+        pref = np.r_[0, np.cumsum(cents)]
+        seg_start = starts[seg_of]
+        seg_end = np.r_[starts[1:], n][seg_of]
+        # frame = rows of the SAME customer with date in
+        # [date_i - win, date_i] — including date ties AFTER row i
+        # (RANGE ... CURRENT ROW spans the whole peer group)
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for s, e in zip(starts, np.r_[starts[1:], n]):
+            d = dus[s:e]
+            lo[s:e] = s + np.searchsorted(d, d - win_us, side="left")
+            hi[s:e] = s + np.searchsorted(d, d, side="right")
+        frame = pref[hi] - pref[lo]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": cust,
+                "date_us": dus,
+                "frame_sum_cents": frame,
+            }
+        )
+
+    out = (
+        read(sf_dir, "orders",
+             columns=["o_orderkey", "o_custkey", "o_orderdate",
+                      "o_totalprice"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_shard(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+    return canonical_sort(out, ["o_orderkey"])

@@ -322,3 +322,50 @@ def test_monthly_trend_negative_delta_truncation(tmp_path):
     assert pd.isna(got["delta_units"].iloc[0])
     assert got["delta_units"].iloc[1] == -2_000_000
     assert got["pct_change_scaled"].iloc[1] == -666_666
+
+
+def test_range_frame_peer_group_and_window(tmp_path):
+    """RANGE frame semantics pinned: date ties are PEERS (both rows see
+    the full tie-group sum even the 'later' orderkey), and a row exactly
+    window_days back is inside the frame while one day further is out."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.joins import orders_range_frame_sum
+
+    t = pd.Timestamp("2024-06-01")
+    d = pd.Timedelta(days=1)
+    ev = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5],
+            "o_custkey": [7, 7, 7, 7, 9],
+            "o_totalprice": [10.0, 20.0, 40.0, 80.0, 5.0],
+            "o_orderdate": [t - 31 * d, t - 30 * d, t, t, t],
+            "o_orderstatus": ["O"] * 5,
+            "o_orderpriority": ["1-URGENT"] * 5,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{tmp_path}/orders.parquet")
+    got = orders_range_frame_sum(str(tmp_path)).to_pandas()
+    by_key = dict(zip(got["o_orderkey"], got["frame_sum_cents"]))
+    assert by_key[1] == 1000                # nothing before it
+    assert by_key[2] == 3000                # 31d-old row still in (30d window, exact boundary)
+    assert by_key[3] == by_key[4] == 14000  # peers: 20+40+80 (31d row out)
+    assert by_key[5] == 500                 # other customer isolated
+
+
+def test_relational_division_closed_form(tmp_path):
+    """Customer 1 covers both priorities -> kept with its order count;
+    customer 2 covers one -> dropped."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.joins import customers_all_priorities
+
+    ev = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 1, 2, 2],
+            "o_orderpriority": ["a", "b", "a", "a", "a"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{tmp_path}/orders.parquet")
+    got = customers_all_priorities(str(tmp_path))
+    assert got.to_dict("records") == [{"o_custkey": 1, "n_orders": 3}]
