@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_trend": reshape.monthly_revenue_trend,
         "customers_all_priorities": joins.customers_all_priorities,
         "orders_range_frame_sum": joins.orders_range_frame_sum,
+        "systematic_sample": curation.systematic_sample,
+        "event_value_outliers": reshape.event_value_outliers,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1617,6 +1619,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # MAD-outlier census: quarter-cent quadrupling clears the median
+        # (0.5 grid) and MAD (0.25 grid) denominators — all-int compare
+        "event_value_outliers": (
+            "WITH c AS (SELECT event_type, "
+            " CAST(ROUND(value * 100) AS BIGINT) AS v FROM events), "
+            "s AS (SELECT event_type, CAST(4 * median(v) AS BIGINT) AS med4,"
+            " CAST(4 * mad(v) AS BIGINT) AS mad4 FROM c GROUP BY event_type) "
+            "SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN ABS(4 * v - med4) > 3 * mad4 "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, med4, mad4 "
+            "FROM c JOIN s USING (event_type) "
+            "GROUP BY c.event_type, med4, mad4 ORDER BY event_type"
+        ),
+        # systematic every-k sampling by exact global rank — the QUALIFY
+        # mirror of the distributed prefix-sum rank
+        "systematic_sample": (
+            "SELECT doc_id, rank FROM (SELECT doc_id, "
+            " CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
+            " AS rank FROM documents) "
+            "WHERE rank % 10 = 0 ORDER BY doc_id"
         ),
         # relational division (universal quantifier): count-distinct
         # compare against the global divisor cardinality

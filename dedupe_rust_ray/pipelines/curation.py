@@ -1794,3 +1794,79 @@ def chunk_documents(
         ),
         ["doc_id", "chunk_idx"],
     )
+
+
+def systematic_sample(
+    sf_dir: str, every_k: int = 10, bucket_span: int = 256
+) -> pd.DataFrame:
+    """Systematic (every-k-th) sampling in global doc_id order — the
+    equal-interval complement of hash_split's random-bucket draw and
+    stratified_sample's per-stratum rates: keep exactly the rows whose
+    0-based global rank is a multiple of ``every_k``. Columns: doc_id,
+    rank; ordered by doc_id. Deterministic by construction (no RNG, no
+    hash), so any engine reproduces the identical sample.
+
+    Scale plan: the mixture_schedule distributed prefix sum — per-bucket
+    (doc_id // bucket_span) counts fold to driver offsets (~n_docs/span
+    rows; raise span with corpus size), a bucket-hash groupby co-locates
+    whole buckets, and a vectorized in-shard cumcount plus the broadcast
+    offset yields the exact global rank without any global sort."""
+    from ..functions.shingles import splitmix64
+
+    n_shards = 64
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ids // bucket_span
+        shard = (
+            splitmix64(bucket.astype(np.uint64)) % np.uint64(n_shards)
+        ).astype(np.int32)
+        return pa.table(
+            {"doc_id": ids, "bucket": bucket, "shard": shard}
+        )
+
+    ds = read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    ).materialize()  # two consumers of a compact int relation
+
+    partials = ds.map_batches(
+        lambda b: b.group_by("bucket")
+        .aggregate([("doc_id", "count")])
+        .rename_columns(["bucket", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # ~n_docs / bucket_span rows: driver-bounded by design
+    sums = (
+        partials.groupby("bucket", as_index=False)["n"].sum()
+        .sort_values("bucket", ignore_index=True)
+    )
+    sums["offset"] = sums["n"].cumsum() - sums["n"]
+    oref = ray.put(
+        (
+            sums["bucket"].to_numpy(np.int64),
+            sums["offset"].to_numpy(np.int64),
+        )
+    )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["bucket", "doc_id"], ignore_index=True)
+        local = group.groupby("bucket").cumcount().to_numpy(np.int64)
+        buckets, offsets = ray.get(oref)
+        b = group["bucket"].to_numpy(np.int64)
+        rank = offsets[np.searchsorted(buckets, b)] + local
+        keep = rank % every_k == 0
+        return pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].to_numpy(np.int64)[keep],
+                "rank": rank[keep],
+            }
+        )
+
+    out = (
+        ds.groupby("shard")
+        .map_groups(
+            lambda g: pick(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.astype("int64").sort_values("doc_id", ignore_index=True)

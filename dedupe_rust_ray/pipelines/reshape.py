@@ -1003,3 +1003,78 @@ def monthly_revenue_trend(sf_dir: str) -> pd.DataFrame:
         out.loc[0, "delta_units"] = pd.NA
         out.loc[0, "pct_change_scaled"] = pd.NA
     return out
+
+
+def event_value_outliers(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Robust anomaly detection: per event type, how many event values
+    sit more than ``k`` MADs from the type's median — the outlier census
+    an ingest pipeline runs before trusting a metric column. Columns:
+    event_type, n_events, n_outliers, med4, mad4 (median and MAD in
+    QUARTER-cents so every statistic is an exact int64: the median of
+    int cents lies on the 0.5 grid and the MAD of those deviations on
+    the 0.25 grid — 4× clears both denominators; the outlier predicate
+    ``|4·v − med4| > k·mad4`` is pure integer compare on both sides).
+
+    Scale: one bounded-domain (type, cents) histogram fold; medians,
+    MADs and the outlier count all read off the histogram in the driver
+    finisher — no per-group sort, no second pass over rows."""
+    from .common import money_cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "v": money_cents(
+                    batch["value"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        g = df.groupby(["event_type", "v"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counts = (
+        read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |types| x |distinct cents|
+    )
+
+    def wmedian2(vals: np.ndarray, wts: np.ndarray) -> int:
+        """2x the weighted median of ints (exact: median is on the 0.5
+        grid, doubling clears it)."""
+        order = np.argsort(vals)
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        n = int(cum[-1])
+        h = n - 1
+        lo = int(vals[np.searchsorted(cum, h // 2, side="right")])
+        hi = int(vals[np.searchsorted(cum, (h + 1) // 2, side="right")])
+        return lo + hi
+
+    rows = []
+    for et, g in counts.groupby("event_type"):
+        v = g["v"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        med4 = 2 * wmedian2(v, n)          # 4 * median(v)
+        dev4 = np.abs(4 * v - med4)        # even ints on the 0.25*4 grid
+        mad4 = wmedian2(dev4, n) // 2      # median(dev4): (even+even)/2 int
+        out_n = int(n[dev4 > k * mad4].sum())
+        rows.append(
+            {
+                "event_type": et,
+                "n_events": int(n.sum()),
+                "n_outliers": out_n,
+                "med4": int(med4),
+                "mad4": int(mad4),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .astype(
+            {c: "int64" for c in ("n_events", "n_outliers", "med4", "mad4")}
+        )
+        .sort_values("event_type", ignore_index=True)
+    )

@@ -369,3 +369,46 @@ def test_relational_division_closed_form(tmp_path):
     pq.write_table(pa.Table.from_pandas(ev), f"{tmp_path}/orders.parquet")
     got = customers_all_priorities(str(tmp_path))
     assert got.to_dict("records") == [{"o_custkey": 1, "n_orders": 3}]
+
+
+def test_event_value_outliers_closed_form(tmp_path):
+    """Values [10, 10, 10, 10, 100] (cents 1000x5?, no — dollars):
+    median 10.00, deviations [0,0,0,0,90.00] -> MAD 0 -> every nonzero
+    deviation is an outlier. Values [1..5] give med 3, MAD 1, k=3 ->
+    |v-3| > 3 never (max dev 2): zero outliers."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.reshape import event_value_outliers
+
+    ev = pd.DataFrame(
+        {
+            "event_type": ["a"] * 5 + ["b"] * 5,
+            "value": [10.0, 10.0, 10.0, 10.0, 100.0]
+            + [1.0, 2.0, 3.0, 4.0, 5.0],
+            "ts": [pd.Timestamp("2024-01-01")] * 10,
+            "user_id": list(range(10)),
+            "event_id": list(range(10)),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{tmp_path}/events.parquet")
+    got = event_value_outliers(str(tmp_path))
+    a = got[got["event_type"] == "a"].iloc[0]
+    assert (a["med4"], a["mad4"], a["n_outliers"]) == (4000, 0, 1)
+    b = got[got["event_type"] == "b"].iloc[0]
+    assert (b["med4"], b["mad4"], b["n_outliers"]) == (1200, 400, 0)
+
+
+def test_systematic_sample_every_k(tmp_path):
+    """doc_ids with gaps: global rank follows doc_id ORDER, not value —
+    ids [3, 7, 8, 20, 21, 40] with k=2 keep ranks 0, 2, 4 = ids 3, 8, 21."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.curation import systematic_sample
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([21, 3, 8, 40, 7, 20], pa.int64())}),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = systematic_sample(str(tmp_path), every_k=2)
+    assert got["doc_id"].tolist() == [3, 8, 21]
+    assert got["rank"].tolist() == [0, 2, 4]
