@@ -201,6 +201,117 @@ def _copart_edges(
     return dedup.select_columns(["a", "b"])
 
 
+def _lineitem_rows(sf_dir: str) -> int | None:
+    """lineitem row count from parquet metadata (no scan) — the dispatch
+    hint for the fused edge-derivation gate (distinct (order, part) rows
+    are bounded by lineitem rows). None when the layout isn't the
+    single-file testdata shape."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(
+            os.path.join(sf_dir, "lineitem.parquet")
+        ).num_rows
+    except Exception:  # noqa: BLE001 - fall back to the dataset path
+        return None
+
+
+def gather_basket_items(sf_dir: str, min_quantity: float) -> np.ndarray:
+    """Gathered DISTINCT (order, part) relation as an (n, 2) int64 array —
+    the fused sub-gate input for the co-purchase family (two 8-byte
+    columns, bounded by the fused gate's lineitem row count). ONE
+    projection map stage, no exchange."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = q >= min_quantity
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"o": o.astype(np.int64), "p": p.astype(np.int64)})
+
+    parts = [
+        t
+        for t in ray.get(
+            read(
+                sf_dir,
+                "lineitem",
+                columns=["l_orderkey", "l_partkey", "l_quantity"],
+            )
+            .map_batches(project, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return np.empty((0, 2), dtype=np.int64)
+    t = pa.concat_tables(parts)
+    op = np.stack(
+        [
+            t["o"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["p"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ],
+        axis=1,
+    )
+    return np.unique(op, axis=0)
+
+
+def _fused_edge_arrays(
+    sf_dir: str, min_quantity: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused sub-gate leg of `_copart_edges`: distinct canonical (a < b)
+    edge arrays derived in ONE numpy pass over the gathered basket
+    relation — identical output to the dataset path, minus its two
+    exchange barriers (the house exchange-elision shape; ds.stats() shows
+    the shard/dedup groupbys cost seconds of fixed scheduling at suite
+    scale vs sub-ms of compute)."""
+    from ..functions.grouping import local_candidate_pairs
+
+    op = gather_basket_items(sf_dir, min_quantity)
+    if not len(op):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    o, p = op[:, 0], op[:, 1]  # np.unique output: already sorted by o
+    ia, ib = local_candidate_pairs(o)
+    if not len(ia):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.minimum(p[ia], p[ib])
+    b = np.maximum(p[ia], p[ib])
+    keep = a != b
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    e = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+    return e[:, 0], e[:, 1]
+
+
+def edges_dual(
+    sf_dir: str,
+    min_quantity: float,
+    driver_max_edges: int,
+    n_shards: int = 64,
+    fused_items_max: int = 2_000_000,
+):
+    """Dual-plan edge derivation for the co-purchase family.
+
+    Returns ``("arrays", a, b)`` when the fused gate (lineitem metadata
+    row count <= ``fused_items_max``) AND the driver gate both hold —
+    the operator should run its in-process numpy leg; otherwise
+    ``("dataset", edges, m)`` for the distributed leg (edges derived
+    fused-then-wrapped when only the driver gate failed, fully
+    distributed when the corpus is past the fused gate). Both derivations
+    produce the identical distinct canonical edge set — pinned by the
+    forced-gate tests."""
+    rows = _lineitem_rows(sf_dir)
+    if rows is not None and rows <= fused_items_max:
+        a, b = _fused_edge_arrays(sf_dir, min_quantity)
+        if len(a) <= driver_max_edges:
+            return ("arrays", a, b)
+        eds = ray.data.from_arrow(pa.table({"a": a, "b": b}))
+        return ("dataset", eds, len(a))
+    edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity, n_shards))
+    return ("dataset", edges, edges.count())
+
+
 def _drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Materialize and drop ZERO-COLUMN empty blocks — Ray's sort-based
     aggregator emits schema-less empties ("new schema: ." warnings) that
@@ -271,6 +382,7 @@ def triangle_count(
     min_quantity: float = 40.0,
     driver_max_edges: int = 2_000_000,
     n_shards: int = 64,
+    fused_items_max: int = 2_000_000,
 ) -> pd.DataFrame:
     """Exact triangle census of the co-purchase graph: one row
     ``(n_nodes, n_edges, n_triangles)``.
@@ -278,12 +390,16 @@ def triangle_count(
     Degree-ordered orientation makes every triangle a single wedge at its
     (degree, id)-minimal apex plus one closing oriented edge, so the count
     is ``|wedges JOIN oriented_edges|`` — see the module-level scale notes.
-    Dual plan: numpy in-process under ``driver_max_edges``, Ray
-    join/groupby cascade above (tests/test_graph.py pins them equal)."""
-    edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity, n_shards))
-    m = edges.count()
-    if m <= driver_max_edges:
-        a, b = _gather_edge_arrays(edges)
+    Dual plan: numpy in-process under ``driver_max_edges`` (edges derived
+    fused via `edges_dual` when the corpus metadata gate holds), Ray
+    join/groupby cascade above (tests pin the legs equal)."""
+    plan = edges_dual(
+        sf_dir, min_quantity, driver_max_edges, n_shards,
+        fused_items_max=fused_items_max,
+    )
+    if plan[0] == "arrays":
+        _, a, b = plan
+        m = len(a)
         nodes, inv = np.unique(np.r_[a, b], return_inverse=True)
         n = len(nodes)
         if m == 0:
@@ -317,6 +433,7 @@ def triangle_count(
             {"n_nodes": [n], "n_edges": [m], "n_triangles": [tri]}
         ).astype(np.int64)
 
+    _, edges, m = plan
     # ---- distributed leg: degree join -> orient -> wedge shuffle ->
     # co-partitioned closing join (no broadcast state anywhere)
     from ..functions.grouping import local_candidate_pairs
@@ -396,6 +513,7 @@ def pagerank_parts(
     iterations: int = 5,
     k: int = 20,
     driver_max_edges: int = 2_000_000,
+    fused_items_max: int = 2_000_000,
 ) -> pd.DataFrame:
     """Top-``k`` parts of the co-purchase graph by fixed-point PageRank
     (damping 0.85, ``iterations`` synchronous rounds, uniform int64 init
@@ -412,15 +530,18 @@ def pagerank_parts(
     knn_topk pattern), never a global sort."""
     from ray.data.aggregate import Sum
 
-    edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity))
-    m = edges.count()
-    if m == 0:
-        return pd.DataFrame(
-            {"node": np.empty(0, np.int64),
-             "rank_scaled": np.empty(0, np.int64)}
-        )
-    if m <= driver_max_edges:
-        a, b = _gather_edge_arrays(edges)
+    plan = edges_dual(
+        sf_dir, min_quantity, driver_max_edges,
+        fused_items_max=fused_items_max,
+    )
+    if plan[0] == "arrays":
+        _, a, b = plan
+        m = len(a)
+        if m == 0:
+            return pd.DataFrame(
+                {"node": np.empty(0, np.int64),
+                 "rank_scaled": np.empty(0, np.int64)}
+            )
         nodes, inv = np.unique(np.r_[a, b], return_inverse=True)
         n = len(nodes)
         ai, bi = inv[:m], inv[m:]
@@ -438,6 +559,12 @@ def pagerank_parts(
             {"node": nodes[order], "rank_scaled": r[order]}
         )
 
+    _, edges, m = plan
+    if m == 0:
+        return pd.DataFrame(
+            {"node": np.empty(0, np.int64),
+             "rank_scaled": np.empty(0, np.int64)}
+        )
     # ---- distributed leg: rank state stays a Dataset
     # join/shuffle aggregator actors each hold a CPU slot: cap partitions
     # at the cluster's CPU count or the join stalls waiting for actors
@@ -533,6 +660,7 @@ def part_hop_distance(
     min_quantity: float = 40.0,
     max_hops: int = 3,
     driver_max_edges: int = 2_000_000,
+    fused_items_max: int = 2_000_000,
 ) -> pd.DataFrame:
     """Bounded-depth BFS over the co-purchase graph: minimum hop distance
     (0..``max_hops``) from the seed node (the smallest part key in the
@@ -551,14 +679,17 @@ def part_hop_distance(
     under the gate is a sorted-array numpy BFS."""
     from ray.data.aggregate import Min
 
-    edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity))
-    m = edges.count()
-    if m == 0:
-        return pd.DataFrame(
-            {"node": np.empty(0, np.int64), "hops": np.empty(0, np.int64)}
-        )
-    if m <= driver_max_edges:
-        a, b = _gather_edge_arrays(edges)
+    plan = edges_dual(
+        sf_dir, min_quantity, driver_max_edges,
+        fused_items_max=fused_items_max,
+    )
+    empty = pd.DataFrame(
+        {"node": np.empty(0, np.int64), "hops": np.empty(0, np.int64)}
+    )
+    if plan[0] == "arrays":
+        _, a, b = plan
+        if not len(a):
+            return empty
         c = np.r_[a, b]
         v = np.r_[b, a]
         order = np.argsort(c, kind="stable")
@@ -593,6 +724,9 @@ def part_hop_distance(
              "hops": np.concatenate(out_hops)}
         ).sort_values("node", ignore_index=True)
 
+    _, edges, m = plan
+    if m == 0:
+        return empty
     # ---- distributed leg: unrolled frontier joins + one min fold
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -49,11 +49,12 @@ from ..functions.grouping import local_candidate_pairs
 from ..functions.shingles import splitmix64
 from .common import read
 from .graph import (
-    _copart_edges,
     _degree_ds,
     _drop_empty_blocks,
-    _gather_edge_arrays,
+    _lineitem_rows,
     _renamed,
+    edges_dual,
+    gather_basket_items,
 )
 
 _SCALE = 1_000_000  # 1e6 fixed-point units for confidence / lift / jaccard
@@ -189,6 +190,7 @@ def part_association_rules(
     min_quantity: float = 40.0,
     min_support: int = 1,
     driver_max_rows: int = 2_000_000,
+    fused_items_max: int = 2_000_000,
 ) -> pd.DataFrame:
     """Market-basket association rules over parts co-purchased in one
     order (``l_quantity >= min_quantity`` bounds the basket relation):
@@ -196,7 +198,53 @@ def part_association_rules(
     ``support`` (baskets containing both), ``conf_scaled``
     (support/supp(antecedent)) and ``lift_scaled``
     (support·N / (supp(ant)·supp(cons))), both ``_SCALE``-scaled int64.
-    Ordered by lift desc, conf desc, antecedent, consequent."""
+    Ordered by lift desc, conf desc, antecedent, consequent.
+
+    Fused sub-gate leg: when lineitem metadata rows fit
+    ``fused_items_max``, ALL three support folds run as one numpy pass
+    over the gathered distinct basket relation (no exchange at all);
+    otherwise (or when the fold relation outgrows ``driver_max_rows``)
+    the tagged-long-form exchange + co-partitioned support joins run —
+    tests pin the legs equal."""
+    rows = _lineitem_rows(sf_dir)
+    if rows is not None and rows <= fused_items_max:
+        op = gather_basket_items(sf_dir, min_quantity)
+        if not len(op):
+            return _rule_columns(*([np.empty(0, np.int64)] * 5), 0)
+        o, p = op[:, 0], op[:, 1]  # distinct rows, sorted by o
+        ia, ib = local_candidate_pairs(o)
+        a0 = np.minimum(p[ia], p[ib])
+        b0 = np.maximum(p[ia], p[ib])
+        keep = a0 != b0
+        e, cnt = (
+            np.unique(
+                np.stack([a0[keep], b0[keep]], axis=1),
+                axis=0,
+                return_counts=True,
+            )
+            if keep.any()
+            else (np.empty((0, 2), np.int64), np.empty(0, np.int64))
+        )
+        ip, isupp = np.unique(p, return_counts=True)
+        if len(e) + len(ip) <= driver_max_rows:
+            n_baskets = len(np.unique(o))
+            keep2 = cnt >= min_support
+            pa_, pb_ = e[keep2, 0], e[keep2, 1]
+            ps = cnt[keep2].astype(np.int64)
+            sa = isupp[np.searchsorted(ip, pa_)].astype(np.int64)
+            sb = isupp[np.searchsorted(ip, pb_)].astype(np.int64)
+            out = pd.concat(
+                [
+                    _rule_columns(pa_, pb_, ps, sa, sb, n_baskets),
+                    _rule_columns(pb_, pa_, ps, sb, sa, n_baskets),
+                ],
+                ignore_index=True,
+            )
+            return out.sort_values(
+                ["lift_scaled", "conf_scaled", "antecedent", "consequent"],
+                ascending=[False, False, True, True],
+                ignore_index=True,
+            )
     folds = _drop_empty_blocks(_support_folds(_basket_items(sf_dir, min_quantity)))
     n_rows = folds.count()
     if n_rows <= driver_max_rows:
@@ -299,6 +347,7 @@ def part_common_neighbors(
     min_common: int = 2,
     driver_max_edges: int = 2_000_000,
     n_shards: int = 64,
+    fused_items_max: int = 2_000_000,
 ) -> pd.DataFrame:
     """Link-prediction node similarity over the co-purchase graph: part
     pairs (``part_a < part_b``) with >= ``min_common`` common neighbors,
@@ -314,8 +363,10 @@ def part_common_neighbors(
     candidate kernel pre-combine the wedge relation per shard, one
     (x, y) groupby folds the global common-neighbor counts, and degrees
     attach via co-partitioned joins; tests pin the legs equal."""
-    edges = _drop_empty_blocks(_copart_edges(sf_dir, min_quantity, n_shards))
-    m = edges.count()
+    plan = edges_dual(
+        sf_dir, min_quantity, driver_max_edges, n_shards,
+        fused_items_max=fused_items_max,
+    )
     empty = pd.DataFrame(
         {
             "part_a": np.empty(0, np.int64),
@@ -324,10 +375,10 @@ def part_common_neighbors(
             "jaccard_scaled": np.empty(0, np.int64),
         }
     )
-    if m == 0:
-        return empty
-    if m <= driver_max_edges:
-        a, b = _gather_edge_arrays(edges)
+    if plan[0] == "arrays":
+        _, a, b = plan
+        if not len(a):
+            return empty
         c = np.r_[a, b]  # wedge centers (adjacency, both directions)
         v = np.r_[b, a]
         order = np.argsort(c, kind="stable")
@@ -353,6 +404,10 @@ def part_common_neighbors(
                     }
                 ).astype(np.int64)
         return out.sort_values(["part_a", "part_b"], ignore_index=True)
+
+    _, edges, m = plan
+    if m == 0:
+        return empty
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)

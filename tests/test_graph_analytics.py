@@ -148,3 +148,23 @@ def test_hop_distance_path_graph(tmp_path):
     ]
     dist = part_hop_distance(sf, driver_max_edges=0)
     pd.testing.assert_frame_equal(got, dist)
+
+
+@pytest.mark.parametrize(
+    "fn_kwargs",
+    [
+        ("triangle_count", {}),
+        ("pagerank_parts", {}),
+        ("part_hop_distance", {}),
+    ],
+)
+def test_fully_distributed_derivation_parity(fn_kwargs):
+    """fused_items_max=0 forces the REAL exchange-based edge derivation
+    (shard groupby + pair dedup) — pinned equal to the fused default."""
+    import dedupe_rust_ray.pipelines.graph as G
+
+    name, kw = fn_kwargs
+    fn = getattr(G, name)
+    fast = fn(SF, **kw).reset_index(drop=True)
+    full = fn(SF, fused_items_max=0, **kw).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, full)

@@ -412,3 +412,22 @@ def test_systematic_sample_every_k(tmp_path):
     got = systematic_sample(str(tmp_path), every_k=2)
     assert got["doc_id"].tolist() == [3, 8, 21]
     assert got["rank"].tolist() == [0, 2, 4]
+
+
+def test_fully_distributed_mining_derivation_parity():
+    """fused_items_max=0 forces the exchange-based paths (basket shard
+    groupby + tagged fold / edge dedup) — pinned equal to the fused
+    defaults for both mining operators."""
+    from dedupe_rust_ray.pipelines.mining import (
+        part_association_rules,
+        part_common_neighbors,
+    )
+
+    pd.testing.assert_frame_equal(
+        part_association_rules(SF),
+        part_association_rules(SF, fused_items_max=0),
+    )
+    pd.testing.assert_frame_equal(
+        part_common_neighbors(SF),
+        part_common_neighbors(SF, fused_items_max=0),
+    )
