@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_frame_sum": joins.orders_range_frame_sum,
         "systematic_sample": curation.systematic_sample,
         "event_value_outliers": reshape.event_value_outliers,
+        "trending_parts": analytics.trending_parts,
+        "collocation_lift": textpipe.collocation_lift,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -1619,6 +1621,42 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_first AS BIGINT) AS n_events_first "
             "FROM u WHERE n_first > 0 AND n_second = 0 "
             "ORDER BY user_id, event_type"
+        ),
+        # collocation lift: zipped positional unnests make the ordered
+        # bigram stream; HUGEINT mirrors the Python-int exact ratio
+        "collocation_lift": (
+            "WITH t AS (SELECT list_filter(regexp_split_to_array(text, "
+            " '\\s+'), x -> x <> '') AS arr FROM documents), "
+            "bi AS (SELECT unnest(arr[1:len(arr)-1]) AS x, "
+            " unnest(arr[2:len(arr)]) AS y FROM t), "
+            "uni AS (SELECT unnest(arr) AS x FROM t), "
+            "uc AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM uni "
+            " GROUP BY x), "
+            "bc AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM bi "
+            " GROUP BY x, y), "
+            "tot AS (SELECT (SELECT SUM(c) FROM uc) AS nu, "
+            " (SELECT SUM(c) FROM bc) AS nb) "
+            "SELECT bc.x AS tok_a, bc.y AS tok_b, "
+            "CAST(bc.c AS BIGINT) AS n_pair, "
+            "CAST((1000000 * bc.c * tot.nu * tot.nu) "
+            " // (tot.nb * ux.c * uy.c) AS BIGINT) AS lift_scaled "
+            "FROM bc JOIN uc ux ON bc.x = ux.x "
+            "JOIN uc uy ON bc.y = uy.x, tot "
+            "WHERE bc.c >= 5 "
+            "ORDER BY lift_scaled DESC, n_pair DESC, tok_a, tok_b LIMIT 30"
+        ),
+        # exact integer exponential decay: halving per 30-day month via a
+        # bit shift, zero past 20 months — reproducible trending rank
+        "trending_parts": (
+            "WITH mx AS (SELECT MAX(epoch_us(l_shipdate)) AS a FROM lineitem),"
+            "w AS (SELECT l_partkey, ((SELECT a FROM mx) - "
+            " epoch_us(l_shipdate)) // 2592000000000 AS m FROM lineitem) "
+            "SELECT l_partkey AS p_partkey, CAST(COUNT(*) AS BIGINT) "
+            " AS n_orders, "
+            "CAST(SUM(CASE WHEN m <= 20 THEN (CAST(1 AS BIGINT) << (20 - m))"
+            " ELSE 0 END) AS BIGINT) AS decay_units "
+            "FROM w GROUP BY 1 "
+            "ORDER BY decay_units DESC, p_partkey LIMIT 25"
         ),
         # MAD-outlier census: quarter-cent quadrupling clears the median
         # (0.5 grid) and MAD (0.25 grid) denominators — all-int compare

@@ -1081,3 +1081,62 @@ def golden_records(sf_dir: str, prefix_len: int = 80) -> ray.data.Dataset:
         )
     )
     return canonical_sort(out, ["cluster_id"])
+
+
+def trending_parts(
+    sf_dir: str, k: int = 25, halflife_months: int = 1
+) -> pd.DataFrame:
+    """Time-decayed popularity ranking (the recsys "trending" signal):
+    each lineitem contributes ``2^(20 − age_months)`` decay units to its
+    part, where age is whole 30-day months before the dataset's max ship
+    date — an EXACT integer exponential decay (halving per month), so the
+    rank is reproducible anywhere. Columns: p_partkey, n_orders,
+    decay_units; top-``k`` by decay_units desc, part asc.
+
+    Scale: pass 1 folds the global max ship date (one scalar per batch);
+    pass 2 ships (part, n, units) integer partials into one part-domain
+    groupby; the top-k cut is a bounded driver head. No floats, no decay
+    drift: contributions older than 20 months are exactly 0."""
+    from ray.data.aggregate import Max
+
+    raw = read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def ship_us(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"us": us, "l_partkey": batch["l_partkey"]})
+
+    base = raw.map_batches(ship_us, batch_format="pyarrow").materialize()
+    anchor = int(base.max("us"))
+    month_us = 30 * 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        months = (anchor - us) // month_us
+        units = np.where(
+            months <= 20, np.int64(1) << np.maximum(20 - months, 0), 0
+        ).astype(np.int64)
+        df = pd.DataFrame({"p_partkey": p, "units": units})
+        g = df.groupby("p_partkey", as_index=False).agg(
+            n=("units", "size"), u=("units", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        base.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Sum("u", alias_name="decay_units"),
+        )
+        .to_pandas()
+    )
+    return (
+        agg.astype("int64")
+        .sort_values(
+            ["decay_units", "p_partkey"],
+            ascending=[False, True],
+            ignore_index=True,
+        )
+        .head(k)
+    )

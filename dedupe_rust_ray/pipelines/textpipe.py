@@ -857,3 +857,97 @@ def vocab_size_by_lang(sf_dir: str) -> ray.data.Dataset:
         )
     )
     return canonical_sort(out, ["lang"])
+
+
+def collocation_lift(
+    sf_dir: str, min_count: int = 5, k: int = 30
+) -> pd.DataFrame:
+    """PMI-style collocation mining: top-``k`` ADJACENT token bigrams by
+    LIFT — ``P(x,y) / (P(x)·P(y))`` folded as the exact integer ratio
+    ``c_xy · N_uni² · SCALE // (N_bi · c_x · c_y)`` — with a
+    ``min_count`` support floor (the standard guard against
+    rare-pair lift explosion). Columns: tok_a, tok_b (ORDERED bigram),
+    n_pair, lift_scaled; ranked lift desc, count desc, pair asc.
+
+    The finisher runs arbitrary-precision Python ints (c_xy·N_uni² tops
+    int64 past ~3e5 tokens); the SQL mirror uses HUGEINT. Scale: one
+    bigram census + one unigram census (both per-batch pre-combined);
+    the lift join happens only on the min_count survivors."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks = [t.split() for t in batch["text"].fillna("")]
+        lens = np.fromiter((len(w) for w in toks), np.int64, len(toks))
+        flat = (
+            np.concatenate([w for w in toks if w], dtype=object)
+            if lens.sum()
+            else np.empty(0, object)
+        )
+        ka = kb = np.empty(0, object)
+        kn = np.empty(0, np.int64)
+        if lens.sum() >= 2:
+            ends = np.cumsum(lens[lens > 0])
+            pos = np.arange(len(flat) - 1)
+            valid = pos + 1 < ends[np.searchsorted(ends, pos, side="right")]
+            a, b = flat[:-1][valid], flat[1:][valid]
+            if len(a):
+                g = pd.DataFrame({"a": a, "b": b}).groupby(
+                    ["a", "b"], as_index=False
+                ).size()
+                ka = g["a"].to_numpy(object)
+                kb = g["b"].to_numpy(object)
+                kn = g["size"].to_numpy(np.int64)
+        u, uc = (
+            np.unique(flat, return_counts=True)
+            if len(flat)
+            else (np.empty(0, object), np.empty(0, np.int64))
+        )
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(len(ka), np.int8),
+                          np.ones(len(u), np.int8)]
+                ),
+                "tok_a": pa.array(np.r_[ka, u], pa.string()),
+                "tok_b": pa.array(
+                    np.r_[kb, np.full(len(u), "", object)], pa.string()
+                ),
+                "n": pa.array(np.r_[kn, uc.astype(np.int64)]),
+            }
+        )
+
+    folds = (
+        read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["kind", "tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    uni = folds[folds["kind"] == 1]
+    big = folds[folds["kind"] == 0]
+    n_uni = int(uni["n"].sum())
+    n_bi = int(big["n"].sum())
+    ucount = dict(zip(uni["tok_a"], (int(x) for x in uni["n"])))
+    big = big[big["n"] >= min_count]
+    scale = 1_000_000
+    rows = []
+    for r in big.itertuples():
+        cx, cy, cxy = ucount[r.tok_a], ucount[r.tok_b], int(r.n)
+        lift = (scale * cxy * n_uni * n_uni) // (n_bi * cx * cy)
+        rows.append((r.tok_a, r.tok_b, cxy, lift))
+    out = pd.DataFrame(
+        rows, columns=["tok_a", "tok_b", "n_pair", "lift_scaled"]
+    )
+    if out.empty:
+        return out.astype(
+            {"n_pair": "int64", "lift_scaled": "int64"}, errors="ignore"
+        )
+    return (
+        out.astype({"n_pair": "int64", "lift_scaled": "int64"})
+        .sort_values(
+            ["lift_scaled", "n_pair", "tok_a", "tok_b"],
+            ascending=[False, False, True, True],
+            ignore_index=True,
+        )
+        .head(k)
+    )

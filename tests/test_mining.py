@@ -431,3 +431,53 @@ def test_fully_distributed_mining_derivation_parity():
         part_common_neighbors(SF),
         part_common_neighbors(SF, fused_items_max=0),
     )
+
+
+def test_trending_parts_decay_semantics(tmp_path):
+    """Two parts, same order count: the one shipped at the anchor month
+    gets full weight 2^20 per row, the one shipped 2 months earlier gets
+    2^18 — the fresher part must rank first; a 21-month-old row adds 0."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.analytics import trending_parts
+
+    t = pd.Timestamp("2024-12-31")
+    d30 = pd.Timedelta(days=30)
+    ev = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 2, 2, 3],
+            "l_shipdate": [t, t, t - 2 * d30, t - 2 * d30, t - 21 * d30],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), f"{tmp_path}/lineitem.parquet")
+    got = trending_parts(str(tmp_path))
+    recs = {r.p_partkey: (r.n_orders, r.decay_units) for r in got.itertuples()}
+    assert recs[1] == (2, 2 * (1 << 20))
+    assert recs[2] == (2, 2 * (1 << 18))
+    assert recs[3] == (1, 0)
+    assert got["p_partkey"].tolist()[0] == 1  # freshest first
+
+
+def test_collocation_lift_closed_form(tmp_path):
+    """Corpus 'a b' x5 + 'a c' x5: bigrams (a,b) and (a,c) each 5;
+    unigrams a=10, b=5, c=5; N_uni=20, N_bi=10.
+    lift(a,b) = 5*400/(10*10*5) = 4.0 -> 4000000; doc boundaries cut
+    bigrams (no (b,a) across docs)."""
+    import pyarrow.parquet as pq
+
+    from dedupe_rust_ray.pipelines.textpipe import collocation_lift
+
+    docs = ["a b"] * 5 + ["a c"] * 5
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = collocation_lift(str(tmp_path), min_count=5)
+    recs = {(r.tok_a, r.tok_b): (r.n_pair, r.lift_scaled)
+            for r in got.itertuples()}
+    assert recs == {("a", "b"): (5, 4_000_000), ("a", "c"): (5, 4_000_000)}
