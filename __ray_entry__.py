@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": reshape.event_value_outliers,
         "trending_parts": analytics.trending_parts,
         "collocation_lift": textpipe.collocation_lift,
+        "census_by_lang_jsonl": analytics.census_by_lang_jsonl,
+        "census_by_lang_csv": analytics.census_by_lang_csv,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -759,6 +761,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM u ORDER BY group_id, path"
         ),
         "census_by_lang": (
+            "SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang ORDER BY n DESC, lang"
+        ),
+        # same census read back through the JSONL / CSV source paths —
+        # a format round-trip must not change a single count
+        "census_by_lang_jsonl": (
+            "SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang ORDER BY n DESC, lang"
+        ),
+        "census_by_lang_csv": (
             "SELECT lang, COUNT(*) AS n FROM documents "
             "GROUP BY lang ORDER BY n DESC, lang"
         ),

@@ -1140,3 +1140,55 @@ def trending_parts(
         )
         .head(k)
     )
+
+
+def _census_by_lang_via(sf_dir: str, fmt: str) -> ray.data.Dataset:
+    """census_by_lang read back through a row-oriented source format —
+    certifies the storage layer's format dispatch
+    (sources/storage.read_table) end-to-end in the driver's value
+    harness: same census, same oracle, different source. The copy writes
+    ONCE per (sf_dir, fmt) under /tmp (atomic rename; the synth_media
+    materialize-once pattern) as a DIRECTORY of part files so the read
+    parallelizes like any production drop."""
+    import hashlib
+    import os
+
+    from ..sources.storage import read_table, write_table
+
+    tag = hashlib.sha1(f"{sf_dir}|docs-{fmt}-v1".encode()).hexdigest()[:8]
+    root = f"/tmp/dedupe_rust_ray_{fmt}_{tag}"
+    if not os.path.isdir(root):
+        tmp = f"{root}.tmp-{os.getpid()}"
+        write_table(
+            read(sf_dir, "documents", columns=["doc_id", "lang"]),
+            tmp,
+            fmt=fmt,
+        )
+        try:
+            os.rename(tmp, root)
+        except OSError:  # lost a concurrent-build race: theirs is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("lang").aggregate([("lang", "count")])
+        return t.rename_columns(["lang", "partial"])
+
+    out = (
+        read_table(root, columns=["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return canonical_sort(out, ["n", "lang"], descending=[True, False])
+
+
+def census_by_lang_jsonl(sf_dir: str) -> ray.data.Dataset:
+    """JSONL-sourced census (see _census_by_lang_via)."""
+    return _census_by_lang_via(sf_dir, "json")
+
+
+def census_by_lang_csv(sf_dir: str) -> ray.data.Dataset:
+    """CSV-sourced census (see _census_by_lang_via)."""
+    return _census_by_lang_via(sf_dir, "csv")
