@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocation_lift": textpipe.collocation_lift,
         "census_by_lang_jsonl": analytics.census_by_lang_jsonl,
         "census_by_lang_csv": analytics.census_by_lang_csv,
+        "langid_confusion": textpipe.langid_confusion,
         "customer_reconcile": joins.customer_reconcile,
         "rolling_order_sum": joins.rolling_order_sum,
         "boilerplate_prefixes": textpipe.boilerplate_prefixes,
@@ -431,6 +432,36 @@ def _lang_id_sql() -> str:
     )
 
 
+def _langid_confusion_sql() -> str:
+    """Per-document replay of _lang_id_sql's decision rule JOINED with
+    the ground-truth lang column — the confusion-matrix oracle."""
+    from dedupe_rust_ray.functions.textstats import _LANG_STOPWORDS
+
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        return f"len(list_filter(toks, x -> x IN ({words}))) AS h_{lang}"
+
+    return (
+        "WITH t AS (SELECT lang, "
+        " regexp_extract_all(lower(text), '\\w+') AS toks, "
+        " LENGTH(text) AS n_chars, "
+        " LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk "
+        " FROM documents), "
+        f"h AS (SELECT lang, cjk, n_chars, {hits('en')}, {hits('fr')}, "
+        f" {hits('es')}, {hits('de')} FROM t), "
+        "p AS (SELECT lang, CASE "
+        " WHEN n_chars > 0 AND cjk::DOUBLE / GREATEST(n_chars, 1) > 0.2 THEN 'zh' "
+        " WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'und' "
+        " WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en' "
+        " WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr' "
+        " WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS pred_lang FROM h) "
+        "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) "
+        " AS correct "
+        "FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang"
+    )
+
+
 _COPART_EDGES_SQL = (
     # distinct co-purchase edges (a < b) over part keys, the shared graph
     # of pipelines/graph.triangle_count / pagerank_parts (min_quantity=40)
@@ -489,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 10 = 0 ORDER BY cluster_id, doc_id"
         ),
         "lang_id_census": _lang_id_sql(),
+        "langid_confusion": _langid_confusion_sql(),
         # planted-truth sketch-dedup oracles (pipelines/dedupe.
         # planted_flat_docs): per-doc_id token salting makes cross-doc
         # shingle sets disjoint (no organic band/chunk collision survives

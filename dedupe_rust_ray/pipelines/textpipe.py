@@ -951,3 +951,38 @@ def collocation_lift(
         )
         .head(k)
     )
+
+
+def langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Classifier-evaluation census: the CONFUSION MATRIX of the
+    stopword/CJK language-ID heuristic against the ground-truth ``lang``
+    column — (lang, pred_lang, n) plus a per-cell ``correct`` flag, the
+    accuracy/error breakdown a curation pipeline reports before trusting
+    a model-derived column. Ordered by (lang, pred_lang).
+
+    The SQL oracle replays the SAME inlined stopword/CJK rule
+    (__ray_entry__._lang_id_sql's expression joined with the truth
+    column), so the hash match certifies the classifier's per-document
+    decisions, not just its marginal census (lang_id_census)."""
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id_batch(batch["text"])
+        return (
+            pd.DataFrame({"lang": batch["lang"], "pred_lang": pred})
+            .groupby(["lang", "pred_lang"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+
+    out = (
+        read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(per_doc, batch_format="pandas")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()  # bounded: |langs|²
+    )
+    out["correct"] = (out["lang"] == out["pred_lang"]).astype(np.int64)
+    return (
+        out.astype({"n": "int64"})
+        .sort_values(["lang", "pred_lang"], ignore_index=True)
+    )
