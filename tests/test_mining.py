@@ -481,3 +481,31 @@ def test_collocation_lift_closed_form(tmp_path):
     recs = {(r.tok_a, r.tok_b): (r.n_pair, r.lift_scaled)
             for r in got.itertuples()}
     assert recs == {("a", "b"): (5, 4_000_000), ("a", "c"): (5, 4_000_000)}
+
+
+def test_format_and_confusion_queries_match_oracle():
+    """Late-r5 certifications: the JSONL/CSV-sourced censuses and the
+    language-ID confusion matrix all hash-match their registered oracles
+    at sf0.001 (the driver's comparison, locally)."""
+    mod = _entry_module()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    for name in (
+        "census_by_lang_jsonl",
+        "census_by_lang_csv",
+        "langid_confusion",
+    ):
+        res = mod.queries()[name](SF)
+        got = (res.to_pandas() if hasattr(res, "to_pandas") else res).reset_index(
+            drop=True
+        )
+        want = con.sql(mod.oracle_sql()[name]).df()
+        cols = sorted(got.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols, ignore_index=True),
+            want[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False,
+        )
+        assert len(got) > 0
